@@ -1,0 +1,167 @@
+"""
+K-means spectral clustering on TPU.
+
+Replaces the reference's use of sklearn.cluster.KMeans
+(reference: pyshepseg/shepseg.py:252-397) with a JAX implementation of
+Lloyd's algorithm whose distance step runs on the MXU: for points X (N, B)
+and centres C (K, B), squared distances are computed as
+|x|^2 - 2 X @ C.T + |c|^2 — one large batched matmul per iteration.
+
+The class mimics the sklearn surface the reference relies on
+(``cluster_centers_``, ``predict``, ``n_clusters``), so a fitted TPUKMeans
+can be passed anywhere the reference accepts a ``kmeansObj``
+(shepseg.py:175-181, tiling.py:516-517), and vice versa: any object with
+``cluster_centers_`` works with :func:`applySpectralClusters` here.
+
+Determinism: with a fixed init (``fixedKMeansInit`` / explicit array) the
+algorithm is deterministic. k-means++ with ``n_init`` restarts matches the
+reference statistically, not bitwise (the reference itself offers
+``fixedKMeansInit`` for strict determinism, shepseg.py:168-174).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sq_dists(x, centers):
+    """(N, K) squared Euclidean distances via the MXU."""
+    xx = jnp.sum(x * x, axis=1, keepdims=True)
+    cc = jnp.sum(centers * centers, axis=1)
+    xc = jnp.dot(x, centers.T, preferred_element_type=jnp.float32)
+    return xx - 2.0 * xc + cc[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _lloyd(x, centers, tol_scaled, max_iter: int):
+    """Run Lloyd's iterations to convergence. Returns (centers, inertia, n_iter)."""
+    n, b = x.shape
+    k = centers.shape[0]
+
+    def assign(c):
+        d = _sq_dists(x, c)
+        labels = jnp.argmin(d, axis=1).astype(jnp.int32)
+        mind = jnp.min(d, axis=1)
+        return labels, mind
+
+    def body(carry):
+        c, _, it, _ = carry
+        labels, mind = assign(c)
+        sums = jax.ops.segment_sum(x, labels, num_segments=k)
+        counts = jax.ops.segment_sum(jnp.ones(n, jnp.float32), labels,
+                                     num_segments=k)
+        new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+        # Empty-cluster repair: give the e-th empty cluster the e-th
+        # farthest point from its assigned centre (sklearn's strategy).
+        empty = counts == 0
+        order = jnp.argsort(-mind)
+        empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+        donor = x[order[jnp.clip(empty_rank, 0, n - 1)]]
+        new_c = jnp.where(empty[:, None], donor, new_c)
+        shift = jnp.sum((new_c - c) ** 2)
+        return new_c, shift, it + 1, jnp.sum(mind)
+
+    def cond(carry):
+        _, shift, it, _ = carry
+        return (shift > tol_scaled) & (it < max_iter)
+
+    init = (centers, jnp.float32(jnp.inf), jnp.int32(0), jnp.float32(0))
+    centers, _, n_iter, _ = jax.lax.while_loop(cond, body, init)
+    # Final inertia with the converged centres
+    _, mind = assign(centers)
+    return centers, jnp.sum(mind), n_iter
+
+
+@jax.jit
+def _kmeanspp_init(x, key, k_arr):
+    """k-means++ seeding. k is static via k_arr shape (k, B) scratch."""
+    n = x.shape[0]
+    k = k_arr.shape[0]
+    key, sub = jax.random.split(key)
+    first = x[jax.random.randint(sub, (), 0, n)]
+    centers = k_arr.at[0].set(first)
+
+    def body(i, carry):
+        centers, key, mind = carry
+        d = jnp.sum((x - centers[i - 1]) ** 2, axis=1)
+        mind = jnp.minimum(mind, d)
+        key, sub = jax.random.split(key)
+        total = jnp.sum(mind)
+        probs = jnp.where(total > 0, mind / jnp.maximum(total, 1e-30),
+                          jnp.full_like(mind, 1.0 / n))
+        idx = jax.random.categorical(sub, jnp.log(probs + 1e-30))
+        return centers.at[i].set(x[idx]), key, mind
+
+    mind0 = jnp.full(n, jnp.inf, jnp.float32)
+    centers, _, _ = jax.lax.fori_loop(1, k, body, (centers, key, mind0))
+    return centers
+
+
+@jax.jit
+def predict_labels(x, centers):
+    """Device: nearest-centre labels for points x (N, B)."""
+    return jnp.argmin(_sq_dists(x, centers), axis=1).astype(jnp.int32)
+
+
+class TPUKMeans:
+    """
+    Drop-in stand-in for the slice of sklearn.cluster.KMeans that the
+    reference uses: ``fit``, ``predict``, ``cluster_centers_``,
+    ``n_clusters``, ``inertia_``. Pickleable (state is numpy arrays), so it
+    travels across worker channels exactly like the reference's kmeansObj.
+    """
+
+    def __init__(self, n_clusters=8, n_init=5, init="k-means++",
+                 max_iter=300, tol=1e-4, random_state=0):
+        self.n_clusters = int(n_clusters)
+        self.n_init = int(n_init)
+        self.init = init
+        self.max_iter = int(max_iter)
+        self.tol = float(tol)
+        self.random_state = int(random_state)
+        self.cluster_centers_ = None
+        self.inertia_ = None
+        self.n_iter_ = None
+
+    def fit(self, X):
+        x = jnp.asarray(np.asarray(X, dtype=np.float32))
+        tol_scaled = jnp.float32(
+            self.tol * float(np.mean(np.var(np.asarray(X, np.float32),
+                                            axis=0))))
+        k = self.n_clusters
+        if isinstance(self.init, str) and self.init == "k-means++":
+            best = None
+            key = jax.random.PRNGKey(self.random_state)
+            scratch = jnp.zeros((k, x.shape[1]), jnp.float32)
+            for trial in range(self.n_init):
+                key, sub = jax.random.split(key)
+                c0 = _kmeanspp_init(x, sub, scratch)
+                c, inertia, n_iter = _lloyd(x, c0, tol_scaled,
+                                            max_iter=self.max_iter)
+                inertia = float(inertia)
+                if best is None or inertia < best[1]:
+                    best = (np.asarray(c), inertia, int(n_iter))
+            self.cluster_centers_, self.inertia_, self.n_iter_ = best
+        else:
+            c0 = jnp.asarray(np.asarray(self.init, dtype=np.float32))
+            if c0.shape[0] != k:
+                raise ValueError("init centres shape mismatch")
+            c, inertia, n_iter = _lloyd(x, c0, tol_scaled,
+                                        max_iter=self.max_iter)
+            self.cluster_centers_ = np.asarray(c)
+            self.inertia_ = float(inertia)
+            self.n_iter_ = int(n_iter)
+        return self
+
+    def predict(self, X, chunk=1 << 20):
+        """Nearest-centre labels, chunked to bound device memory."""
+        X = np.asarray(X, dtype=np.float32)
+        centers = jnp.asarray(self.cluster_centers_.astype(np.float32))
+        out = np.empty(X.shape[0], dtype=np.int32)
+        for start in range(0, X.shape[0], chunk):
+            xs = jnp.asarray(X[start:start + chunk])
+            out[start:start + xs.shape[0]] = np.asarray(
+                predict_labels(xs, centers))
+        return out

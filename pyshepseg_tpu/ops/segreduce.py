@@ -1,0 +1,146 @@
+"""
+Segment reductions and relabelling.
+
+Replaces the reference's histogram / spectral-sum / relabel scalar loops
+(reference: pyshepseg/shepseg.py:544-569, 739-777, 780-813) with
+``jax.ops.segment_sum`` reductions, and the per-segment pixel-location
+typed-dict (``RowColArray`` / ``makeSegmentLocations``,
+shepseg.py:816-915) with a CSR layout built from a stable sort — the
+static-shape, gather-friendly equivalent on TPU.
+
+All device functions take a static ``capacity`` (= max segment ID + 1,
+rounded to a bucket by callers) because XLA requires static shapes; the
+entries above the true max are zero.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import SegIdType, MINSEGID
+
+
+def seg_sizes(seg, capacity: int):
+    """Device: histogram of segment IDs. seg: uint32 (H, W) -> (capacity,) uint32."""
+    ones = jnp.ones(seg.size, dtype=jnp.uint32)
+    return jax.ops.segment_sum(ones, seg.ravel().astype(jnp.int32),
+                               num_segments=capacity)
+
+
+def seg_spectral_sums(seg, img, capacity: int):
+    """
+    Device: per-segment per-band sums of pixel values.
+
+    img: (nBands, H, W) numeric -> (capacity, nBands) float32.
+    Row 0 (the null segment) is computed but unused, matching the reference
+    layout (reference: shepseg.py:780-813).
+    """
+    flat_seg = seg.ravel().astype(jnp.int32)
+
+    def one_band(band):
+        return jax.ops.segment_sum(band.ravel().astype(jnp.float32),
+                                   flat_seg, num_segments=capacity)
+
+    sums = jax.vmap(one_band)(img)  # (nBands, capacity)
+    return sums.T
+
+
+def relabel_subtract(seg_size, min_seg_id: int = MINSEGID):
+    """
+    Device: per-ID decrement making labels contiguous. For each ID k, the
+    number of unused (zero-count) IDs in [min_seg_id, k-1]
+    (reference: shepseg.py:739-777).
+    """
+    capacity = seg_size.shape[0]
+    ids = jnp.arange(capacity, dtype=jnp.uint32)
+    z = ((seg_size == 0) & (ids >= min_seg_id)).astype(jnp.uint32)
+    sub = jnp.cumsum(z)
+    return jnp.concatenate([jnp.zeros(1, jnp.uint32), sub[:-1]])
+
+
+def relabel(seg, seg_size, min_seg_id: int = MINSEGID):
+    """Device: apply :func:`relabel_subtract` to a segment image."""
+    subtract = relabel_subtract(seg_size, min_seg_id)
+    return (seg - subtract[seg.astype(jnp.int32)]).astype(jnp.uint32)
+
+
+# ---------------------------------------------------------------- host API
+
+
+def makeSegSize(seg, maxSegId=None):
+    """
+    Host API matching the reference (reference: shepseg.py:544-569):
+    array of pixel counts indexed by segment ID, length maxSegId+1.
+    """
+    seg = np.asarray(seg)
+    if maxSegId is None:
+        maxSegId = int(seg.max()) if seg.size else 0
+    counts = np.bincount(seg.ravel().astype(np.int64),
+                         minlength=maxSegId + 1)
+    return counts.astype(np.uint32)
+
+
+def buildSegmentSpectra(seg, img, maxSegId):
+    """
+    Host API matching the reference (reference: shepseg.py:780-813):
+    (maxSegId+1, nBands) float32 per-segment band sums.
+    """
+    out = np.asarray(seg_spectral_sums(jnp.asarray(seg), jnp.asarray(img),
+                                       int(maxSegId) + 1))
+    return out.astype(np.float32)
+
+
+def relabelSegments(seg, segSize, minSegId):
+    """
+    Host API matching the reference (reference: shepseg.py:739-777).
+    Modifies ``seg`` in place (numpy array) to have contiguous labels.
+    """
+    sub = np.asarray(relabel_subtract(jnp.asarray(segSize), int(minSegId)))
+    seg[...] = (seg - sub[seg]).astype(SegIdType)
+
+
+class SegmentLocations:
+    """
+    CSR index of per-segment pixel locations — the static-shape TPU-era
+    replacement for the reference's ``RowColArray`` typed dict
+    (reference: shepseg.py:816-915). Built once with a stable sort; lookup
+    is O(1) slicing. Pixel order within a segment is row-major scan order,
+    matching the order the reference's ``makeSegmentLocations`` appends in.
+    """
+
+    def __init__(self, seg):
+        seg = np.asarray(seg)
+        self.shape = seg.shape
+        flat = seg.ravel()
+        order = np.argsort(flat, kind="stable")
+        sorted_ids = flat[order]
+        self.maxSegId = int(flat.max()) if flat.size else 0
+        # starts[k] .. starts[k+1] are the sorted positions of segment k
+        self.starts = np.searchsorted(
+            sorted_ids, np.arange(self.maxSegId + 2, dtype=np.int64))
+        self.order = order
+
+    def __contains__(self, segId):
+        segId = int(segId)
+        return (0 <= segId <= self.maxSegId and
+                self.starts[segId + 1] > self.starts[segId])
+
+    def getSegmentIndices(self, segId):
+        """Return (rows, cols) arrays for the given segment ID."""
+        segId = int(segId)
+        sl = self.order[self.starts[segId]:self.starts[segId + 1]]
+        w = self.shape[1]
+        return (sl // w).astype(np.uint32), (sl % w).astype(np.uint32)
+
+    def rowcols(self, segId):
+        """Return an (n, 2) array of (row, col) pixel coordinates."""
+        r, c = self.getSegmentIndices(segId)
+        return np.stack([r, c], axis=1)
+
+
+def makeSegmentLocations(seg, segSize=None):
+    """
+    Host API matching the reference name (reference: shepseg.py:880-915).
+    ``segSize`` is accepted for signature compatibility but not needed.
+    """
+    return SegmentLocations(seg)

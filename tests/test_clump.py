@@ -1,0 +1,85 @@
+"""Parity tests for the TPU clump kernel vs the reference-semantics oracle
+and scipy.ndimage.label (component equality)."""
+
+import numpy as np
+import scipy.ndimage as ndi
+
+from pyshepseg_tpu.ops.clump import clump
+from oracle import oracle_clump
+
+
+def _random_cluster_img(rng, shape=(40, 40), nvals=4, null_frac=0.1,
+                        null_val=0):
+    img = rng.integers(1, nvals + 1, size=shape).astype(np.int32)
+    nulls = rng.random(shape) < null_frac
+    img[nulls] = null_val
+    return img
+
+
+def test_clump_matches_oracle_4connected(rng):
+    img = _random_cluster_img(rng)
+    seg, nxt = clump(img, 0, fourConnected=True, clumpId=1)
+    ref, ref_nxt = oracle_clump(img, 0, fourConnected=True, clumpId=1)
+    np.testing.assert_array_equal(seg, ref)
+    assert nxt == ref_nxt
+
+
+def test_clump_matches_oracle_8connected(rng):
+    img = _random_cluster_img(rng, nvals=3)
+    seg, nxt = clump(img, 0, fourConnected=False, clumpId=1)
+    ref, ref_nxt = oracle_clump(img, 0, fourConnected=False, clumpId=1)
+    np.testing.assert_array_equal(seg, ref)
+    assert nxt == ref_nxt
+
+
+def test_clump_nonzero_start_id(rng):
+    img = _random_cluster_img(rng, shape=(20, 20))
+    seg, nxt = clump(img, 0, fourConnected=True, clumpId=5)
+    ref, ref_nxt = oracle_clump(img, 0, fourConnected=True, clumpId=5)
+    np.testing.assert_array_equal(seg, ref)
+    assert nxt == ref_nxt
+
+
+def test_clump_components_match_scipy(rng):
+    """Cross-check component structure (not label values) against scipy,
+    per distinct pixel value."""
+    img = _random_cluster_img(rng, shape=(64, 64), nvals=5)
+    seg, _ = clump(img, 0, fourConnected=True)
+    # Segments must be internally uniform in img value
+    for sid in range(1, seg.max() + 1):
+        vals = img[seg == sid]
+        assert len(np.unique(vals)) == 1
+    # Total component count per value matches scipy
+    total = 0
+    structure = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+    for v in range(1, 6):
+        _, n = ndi.label(img == v, structure=structure)
+        total += n
+    assert seg.max() == total
+
+
+def test_clump_all_null():
+    img = np.zeros((16, 16), dtype=np.int32)
+    seg, nxt = clump(img, 0, fourConnected=True)
+    assert seg.max() == 0
+    assert nxt == 1
+
+
+def test_clump_single_component():
+    img = np.ones((16, 16), dtype=np.int32)
+    seg, nxt = clump(img, 0, fourConnected=True)
+    assert (seg == 1).all()
+    assert nxt == 2
+
+
+def test_clump_snake():
+    """Long thin serpentine component exercises propagation depth."""
+    img = np.zeros((20, 20), dtype=np.int32)
+    # boustrophedon path
+    for r in range(0, 20, 2):
+        img[r, :] = 1
+        if r + 1 < 20:
+            img[r + 1, -1 if (r // 2) % 2 == 0 else 0] = 1
+    seg, _ = clump(img, 0, fourConnected=True)
+    ref, _ = oracle_clump(img, 0, fourConnected=True)
+    np.testing.assert_array_equal(seg, ref)

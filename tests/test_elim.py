@@ -1,0 +1,101 @@
+"""Parity tests for single-pixel and small-segment elimination vs the
+reference-semantics oracle."""
+
+import numpy as np
+
+from pyshepseg_tpu.ops.clump import clump
+from pyshepseg_tpu.ops.segreduce import makeSegSize
+from pyshepseg_tpu.ops.elim_single import eliminateSinglePixels
+from pyshepseg_tpu.ops.elim_small import eliminateSmallSegments
+from oracle import (
+    oracle_clump, oracle_seg_size, oracle_eliminate_single_pixels,
+    oracle_eliminate_small_segments)
+
+
+def _make_case(rng, shape=(32, 32), nbands=3, nclusters=5, null_frac=0.05):
+    """Random multiband image + its cluster image + clumped segmentation."""
+    # Values well separated so float32 vs float64 distances can't flip order
+    img = (rng.integers(0, 40, size=(nbands,) + shape) * 4).astype(np.int32)
+    clusters = rng.integers(1, nclusters + 1, size=shape).astype(np.uint32)
+    nulls = rng.random(shape) < null_frac
+    clusters[nulls] = 0
+    seg, nxt = clump(clusters, 0, fourConnected=True)
+    ref_seg, _ = oracle_clump(clusters, 0, fourConnected=True)
+    np.testing.assert_array_equal(seg, ref_seg)
+    return img, seg, nxt - 1
+
+
+def test_single_pixel_elim_matches_oracle(rng):
+    img, seg, maxSegId = _make_case(rng)
+    segSize = makeSegSize(seg)
+
+    ref_seg = seg.copy()
+    ref_n = oracle_eliminate_single_pixels(
+        img, ref_seg, oracle_seg_size(ref_seg), 1, True)
+
+    got_seg = seg.copy()
+    got_n = eliminateSinglePixels(img, got_seg, segSize, 1, maxSegId, True)
+
+    assert got_n == ref_n
+    np.testing.assert_array_equal(got_seg, ref_seg)
+
+
+def test_single_pixel_elim_8conn(rng):
+    img, seg, maxSegId = _make_case(rng, shape=(24, 24))
+    segSize = makeSegSize(seg)
+
+    ref_seg = seg.copy()
+    oracle_eliminate_single_pixels(
+        img, ref_seg, oracle_seg_size(ref_seg), 1, False)
+
+    got_seg = seg.copy()
+    eliminateSinglePixels(img, got_seg, segSize, 1, maxSegId, False)
+    np.testing.assert_array_equal(got_seg, ref_seg)
+
+
+def _run_small_elim_case(rng, shape, minSegSize, maxSpectralDiff,
+                         fourConnected, nclusters=4, nbands=2):
+    img = (rng.integers(0, 30, size=(nbands,) + shape) * 8).astype(np.int32)
+    clusters = rng.integers(1, nclusters + 1, size=shape).astype(np.uint32)
+    seg, nxt = clump(clusters, 0, fourConnected=fourConnected)
+    maxSegId = nxt - 1
+
+    ref_seg = seg.copy()
+    ref_n = oracle_eliminate_small_segments(
+        ref_seg, img, maxSegId, minSegSize, maxSpectralDiff, fourConnected)
+
+    got_seg = seg.copy()
+    got_n = eliminateSmallSegments(
+        got_seg, img, maxSegId, minSegSize, maxSpectralDiff, fourConnected)
+
+    assert got_n == ref_n
+    np.testing.assert_array_equal(got_seg, ref_seg)
+
+
+def test_small_elim_matches_oracle_4conn(rng):
+    _run_small_elim_case(rng, (24, 24), minSegSize=5,
+                         maxSpectralDiff=1e9, fourConnected=True)
+
+
+def test_small_elim_matches_oracle_8conn(rng):
+    _run_small_elim_case(rng, (24, 24), minSegSize=4,
+                         maxSpectralDiff=1e9, fourConnected=False)
+
+
+def test_small_elim_spectral_limit(rng):
+    # A tight maxSpectralDiff must block some merges identically
+    _run_small_elim_case(rng, (24, 24), minSegSize=6,
+                         maxSpectralDiff=60.0, fourConnected=True)
+
+
+def test_small_elim_larger_minsize(rng):
+    _run_small_elim_case(rng, (32, 32), minSegSize=10,
+                         maxSpectralDiff=1e9, fourConnected=True)
+
+
+def test_small_elim_noop():
+    seg = np.ones((8, 8), dtype=np.uint32)
+    img = np.zeros((1, 8, 8), dtype=np.int32)
+    n = eliminateSmallSegments(seg, img, 1, 1, 100.0, True)
+    assert n == 0
+    assert (seg == 1).all()
