@@ -1,0 +1,96 @@
+"""
+Timing hooks: a thread-safe, pickleable collector of named time intervals
+(reference: pyshepseg/timinghooks.py). Used throughout the tiling drivers
+to time phases like 'reading', 'segmentation', 'stitchtiles'; worker
+processes pickle their Timers back to the coordinator, which merges them.
+
+On top of the reference surface, :meth:`Timers.interval` optionally blocks
+on JAX device work (``sync=True``) so device phases are timed honestly —
+JAX dispatch is asynchronous and would otherwise attribute device time to
+whichever phase happens to synchronise.
+"""
+
+import time
+import threading
+import contextlib
+
+import numpy
+
+
+class Timers:
+    """
+    Collects multiple named timers. Each named timer accumulates a list of
+    (startTime, endTime) interval pairs; use :meth:`interval` as a context
+    manager around the code to be timed. All times in seconds (time.time).
+    """
+
+    def __init__(self):
+        self.pairs = {}
+        self.lock = threading.Lock()
+
+    @contextlib.contextmanager
+    def interval(self, intervalName, sync=False):
+        """
+        Context manager timing one named interval. If ``sync`` is True,
+        waits for all outstanding JAX device work before reading the end
+        time (use around device compute phases).
+        """
+        startTime = time.time()
+        try:
+            yield
+        finally:
+            if sync:
+                try:
+                    import jax
+                    jax.effects_barrier()
+                except Exception:
+                    pass
+            endTime = time.time()
+            with self.lock:
+                self.pairs.setdefault(intervalName, []).append(
+                    (startTime, endTime))
+
+    def getDurationsForName(self, intervalName):
+        """List of durations (sec) for the named interval, or None."""
+        if intervalName in self.pairs:
+            return [(end - start) for (start, end) in
+                    self.pairs[intervalName]]
+        return None
+
+    def merge(self, other):
+        """Merge another Timers object into this one."""
+        with self.lock:
+            for name, pairs in other.pairs.items():
+                self.pairs.setdefault(name, []).extend(pairs)
+
+    def makeSummaryDict(self):
+        """
+        Summary statistics per interval name: total/min/max/lowerq/median/
+        upperq/mean/count (same keys as the reference,
+        timinghooks.py:121-142).
+        """
+        d = {}
+        for name in self.pairs:
+            intervals = numpy.array(self.getDurationsForName(name))
+            d[name] = {
+                'total': float(intervals.sum()),
+                'min': float(intervals.min()),
+                'max': float(intervals.max()),
+                'lowerq': float(numpy.percentile(intervals, 25)),
+                'median': float(numpy.percentile(intervals, 50)),
+                'upperq': float(numpy.percentile(intervals, 75)),
+                'mean': float(intervals.mean()),
+                'count': len(intervals),
+            }
+        return d
+
+    def __getstate__(self):
+        with self.lock:
+            d = dict(self.__dict__)
+        d.pop('lock')
+        return d
+
+    def __setstate__(self, state):
+        self.lock = threading.Lock()
+        with self.lock:
+            self.__dict__.update(state)
