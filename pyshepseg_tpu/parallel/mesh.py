@@ -1,0 +1,133 @@
+"""
+CONC_MESH: tile-parallel segmentation across the chips of a TPU mesh.
+
+This is the TPU-native replacement for the reference's worker-pool
+concurrency (reference: pyshepseg/tiling.py CONC_THREADS/CONC_FARGATE):
+instead of scheduling Python workers, tiles are batched and sharded over a
+``jax.sharding.Mesh`` — one tile per chip per step — and each chip runs the
+fully-fused pipeline (parallel.pipeline.segment_tile) with no host
+round-trips between stages. Tiles are independent SPMD work; no collective
+traffic is needed during segmentation, so scaling is linear in chips, and
+the stitch/recode phase consumes results in row-major order exactly as the
+reference does.
+"""
+
+import os
+import tempfile
+import shutil
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import tiling as _tiling
+from .. import shepseg
+from .pipeline import segment_tiles_vmapped, default_capacity
+
+
+class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
+    """
+    Segment tiles in batches across all local devices of a mesh.
+
+    Extra knobs (set as attributes after construction, or leave defaults):
+    - ``meshDevices``: devices to use (default jax.devices())
+    - ``segCapacity``: static per-tile segment capacity (default
+      round_capacity(tileH*tileW+1))
+    """
+    concurrencyType = _tiling.CONC_MESH
+
+    meshDevices = None
+    segCapacity = None
+
+    def specificChecks(self):
+        # numWorkers is meaningless here; the device count rules
+        pass
+
+    def _resolveMaxSpectralDiff(self):
+        self.maxSpectralDiff = shepseg.autoMaxSpectralDiff(
+            self.kmeansObj, self.maxSpectralDiff, self.spectDistPcntile)
+
+    def segmentAllTiles(self):
+        from .. import io as rio
+
+        devices = self.meshDevices or jax.devices()
+        mesh = Mesh(np.array(devices), ("data",))
+        nDev = len(devices)
+
+        self._resolveMaxSpectralDiff()
+        hasNull = self.imgNullVal is not None
+        nullVal = jnp.float32(self.imgNullVal if hasNull else 0)
+        maxDiff = jnp.float32(self.maxSpectralDiff)
+        centers = jnp.asarray(np.asarray(
+            self.kmeansObj.cluster_centers_, dtype=np.float32))
+
+        self.tempDir = tempfile.mkdtemp()
+        self.tileFilenames = {}
+        inDs = rio.open(self.infile)
+
+        colRowList = sorted(self.tileInfo.tiles.keys(),
+                            key=lambda x: (x[1], x[0]))
+
+        # Group tiles by shape so each group compiles one SPMD program
+        groups = {}
+        for colRow in colRowList:
+            (xpos, ypos, xsize, ysize) = self.tileInfo.getTile(*colRow)
+            groups.setdefault((ysize, xsize), []).append(colRow)
+
+        for (ysize, xsize), members in groups.items():
+            capacity = self.segCapacity or default_capacity(ysize, xsize)
+            sharding = NamedSharding(mesh, P("data"))
+
+            for start in range(0, len(members), nDev):
+                chunk = members[start:start + nDev]
+                with self.timings.interval('reading'):
+                    imgs = []
+                    for (col, row) in chunk:
+                        (xpos, ypos, xs, ys) = self.tileInfo.getTile(col,
+                                                                     row)
+                        bands = [inDs.GetRasterBand(b).ReadAsArray(
+                            xpos, ypos, xs, ys)
+                            for b in self.bandNumbers]
+                        imgs.append(np.array(bands, dtype=np.float32))
+                    # pad the batch up to the device count
+                    while len(imgs) < nDev:
+                        imgs.append(imgs[-1])
+                    batch = np.stack(imgs)
+
+                with self.timings.interval('segmentation', sync=True):
+                    batch_j = jax.device_put(batch, sharding)
+                    segs, _ = segment_tiles_vmapped(
+                        batch_j, centers, nullVal, maxDiff,
+                        min_seg_size=self.minSegmentSize,
+                        four_connected=self.fourConnected,
+                        has_null=hasNull, capacity=capacity)
+                    segs = np.asarray(segs)
+
+                for i, (col, row) in enumerate(chunk):
+                    filename = os.path.join(
+                        self.tempDir, 'tile_{}_{}.npy'.format(col, row))
+                    np.save(filename,
+                            segs[i].astype(shepseg.SegIdType))
+                    self.tileFilenames[(col, row)] = filename
+
+        with self.timings.interval('stitchtiles'):
+            self.stitchTiles()
+
+        shutil.rmtree(self.tempDir)
+
+    # temp-file plumbing (same shape as the serial manager's)
+    def overlapCacheFilename(self, overlapCacheKey):
+        return os.path.join(self.tempDir, f"{overlapCacheKey}.npy")
+
+    def saveOverlap(self, overlapCacheKey, overlapData):
+        np.save(self.overlapCacheFilename(overlapCacheKey), overlapData)
+
+    def loadOverlap(self, overlapCacheKey):
+        return np.load(self.overlapCacheFilename(overlapCacheKey))
+
+    def getTileSegmentation(self, col, row):
+        return np.load(self.tileFilenames[(col, row)])
+
+    def checkWorkerExceptions(self):
+        """No async workers; exceptions raise inline."""

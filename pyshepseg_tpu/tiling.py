@@ -1,0 +1,1440 @@
+"""
+Tiled segmentation driver for rasters too large to segment in one pass
+(reference: pyshepseg/tiling.py).
+
+The raster is segmented in overlapping tiles, all seeded with one k-means
+model fitted to a whole-file subsample (for cross-tile consistency), then
+stitched: segment IDs are recoded to be globally unique and contiguous,
+with segments crossing a tile-overlap midline adopting the earlier tile's
+ID (halo reconciliation). Per-tile segmentation runs on TPU; the stitcher's
+shared-segment matching and ownership relabelling are vectorized numpy
+(sorted reductions) instead of the reference's per-segment Python loops.
+
+Concurrency backends (reference: tiling.py:85-109 CONC_* types):
+
+- CONC_NONE — serial per-tile loop
+- CONC_THREADS — thread pool; device dispatch is async so reads overlap
+  TPU compute
+- CONC_SUBPROC — local subprocess workers over the NetworkDataChannel
+  (the CI-testable stand-in for true multi-host runs)
+- CONC_FARGATE — elastic AWS Fargate workers (requires boto3)
+- CONC_MESH — tiles batched across the chips of a TPU mesh via shard_map
+  (TPU-native; see pyshepseg_tpu.parallel.mesh)
+
+Also provides the decomposed 3-phase API
+(doTiledShepherdSegmentation_prepare / _doOne / _finalize) used by
+distributed batch pipelines (reference: parallel_examples/awsbatch).
+"""
+
+import os
+import sys
+import time
+import queue
+import shutil
+import socket
+import secrets
+import tempfile
+import threading
+import subprocess
+import multiprocessing.managers
+from concurrent import futures
+
+import numpy
+
+from . import shepseg
+from . import utils
+from . import timinghooks
+from . import io as rio
+
+DFLT_TEMPFILES_DRIVER = 'KEA'
+DFLT_TEMPFILES_EXT = 'kea'
+
+DFLT_TILESIZE = 4096
+DFLT_OVERLAPSIZE = 1024
+
+DFLT_CHUNKSIZE = 100000
+
+TILESIZE = 1024
+
+# Concurrency styles
+CONC_NONE = "CONC_NONE"
+CONC_THREADS = "CONC_THREADS"
+CONC_FARGATE = "CONC_FARGATE"
+CONC_SUBPROC = "CONC_SUBPROC"
+CONC_MESH = "CONC_MESH"
+
+# The two orientations of the overlap region
+HORIZONTAL = 0
+VERTICAL = 1
+RIGHT_OVERLAP = 'right'
+BOTTOM_OVERLAP = 'bottom'
+
+
+class PyShepSegTilingError(Exception):
+    pass
+
+
+class TiledSegmentationResult(object):
+    """
+    Result of tiled segmentation (reference: tiling.py:112-151).
+
+    Attributes: maxSegId, numTileRows, numTileCols, subsamplePcnt,
+    maxSpectralDiff, kmeans, hasEmptySegments, timings, outDs.
+    """
+
+    def __init__(self):
+        self.maxSegId = None
+        self.numTileRows = None
+        self.numTileCols = None
+        self.subsamplePcnt = None
+        self.maxSpectralDiff = None
+        self.kmeans = None
+        self.hasEmptySegments = None
+        self.outDs = None
+        self.timings = None
+
+
+def getImgNullValue(inDs, bandNumbers):
+    """
+    Common null value of the given bands; error if bands differ
+    (reference: tiling.py:229-256).
+    """
+    nullValArr = numpy.array([inDs.GetRasterBand(i).GetNoDataValue()
+                              for i in bandNumbers], dtype=object)
+    if any(v != nullValArr[0] for v in nullValArr):
+        raise PyShepSegTilingError("Different null values in some bands")
+    return nullValArr[0]
+
+
+def readSubsampledImageBand(bandObj, subsampleProp):
+    """
+    Strided subsample of a whole band, read tile-by-tile, deliberately
+    ignoring any overview layers (they can't be trusted as data —
+    reference: tiling.py:259-314).
+    """
+    skip = int(round(1. / subsampleProp))
+    tileSize = TILESIZE
+    (nlines, npix) = (bandObj.YSize, bandObj.XSize)
+    numXtiles = int(numpy.ceil(npix / tileSize))
+    numYtiles = int(numpy.ceil(nlines / tileSize))
+
+    tileRowList = []
+    for tileRow in range(numYtiles):
+        ypos = tileRow * tileSize
+        ysize = min(tileSize, (nlines - ypos))
+        tileColList = []
+        for tileCol in range(numXtiles):
+            xpos = tileCol * tileSize
+            xsize = min(tileSize, (npix - xpos))
+            tile = bandObj.ReadAsArray(xpos, ypos, xsize, ysize)
+            tileColList.append(tile[::skip, ::skip])
+        tileRowList.append(numpy.concatenate(tileColList, axis=1))
+    return numpy.concatenate(tileRowList, axis=0)
+
+
+def fitSpectralClustersWholeFile(inDs, bandNumbers, numClusters=60,
+        subsamplePcnt=None, imgNullVal=None, fixedKMeansInit=False):
+    """
+    Fit the k-means model on a whole-file subsample of roughly one million
+    pixels (reference: tiling.py:154-226).
+
+    Returns (kmeansObj, subsamplePcnt, imgNullVal).
+    """
+    if subsamplePcnt is None:
+        dfltTotalPixels = 1000000
+        totalImagePixels = inDs.RasterXSize * inDs.RasterYSize
+        subsampleProp = min(1, numpy.sqrt(
+            dfltTotalPixels / totalImagePixels))
+        subsamplePcnt = 100 * subsampleProp ** 2
+    else:
+        subsampleProp = numpy.sqrt(subsamplePcnt / 100.0)
+
+    if imgNullVal is None:
+        imgNullVal = getImgNullValue(inDs, bandNumbers)
+
+    bandList = []
+    for bandNum in bandNumbers:
+        bandObj = inDs.GetRasterBand(bandNum)
+        bandList.append(readSubsampledImageBand(bandObj, subsampleProp))
+    img = numpy.array(bandList)
+
+    kmeansObj = shepseg.fitSpectralClusters(
+        img, numClusters=numClusters, subsamplePcnt=100,
+        imgNullVal=imgNullVal, fixedKMeansInit=fixedKMeansInit)
+    return (kmeansObj, subsamplePcnt, imgNullVal)
+
+
+class TileInfo(object):
+    """
+    Pixel coordinates of the tiles within an image
+    (reference: tiling.py:317-373).
+    """
+
+    def __init__(self):
+        self.tiles = {}
+        self.ncols = None
+        self.nrows = None
+
+    def addTile(self, xpos, ypos, xsize, ysize, col, row):
+        self.tiles[(col, row)] = (xpos, ypos, xsize, ysize)
+
+    def getNumTiles(self):
+        return len(self.tiles)
+
+    def getTile(self, col, row):
+        return self.tiles[(col, row)]
+
+
+def getTilesForFile(ds, tileSize, overlapSize):
+    """
+    Tile grid for the given raster; step is tileSize - overlapSize, and
+    edge tiles grow (up to just under 2x) so no sliver tiles remain
+    (reference: tiling.py:376-443).
+    """
+    tileSize = int(tileSize)
+    overlapSize = int(overlapSize)
+    tileInfo = TileInfo()
+
+    yDone = False
+    ypos = 0
+    xtile = 0
+    ytile = 0
+    while not yDone:
+        xDone = False
+        xpos = 0
+        xtile = 0
+        ysize = tileSize
+        if (ypos + ysize * 2) > ds.RasterYSize:
+            ysize = ds.RasterYSize - ypos
+            yDone = True
+            if ysize == 0:
+                break
+        while not xDone:
+            xsize = tileSize
+            if (xpos + xsize * 2) > ds.RasterXSize:
+                xsize = ds.RasterXSize - xpos
+                xDone = True
+                if xsize == 0:
+                    break
+            tileInfo.addTile(xpos, ypos, xsize, ysize, xtile, ytile)
+            xpos += (tileSize - overlapSize)
+            xtile += 1
+        ypos += (tileSize - overlapSize)
+        ytile += 1
+
+    tileInfo.ncols = xtile
+    tileInfo.nrows = ytile
+    return tileInfo
+
+
+def doTiledShepherdSegmentation(infile, outfile, tileSize=DFLT_TILESIZE,
+        overlapSize=DFLT_OVERLAPSIZE, minSegmentSize=50, numClusters=60,
+        bandNumbers=None, subsamplePcnt=None, maxSpectralDiff='auto',
+        imgNullVal=None, fixedKMeansInit=False, fourConnected=True,
+        verbose=False, simpleTileRecode=False, outputDriver='KEA',
+        creationOptions=[], spectDistPcntile=50, kmeansObj=None,
+        tempfilesDriver=DFLT_TEMPFILES_DRIVER, tempfilesExt=DFLT_TEMPFILES_EXT,
+        tempfilesCreationOptions=[], writeHistogram=True, returnGDALDS=False,
+        concurrencyCfg=None):
+    """
+    Run tiled Shepherd segmentation on a large raster and write the stitched
+    segment raster to outfile (reference: tiling.py:446-571 — same
+    parameters and semantics; per-tile compute runs on TPU).
+
+    Returns a TiledSegmentationResult.
+    """
+    if concurrencyCfg is None:
+        concurrencyCfg = SegmentationConcurrencyConfig()
+
+    concurrencyMgrClass = selectConcurrencyClass(
+        concurrencyCfg.concurrencyType, SegmentationConcurrencyMgr)
+    concurrencyMgr = concurrencyMgrClass(infile, outfile, tileSize,
+        overlapSize, minSegmentSize, numClusters, bandNumbers, subsamplePcnt,
+        maxSpectralDiff, imgNullVal, fixedKMeansInit, fourConnected, verbose,
+        simpleTileRecode, outputDriver, creationOptions, spectDistPcntile,
+        kmeansObj, tempfilesDriver, tempfilesCreationOptions, writeHistogram,
+        returnGDALDS, concurrencyCfg)
+
+    with concurrencyMgr.timings.interval('walltime'):
+        try:
+            concurrencyMgr.initialize()
+            concurrencyMgr.segmentAllTiles()
+        finally:
+            concurrencyMgr.shutdown()
+
+    tiledSegResult = TiledSegmentationResult()
+    if hasattr(concurrencyMgr, 'maxSegId'):
+        tiledSegResult.maxSegId = concurrencyMgr.maxSegId
+        tiledSegResult.numTileRows = concurrencyMgr.tileInfo.nrows
+        tiledSegResult.numTileCols = concurrencyMgr.tileInfo.ncols
+        tiledSegResult.subsamplePcnt = concurrencyMgr.subsamplePcnt
+        tiledSegResult.maxSpectralDiff = concurrencyMgr.maxSpectralDiff
+        tiledSegResult.kmeans = concurrencyMgr.kmeansObj
+        tiledSegResult.hasEmptySegments = concurrencyMgr.hasEmptySegments
+        tiledSegResult.timings = concurrencyMgr.timings
+        if returnGDALDS:
+            tiledSegResult.outDs = concurrencyMgr.outDs
+
+    return tiledSegResult
+
+
+def selectConcurrencyClass(concurrencyType, baseClass):
+    """Choose the manager subclass for the given concurrencyType
+    (reference: tiling.py:574-587)."""
+    if concurrencyType == CONC_MESH:
+        # the mesh backend lives in the parallel package; importing it
+        # registers the subclass
+        from . import parallel  # noqa: F401
+    for c in baseClass.__subclasses__():
+        if c.concurrencyType == concurrencyType:
+            return c
+    raise ValueError(f"Unknown concurrencyType '{concurrencyType}'")
+
+
+class SegmentationConcurrencyConfig:
+    """
+    Configuration for segmentation concurrency
+    (reference: tiling.py:590-634).
+    """
+
+    def __init__(self, concurrencyType=CONC_NONE, numWorkers=0,
+            maxConcurrentReads=20, tileCompletionTimeout=60,
+            barrierTimeout=300, fargateCfg=None):
+        self.concurrencyType = concurrencyType
+        self.numWorkers = numWorkers
+        self.maxConcurrentReads = maxConcurrentReads
+        self.tileCompletionTimeout = tileCompletionTimeout
+        self.barrierTimeout = barrierTimeout
+        self.fargateCfg = fargateCfg
+        if concurrencyType == CONC_FARGATE and fargateCfg is None:
+            raise PyShepSegTilingError(
+                "fargateCfg is required with CONC_FARGATE")
+        if concurrencyType != CONC_FARGATE and fargateCfg is not None:
+            raise PyShepSegTilingError(
+                "fargateCfg is only used with CONC_FARGATE")
+
+
+class FargateConfig:
+    """
+    Configuration for AWS Fargate workers (reference: tiling.py:637-697).
+    """
+
+    def __init__(self, containerImage=None, taskRoleArn=None,
+            executionRoleArn=None, subnet=None, securityGroups=None,
+            cpu='0.5 vCPU', memory='1GB', cpuArchitecture=None,
+            cloudwatchLogGroup=None):
+        self.containerImage = containerImage
+        self.taskRoleArn = taskRoleArn
+        self.executionRoleArn = executionRoleArn
+        self.subnet = subnet
+        self.securityGroups = securityGroups
+        self.cpu = cpu
+        self.memory = memory
+        self.cpuArchitecture = cpuArchitecture
+        self.logGroup = cloudwatchLogGroup
+
+
+# ------------------------------------------------------------------------
+# Vectorized stitch/recode primitives. These replace the reference's
+# per-segment Python loops (tiling.py:1128-1306) with whole-array numpy.
+
+
+def _segsCrossingMidline(overlapA, orientation):
+    """
+    Segment IDs in overlapA whose bounding box straddles the overlap
+    midline (reference crossesMidline, tiling.py:1271-1306). A segment
+    crosses iff it appears both before and at/after the midline.
+    """
+    (nrows, ncols) = overlapA.shape
+    if orientation == HORIZONTAL:
+        mid = nrows // 2
+        before, after = overlapA[:mid, :], overlapA[mid:, :]
+    else:
+        mid = ncols // 2
+        before, after = overlapA[:, :mid], overlapA[:, mid:]
+    idsBefore = numpy.unique(before)
+    idsAfter = numpy.unique(after)
+    crossing = numpy.intersect1d(idsBefore, idsAfter)
+    return crossing[crossing != shepseg.SEGNULLVAL]
+
+
+def _modeMatch(overlapA, overlapB, crossingIds):
+    """
+    For each crossing segment ID in overlapA, the most common co-located
+    value in overlapB (ties -> smallest value, matching scipy.stats.mode
+    as used at reference tiling.py:1194-1200). Returns a dict id -> id.
+    """
+    if len(crossingIds) == 0:
+        return {}
+    mask = numpy.isin(overlapA, crossingIds)
+    a = overlapA[mask].astype(numpy.uint64)
+    b = overlapB[mask].astype(numpy.uint64)
+    pairKey = (a << numpy.uint64(32)) | b
+    uniqPairs, counts = numpy.unique(pairKey, return_counts=True)
+    ua = (uniqPairs >> numpy.uint64(32)).astype(numpy.int64)
+    ub = (uniqPairs & numpy.uint64(0xFFFFFFFF)).astype(numpy.int64)
+    # Order by (segment, count desc, value asc); first row per segment wins
+    order = numpy.lexsort((ub, -counts, ua))
+    ua, ub = ua[order], ub[order]
+    first = numpy.concatenate([[True], ua[1:] != ua[:-1]])
+    return dict(zip(ua[first].tolist(), ub[first].tolist()))
+
+
+def _perSegBBoxTopLeft(tileData):
+    """
+    Per-segment-ID (minRow, minCol) over the tile, vectorized via a stable
+    sort (CSR-style). Returns (ids, minRow, minCol) for IDs present.
+    """
+    h, w = tileData.shape
+    flat = tileData.ravel()
+    order = numpy.argsort(flat, kind='stable')
+    sortedIds = flat[order]
+    boundaries = numpy.concatenate(
+        [[True], sortedIds[1:] != sortedIds[:-1]])
+    ids = sortedIds[boundaries]
+    groupStart = numpy.nonzero(boundaries)[0]
+    # min row: first occurrence in scan order (stable sort keeps scan order)
+    minRow = (order[groupStart] // w).astype(numpy.int64)
+    # min col needs a true per-group min
+    cols = (order % w).astype(numpy.int64)
+    minCol = numpy.minimum.reduceat(cols, groupStart)
+    return ids, minRow, minCol
+
+
+class SegmentationConcurrencyMgr:
+    """
+    Base class: holds parameters, runs the initialize / segment / stitch
+    phases (reference: tiling.py:700-1404). Subclasses provide workers.
+    """
+    concurrencyType = CONC_NONE
+
+    def __init__(self, infile, outfile, tileSize, overlapSize, minSegmentSize,
+            numClusters, bandNumbers, subsamplePcnt, maxSpectralDiff,
+            imgNullVal, fixedKMeansInit, fourConnected, verbose,
+            simpleTileRecode, outputDriver, creationOptions, spectDistPcntile,
+            kmeansObj, tempfilesDriver, tempfilesCreationOptions,
+            writeHistogram, returnGDALDS, concCfg):
+        self.infile = infile
+        self.outfile = outfile
+        self.tileSize = tileSize
+        self.overlapSize = overlapSize
+        self.minSegmentSize = minSegmentSize
+        self.numClusters = numClusters
+        self.bandNumbers = bandNumbers
+        self.subsamplePcnt = subsamplePcnt
+        self.maxSpectralDiff = maxSpectralDiff
+        self.imgNullVal = imgNullVal
+        self.fixedKMeansInit = fixedKMeansInit
+        self.fourConnected = fourConnected
+        self.verbose = verbose
+        self.simpleTileRecode = simpleTileRecode
+        self.outputDriver = outputDriver
+        self.creationOptions = creationOptions
+        self.spectDistPcntile = spectDistPcntile
+        self.kmeansObj = kmeansObj
+        self.tempfilesDriver = tempfilesDriver
+        self.tempfilesCreationOptions = tempfilesCreationOptions
+        self.writeHistogram = writeHistogram
+        self.returnGDALDS = returnGDALDS
+        self.concurrencyCfg = concCfg
+        if concCfg.numWorkers > 0:
+            self.readSemaphore = threading.BoundedSemaphore(
+                value=concCfg.maxConcurrentReads)
+        self.overlapCache = {}
+        self.timings = timinghooks.Timers()
+        self.workerBarrier = None
+
+        if (self.overlapSize % 2) != 0:
+            raise PyShepSegTilingError("Overlap size must be an even number")
+
+        self.specificChecks()
+
+    def specificChecks(self):
+        """Subclass-specific constructor checks."""
+
+    def initialize(self):
+        """
+        Non-concurrent initial phase: fit whole-file k-means (or adopt a
+        given model), build the tile grid, save geo metadata
+        (reference: tiling.py:765-804).
+        """
+        if self.verbose:
+            print("Starting tiled segmentation")
+
+        inDs = rio.open(self.infile)
+
+        if self.bandNumbers is None:
+            self.bandNumbers = range(1, inDs.RasterCount + 1)
+
+        t0 = time.time()
+        if self.kmeansObj is None:
+            with self.timings.interval('spectralclusters'):
+                (self.kmeansObj, self.subsamplePcnt, self.imgNullVal) = (
+                    fitSpectralClustersWholeFile(
+                        inDs, self.bandNumbers, self.numClusters,
+                        self.subsamplePcnt, self.imgNullVal,
+                        self.fixedKMeansInit))
+            if self.verbose:
+                print("KMeans of whole raster {:.2f} seconds".format(
+                    time.time() - t0))
+                print("Subsample Percentage={:.2f}".format(
+                    self.subsamplePcnt))
+        elif self.imgNullVal is None:
+            self.imgNullVal = getImgNullValue(inDs, self.bandNumbers)
+
+        self.tileInfo = getTilesForFile(inDs, self.tileSize, self.overlapSize)
+        if self.verbose:
+            print("Found {} tiles, with {} rows and {} cols".format(
+                self.tileInfo.getNumTiles(), self.tileInfo.nrows,
+                self.tileInfo.ncols))
+
+        self.inXsize = inDs.RasterXSize
+        self.inYsize = inDs.RasterYSize
+        self.inProj = inDs.GetProjection()
+        self.inGeoTransform = inDs.GetGeoTransform()
+
+    def shutdown(self):
+        """Any explicit shutdown operations."""
+
+    def setupNetworkComms(self):
+        """
+        Create the NetworkDataChannel that out-of-process workers connect to
+        (reference: tiling.py:811-837).
+        """
+        segDataDict = {
+            'infile': self.infile,
+            'tileInfo': self.tileInfo,
+            'minSegmentSize': self.minSegmentSize,
+            'maxSpectralDiff': self.maxSpectralDiff,
+            'imgNullVal': self.imgNullVal,
+            'fourConnected': self.fourConnected,
+            'kmeansObj': self.kmeansObj,
+            'verbose': self.verbose,
+            'spectDistPcntile': self.spectDistPcntile,
+            'bandNumbers': list(self.bandNumbers),
+        }
+        self.dataChan = NetworkDataChannel(inQue=self.inQue,
+            segResultCache=self.segResultCache,
+            forceExit=self.forceExit,
+            exceptionQue=self.exceptionQue,
+            segDataDict=segDataDict,
+            readSemaphore=self.readSemaphore,
+            timings=self.timings,
+            workerBarrier=self.workerBarrier)
+
+    @staticmethod
+    def popFromQue(que):
+        """Non-blocking pop; None when empty."""
+        try:
+            return que.get(block=False)
+        except queue.Empty:
+            return None
+
+    def saveOverlap(self, overlapCacheKey, overlapData):
+        self.overlapCache[overlapCacheKey] = overlapData
+
+    def loadOverlap(self, overlapCacheKey):
+        return self.overlapCache.pop(overlapCacheKey)
+
+    def getTileSegmentation(self, col, row):
+        """Pop the completed tile from the result cache (may block)."""
+        segResult = self.segResultCache.waitForTile(col, row)
+        return None if segResult is None else segResult.segimg
+
+    def startWorkers(self):
+        """Start segmentation workers, if required."""
+
+    def segmentAllTiles(self):
+        """
+        Queue-driven segmentation: workers pull tiles from inQue, the main
+        thread stitches results in row-major order as they complete
+        (reference: tiling.py:882-916).
+        """
+        colRowList = sorted(self.tileInfo.tiles.keys(),
+                            key=lambda x: (x[1], x[0]))
+        self.inQue = queue.Queue()
+        self.segResultCache = SegmentationResultCache(
+            colRowList, timeout=self.concurrencyCfg.tileCompletionTimeout)
+        self.forceExit = threading.Event()
+        self.exceptionQue = queue.Queue()
+        numWorkers = self.concurrencyCfg.numWorkers
+        self.workerBarrier = threading.Barrier(numWorkers + 1)
+
+        try:
+            self.setupNetworkComms()
+            for colRow in colRowList:
+                self.inQue.put(colRow)
+            with self.timings.interval('startworkers'):
+                self.startWorkers()
+            with self.timings.interval('stitchtiles'):
+                self.stitchTiles()
+        finally:
+            if hasattr(self, 'dataChan'):
+                self.dataChan.shutdown()
+
+    def checkWorkerExceptions(self):
+        """Raise locally if any worker shipped an exception record."""
+        if self.exceptionQue.qsize() > 0:
+            exceptionRecord = self.exceptionQue.get()
+            utils.reportWorkerException(exceptionRecord)
+            raise PyShepSegTilingError(
+                "The preceding exception was raised in a worker")
+
+    @staticmethod
+    def overlapCacheKey(col, row, edge):
+        return '{}_{}_{}'.format(edge, col, row)
+
+    def stitchTiles(self):
+        """
+        Recombine tiles into the output raster with globally unique,
+        contiguous segment IDs (reference: tiling.py:950-1064). Consumes
+        tiles in strict row-major order; caches each tile's right/bottom
+        overlap strips for its neighbours; accumulates the histogram and
+        writes overview pyramids incrementally.
+        """
+        marginSize = int(self.overlapSize / 2)
+
+        outDs = rio.create(self.outfile, self.inXsize, self.inYsize, 1,
+                           shepseg.SegIdType, self.outputDriver,
+                           self.creationOptions)
+        if self.inProj:
+            outDs.SetProjection(self.inProj)
+        if self.inGeoTransform is not None:
+            outDs.SetGeoTransform(self.inGeoTransform)
+        self.setupOverviews(outDs)
+        outBand = outDs.GetRasterBand(1)
+        outBand.SetMetadataItem('LAYER_TYPE', 'thematic')
+        outBand.SetNoDataValue(int(shepseg.SEGNULLVAL))
+
+        colRowList = sorted(self.tileInfo.tiles.keys(),
+                            key=lambda x: (x[1], x[0]))
+        maxSegId = 0
+        histAccum = HistogramAccumulator()
+
+        if self.verbose:
+            print("Stitching tiles together")
+        reportedRow = -1
+        i = 0
+        while i < len(colRowList):
+            (col, row) = colRowList[i]
+            if self.verbose and row != reportedRow:
+                print("Stitching tile row {}".format(row))
+            reportedRow = row
+
+            (xpos, ypos, xsize, ysize) = self.tileInfo.getTile(col, row)
+            tileData = self.getTileSegmentation(col, row)
+
+            if tileData is None:
+                self.checkWorkerExceptions()
+                timeout = self.concurrencyCfg.tileCompletionTimeout
+                raise PyShepSegTilingError(
+                    ("Timeout ({} seconds) waiting for completed tile. "
+                     "Try increasing tileCompletionTimeout, or track other "
+                     "errors in segmentation workers").format(timeout))
+
+            top, bottom = marginSize, ysize - marginSize
+            left, right = marginSize, xsize - marginSize
+            xout, yout = xpos + marginSize, ypos + marginSize
+
+            rightName = self.overlapCacheKey(col, row, RIGHT_OVERLAP)
+            bottomName = self.overlapCacheKey(col, row, BOTTOM_OVERLAP)
+
+            if row == 0:
+                top = 0
+                yout = ypos
+            if row == (self.tileInfo.nrows - 1):
+                bottom = ysize
+                bottomName = None
+            if col == 0:
+                left = 0
+                xout = xpos
+            if col == (self.tileInfo.ncols - 1):
+                right = xsize
+                rightName = None
+
+            if self.simpleTileRecode:
+                nullmask = (tileData == shepseg.SEGNULLVAL)
+                tileData = tileData + shepseg.SegIdType(maxSegId)
+                tileData[nullmask] = shepseg.SEGNULLVAL
+            else:
+                tileData = self.recodeTile(tileData, maxSegId, row, col,
+                                           top, bottom, left, right)
+
+            tileDataTrimmed = tileData[top:bottom, left:right]
+            outBand.WriteArray(tileDataTrimmed, xout, yout)
+            self.writeOverviews(outBand, tileDataTrimmed, xout, yout)
+            histAccum.doHistAccum(tileDataTrimmed)
+
+            if rightName is not None:
+                self.saveOverlap(rightName, tileData[:, -self.overlapSize:])
+            if bottomName is not None:
+                self.saveOverlap(bottomName, tileData[-self.overlapSize:, :])
+
+            maxSegId = max(maxSegId, int(tileDataTrimmed.max()))
+            i += 1
+
+        self.writeHistogramToFile(outBand, histAccum)
+        self.hasEmptySegments = self.checkForEmptySegments(
+            histAccum.hist, self.overlapSize)
+        utils.estimateStatsFromHisto(outBand, histAccum.hist)
+        self.maxSegId = maxSegId
+        outDs.FlushCache()
+        if self.returnGDALDS:
+            self.outDs = outDs
+        else:
+            del outDs
+
+    def recodeTile(self, tileData, maxSegId, tileRow, tileCol,
+            top, bottom, left, right):
+        """
+        Make tile segment IDs globally unique: segments shared with the
+        tiles above/left keep those tiles' IDs; the rest get fresh
+        sequential IDs if this tile owns them (reference: tiling.py:
+        1066-1126).
+        """
+        topOverlapA = tileData[:self.overlapSize, :]
+        leftOverlapA = tileData[:, :self.overlapSize]
+
+        recodeDict = {}
+        if tileRow > 0:
+            topOverlapB = self.loadOverlap(
+                self.overlapCacheKey(tileCol, tileRow - 1, BOTTOM_OVERLAP))
+            self.recodeSharedSegments(tileData, topOverlapA, topOverlapB,
+                                      HORIZONTAL, recodeDict)
+        if tileCol > 0:
+            leftOverlapB = self.loadOverlap(
+                self.overlapCacheKey(tileCol - 1, tileRow, RIGHT_OVERLAP))
+            self.recodeSharedSegments(tileData, leftOverlapA, leftOverlapB,
+                                      VERTICAL, recodeDict)
+
+        (newTileData, newMaxSegId) = self.relabelSegments(
+            tileData, recodeDict, maxSegId, top, bottom, left, right)
+        return newTileData
+
+    @staticmethod
+    def recodeSharedSegments(tileData, overlapA, overlapB, orientation,
+            recodeDict):
+        """
+        Map segments of the current tile which cross the overlap midline to
+        the earlier tile's ID, matched by the most common co-located B
+        value (reference: tiling.py:1128-1203, vectorized).
+        """
+        crossing = _segsCrossingMidline(overlapA, orientation)
+        recodeDict.update(_modeMatch(overlapA, overlapB, crossing))
+
+    @staticmethod
+    def relabelSegments(tileData, recodeDict, maxSegId,
+            top, bottom, left, right):
+        """
+        Apply recodeDict; other segments get sequential new IDs starting at
+        maxSegId+1 — but only if the segment's bounding-box top-left falls
+        inside the trimmed region (tile ownership rule — reference:
+        tiling.py:1205-1269, vectorized). Unowned, un-recoded segments
+        become SEGNULLVAL (they belong to a neighbouring tile).
+        """
+        ids, minRow, minCol = _perSegBBoxTopLeft(tileData)
+        present = ids != shepseg.SEGNULLVAL
+        ids, minRow, minCol = ids[present], minRow[present], minCol[present]
+
+        tileMax = int(tileData.max())
+        mapping = numpy.zeros(tileMax + 1, dtype=shepseg.SegIdType)
+
+        recoded = numpy.zeros(tileMax + 1, dtype=bool)
+        for k, v in recodeDict.items():
+            mapping[k] = v
+            recoded[k] = True
+
+        owned = ((minCol >= left) & (minRow >= top) &
+                 (minCol < right) & (minRow < bottom) &
+                 ~recoded[ids])
+        ownedIds = ids[owned]  # ascending, matching reference's dict order
+        newIds = maxSegId + 1 + numpy.arange(len(ownedIds),
+                                             dtype=numpy.int64)
+        mapping[ownedIds] = newIds.astype(shepseg.SegIdType)
+
+        newTileData = mapping[tileData]
+        newMaxSegId = maxSegId + len(ownedIds)
+        return (newTileData, newMaxSegId)
+
+    @staticmethod
+    def crossesMidline(overlap, segLoc, orientation):
+        """
+        Does the segment (given by its RowColArray-style location object)
+        cross the overlap midline? (reference: tiling.py:1271-1306; kept
+        for API parity — the stitcher uses the vectorized form.)
+        """
+        (nrows, ncols) = overlap.shape
+        n = 0 if orientation == HORIZONTAL else 1
+        mid = int(nrows / 2) if orientation == HORIZONTAL else int(ncols / 2)
+        rowcols = (segLoc.rowcols if hasattr(segLoc, 'rowcols')
+                   else numpy.asarray(segLoc))
+        minN = rowcols[:, n].min()
+        maxN = rowcols[:, n].max()
+        return ((minN < mid) & (maxN >= mid))
+
+    def checkForEmptySegments(self, hist, overlapSize):
+        """
+        Warn about zero-count segment IDs (tile-join inconsistency;
+        reference: tiling.py:1308-1341).
+        """
+        emptySegIds = numpy.where(hist[1:] == 0)[0] + 1
+        hasEmptySegments = len(emptySegIds) > 0
+        if hasEmptySegments:
+            msg = [
+                "",
+                "WARNING: Found {} segments with zero pixels".format(
+                    len(emptySegIds)),
+                "    Segment IDs: {}".format(emptySegIds),
+                "    This is caused by inconsistent joining of segmentation",
+                "    tiles, and will probably cause trouble later on.",
+                "    It is highly recommended to re-run with a larger overlap",
+                "    size (currently {}), and if necessary a larger tile "
+                "size".format(overlapSize),
+                ""
+            ]
+            print('\n'.join(msg), file=sys.stderr)
+        return hasEmptySegments
+
+    @staticmethod
+    def writeHistogramToFile(outBand, histAccum):
+        """Write the accumulated histogram as the RAT 'Histogram' column
+        (reference: tiling.py:1343-1358)."""
+        attrTbl = outBand.GetDefaultRAT()
+        numTableRows = len(histAccum.hist)
+        if attrTbl.GetRowCount() != numTableRows:
+            attrTbl.SetRowCount(numTableRows)
+        colNum = attrTbl.GetColOfUsage(rio.GFU_PixelCount)
+        if colNum == -1:
+            attrTbl.CreateColumn('Histogram', rio.GFT_Real,
+                                 rio.GFU_PixelCount)
+            colNum = attrTbl.GetColumnCount() - 1
+        attrTbl.WriteArray(histAccum.hist, colNum)
+
+    def writeOverviews(self, outBand, arr, xOff, yOff):
+        """Incrementally write overview pyramids for the tile
+        (reference: tiling.py:1360-1381)."""
+        for j, lvl in enumerate(self.overviewLevels):
+            band_ov = outBand.GetOverview(j)
+            o = lvl // 2
+            arr_sub = arr[o::lvl, o::lvl]
+            xOff_sub = xOff // lvl
+            yOff_sub = yOff // lvl
+            nc = band_ov.XSize - xOff_sub
+            nr = band_ov.YSize - yOff_sub
+            arr_sub = arr_sub[:nr, :nc]
+            if arr_sub.size > 0:
+                band_ov.WriteArray(arr_sub, xOff_sub, yOff_sub)
+
+    def setupOverviews(self, outDs):
+        """Create overview levels 4, 8, ... while the image is still larger
+        than 1024 at that level (reference: tiling.py:1383-1404)."""
+        outSize = max(self.inXsize, self.inYsize)
+        finalOutSize = 1024
+        self.overviewLevels = []
+        i = 2
+        while (outSize // (2 ** i)) >= finalOutSize:
+            self.overviewLevels.append(2 ** i)
+            i += 1
+        outDs.BuildOverviews(None, self.overviewLevels)
+
+
+class SegNoConcurrencyMgr(SegmentationConcurrencyMgr):
+    """
+    Serial tiled segmentation: per-tile read -> segment (on device) ->
+    temp file, then stitch (reference: tiling.py:1407-1528). Temp tiles
+    and overlaps are .npy files.
+    """
+    concurrencyType = CONC_NONE
+
+    def segmentAllTiles(self):
+        self.tempDir = tempfile.mkdtemp()
+        self.tileFilenames = {}
+        inDs = rio.open(self.infile)
+
+        colRowList = sorted(self.tileInfo.tiles.keys(),
+                            key=lambda x: (x[1], x[0]))
+        tileNum = 1
+        segResult = None
+        for col, row in colRowList:
+            if self.verbose:
+                print("\nDoing tile {} of {}: row={}, col={}".format(
+                    tileNum, len(colRowList), row, col))
+
+            (xpos, ypos, xsize, ysize) = self.tileInfo.getTile(col, row)
+            with self.timings.interval('reading'):
+                lyrDataList = []
+                for bandNum in self.bandNumbers:
+                    lyr = inDs.GetRasterBand(bandNum)
+                    lyrDataList.append(
+                        lyr.ReadAsArray(xpos, ypos, xsize, ysize))
+            img = numpy.array(lyrDataList)
+
+            with self.timings.interval('segmentation', sync=True):
+                segResult = shepseg.doShepherdSegmentation(
+                    img, minSegmentSize=self.minSegmentSize,
+                    maxSpectralDiff=self.maxSpectralDiff,
+                    imgNullVal=self.imgNullVal,
+                    fourConnected=self.fourConnected,
+                    kmeansObj=self.kmeansObj,
+                    verbose=self.verbose,
+                    spectDistPcntile=self.spectDistPcntile)
+
+            filename = os.path.join(self.tempDir,
+                                    'tile_{}_{}.npy'.format(col, row))
+            numpy.save(filename, segResult.segimg)
+            self.tileFilenames[(col, row)] = filename
+            tileNum += 1
+
+        with self.timings.interval('stitchtiles'):
+            self.stitchTiles()
+
+        shutil.rmtree(self.tempDir)
+        if segResult is not None:
+            self.maxSpectralDiff = segResult.maxSpectralDiff
+
+    def overlapCacheFilename(self, overlapCacheKey):
+        return os.path.join(self.tempDir, f"{overlapCacheKey}.npy")
+
+    def saveOverlap(self, overlapCacheKey, overlapData):
+        numpy.save(self.overlapCacheFilename(overlapCacheKey), overlapData)
+
+    def loadOverlap(self, overlapCacheKey):
+        return numpy.load(self.overlapCacheFilename(overlapCacheKey))
+
+    def getTileSegmentation(self, col, row):
+        return numpy.load(self.tileFilenames[(col, row)])
+
+    def checkWorkerExceptions(self):
+        """No workers, so no worker exceptions."""
+
+
+class SegThreadsMgr(SegmentationConcurrencyMgr):
+    """
+    Thread-pool workers in-process (reference: tiling.py:1531-1613). JAX
+    dispatch is asynchronous, so worker threads overlap raster reads with
+    device compute; concurrent reads are bounded by a semaphore.
+    """
+    concurrencyType = CONC_THREADS
+
+    def specificChecks(self):
+        # The reference requires numWorkers < numCpus because its workers
+        # compute on the CPU (reference: tiling.py:1538-1546). Here worker
+        # threads only read tiles and dispatch device work, so they are not
+        # CPU-bound; just require a sane worker count.
+        numWorkers = self.concurrencyCfg.numWorkers
+        if numWorkers < 1 or numWorkers > 256:
+            raise PyShepSegTilingError(
+                "numWorkers ({}) must be in 1..256".format(numWorkers))
+
+    def startWorkers(self):
+        self.threadPool = futures.ThreadPoolExecutor(
+            max_workers=self.concurrencyCfg.numWorkers)
+        self.workerList = [self.threadPool.submit(self.worker)
+                           for _ in range(self.concurrencyCfg.numWorkers)]
+
+    def worker(self):
+        try:
+            # Each worker opens the input independently (GDAL datasets are
+            # not thread-safe; the numpy driver memmaps per read anyway)
+            inDs = rio.open(self.infile)
+
+            colRow = self.popFromQue(self.inQue)
+            while colRow is not None and not self.forceExit.is_set():
+                (col, row) = colRow
+                xpos, ypos, xsize, ysize = self.tileInfo.getTile(col, row)
+
+                with self.timings.interval('reading'):
+                    lyrDataList = []
+                    for bandNum in self.bandNumbers:
+                        with self.readSemaphore:
+                            lyr = inDs.GetRasterBand(bandNum)
+                            lyrDataList.append(lyr.ReadAsArray(
+                                xpos, ypos, xsize, ysize))
+                img = numpy.array(lyrDataList)
+
+                with self.timings.interval('segmentation', sync=True):
+                    segResult = shepseg.doShepherdSegmentation(
+                        img, minSegmentSize=self.minSegmentSize,
+                        maxSpectralDiff=self.maxSpectralDiff,
+                        imgNullVal=self.imgNullVal,
+                        fourConnected=self.fourConnected,
+                        kmeansObj=self.kmeansObj,
+                        verbose=self.verbose,
+                        spectDistPcntile=self.spectDistPcntile)
+
+                self.segResultCache.addResult(col, row, segResult)
+                colRow = self.popFromQue(self.inQue)
+        except Exception as e:
+            self.exceptionQue.put(utils.WorkerErrorRecord(e, 'segmentation'))
+
+    def shutdown(self):
+        if hasattr(self, 'workerList'):
+            self.forceExit.set()
+            futures.wait(self.workerList)
+            self.threadPool.shutdown()
+
+    def setupNetworkComms(self):
+        """No network communications required."""
+
+
+class SegSubprocMgr(SegmentationConcurrencyMgr):
+    """
+    Local subprocess workers over the NetworkDataChannel — the test bed for
+    the remote-worker protocol (reference: tiling.py:1773-1796). This is
+    the CI-testable fake of a multi-host deployment.
+    """
+    concurrencyType = CONC_SUBPROC
+
+    def startWorkers(self):
+        self.processes = {}
+        for workerID in range(self.concurrencyCfg.numWorkers):
+            cmdWords = [sys.executable, "-m",
+                        "pyshepseg_tpu.cmdline.segmentationworkercmd",
+                        "--idnum", str(workerID),
+                        "--channaddr", self.dataChan.addressStr()]
+            self.processes[workerID] = subprocess.Popen(
+                cmdWords, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                universal_newlines=True)
+        self.workerBarrier.wait(
+            timeout=self.concurrencyCfg.barrierTimeout)
+
+    def shutdown(self):
+        if hasattr(self, 'processes'):
+            for proc in self.processes.values():
+                try:
+                    proc.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+
+
+class SegFargateMgr(SegmentationConcurrencyMgr):
+    """
+    AWS Fargate workers, one container per worker, connected over the
+    NetworkDataChannel (reference: tiling.py:1616-1770). Requires boto3.
+    """
+    concurrencyType = CONC_FARGATE
+
+    def specificChecks(self):
+        try:
+            import boto3  # noqa: F401
+        except ImportError:
+            raise PyShepSegTilingError(
+                "CONC_FARGATE requires boto3 to be installed")
+
+    def startWorkers(self):
+        import boto3
+        fargateCfg = self.concurrencyCfg.fargateCfg
+        self.ecs = boto3.client('ecs')
+        self.clusterName = "pyshepseg_tpu_{}".format(secrets.token_hex(4))
+        self.ecs.create_cluster(clusterName=self.clusterName)
+
+        containerDefs = [{
+            'name': 'pyshepseg_tpu_worker',
+            'image': fargateCfg.containerImage,
+            'entryPoint': ['pyshepseg_tpu_segmentationworkercmd'],
+        }]
+        if fargateCfg.logGroup is not None:
+            containerDefs[0]['logConfiguration'] = {
+                'logDriver': 'awslogs',
+                'options': {
+                    'awslogs-group': fargateCfg.logGroup,
+                    'awslogs-region':
+                        self.ecs.meta.region_name,
+                    'awslogs-stream-prefix': 'pyshepseg_tpu',
+                }
+            }
+        runtimePlatform = {'operatingSystemFamily': 'LINUX'}
+        if fargateCfg.cpuArchitecture is not None:
+            runtimePlatform['cpuArchitecture'] = fargateCfg.cpuArchitecture
+
+        taskDef = self.ecs.register_task_definition(
+            family=self.clusterName,
+            networkMode='awsvpc',
+            requiresCompatibilities=['FARGATE'],
+            cpu=fargateCfg.cpu, memory=fargateCfg.memory,
+            runtimePlatform=runtimePlatform,
+            taskRoleArn=fargateCfg.taskRoleArn,
+            executionRoleArn=fargateCfg.executionRoleArn,
+            containerDefinitions=containerDefs)
+        self.taskDefArn = (
+            taskDef['taskDefinition']['taskDefinitionArn'])
+
+        networkConf = {'awsvpcConfiguration': {
+            'subnets': [fargateCfg.subnet],
+            'securityGroups': fargateCfg.securityGroups or [],
+            'assignPublicIp': 'ENABLED'}}
+        self.taskArns = []
+        for workerID in range(self.concurrencyCfg.numWorkers):
+            overrides = {'containerOverrides': [{
+                'name': 'pyshepseg_tpu_worker',
+                'command': ["--idnum", str(workerID),
+                            "--channaddr", self.dataChan.addressStr()],
+            }]}
+            resp = self.ecs.run_task(cluster=self.clusterName,
+                taskDefinition=self.taskDefArn, launchType='FARGATE',
+                networkConfiguration=networkConf, overrides=overrides)
+            self.taskArns.extend(t['taskArn'] for t in resp['tasks'])
+
+        self.workerBarrier.wait(
+            timeout=self.concurrencyCfg.barrierTimeout)
+
+    def shutdown(self):
+        if not hasattr(self, 'ecs'):
+            return
+        # Wait for tasks to drain, then remove the task def and cluster
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            resp = self.ecs.describe_tasks(cluster=self.clusterName,
+                                           tasks=self.taskArns)
+            still = [t for t in resp['tasks']
+                     if t['lastStatus'] != 'STOPPED']
+            if not still:
+                for t in resp['tasks']:
+                    for c in t.get('containers', []):
+                        rc = c.get('exitCode')
+                        if rc is not None and rc != 0:
+                            print("Fargate container exited with",
+                                  rc, file=sys.stderr)
+                break
+            time.sleep(5)
+        self.ecs.deregister_task_definition(taskDefinition=self.taskDefArn)
+        self.ecs.delete_cluster(cluster=self.clusterName)
+
+
+class NetworkDataChannel:
+    """
+    Authenticated-TCP channel carrying the work queue, result cache,
+    error queue, barrier, read semaphore, timings and pickled job data
+    between the coordinator and out-of-process workers, built on
+    multiprocessing.managers (reference: tiling.py:1799-1912).
+
+    Construct with data objects to create the server end, or with
+    (hostname, portnum, authkey) to connect as a client.
+    """
+
+    def __init__(self, inQue=None, segResultCache=None, forceExit=None,
+            exceptionQue=None, segDataDict=None, readSemaphore=None,
+            timings=None, workerBarrier=None,
+            hostname=None, portnum=None, authkey=None):
+        class DataChannelMgr(multiprocessing.managers.BaseManager):
+            pass
+
+        if None not in (inQue, segResultCache):
+            self.hostname = socket.gethostname()
+            self.authkey = secrets.token_hex()
+            self.inQue = inQue
+            self.segResultCache = segResultCache
+            self.forceExit = forceExit
+            self.exceptionQue = exceptionQue
+            self.readSemaphore = readSemaphore
+            self.segDataDict = segDataDict
+            self.timings = timings
+            self.workerBarrier = workerBarrier
+
+            DataChannelMgr.register("get_inque", callable=lambda: self.inQue)
+            DataChannelMgr.register("get_segresultcache",
+                                    callable=lambda: self.segResultCache)
+            DataChannelMgr.register("get_forceexit",
+                                    callable=lambda: self.forceExit)
+            DataChannelMgr.register("get_exceptionque",
+                                    callable=lambda: self.exceptionQue)
+            DataChannelMgr.register("get_segdatadict",
+                                    callable=lambda: self.segDataDict)
+            DataChannelMgr.register("get_readsemaphore",
+                                    callable=lambda: self.readSemaphore)
+            DataChannelMgr.register("get_timings",
+                                    callable=lambda: self.timings)
+            DataChannelMgr.register("get_workerbarrier",
+                                    callable=lambda: self.workerBarrier)
+
+            self.mgr = DataChannelMgr(address=(self.hostname, 0),
+                                      authkey=bytes(self.authkey, 'utf-8'))
+            self.server = self.mgr.get_server()
+            self.portnum = self.server.address[1]
+            self.threadPool = futures.ThreadPoolExecutor(max_workers=1)
+            self.serverThread = self.threadPool.submit(
+                self.server.serve_forever)
+        elif None not in (hostname, portnum, authkey):
+            for name in ("get_inque", "get_segresultcache", "get_forceexit",
+                         "get_exceptionque", "get_segdatadict",
+                         "get_readsemaphore", "get_timings",
+                         "get_workerbarrier"):
+                DataChannelMgr.register(name)
+            self.mgr = DataChannelMgr(address=(hostname, int(portnum)),
+                                      authkey=authkey)
+            self.hostname = hostname
+            self.portnum = int(portnum)
+            self.authkey = authkey
+            self.mgr.connect()
+            self.inQue = self.mgr.get_inque()
+            self.segResultCache = self.mgr.get_segresultcache()
+            self.forceExit = self.mgr.get_forceexit()
+            self.exceptionQue = self.mgr.get_exceptionque()
+            self.segDataDict = self.mgr.get_segdatadict()
+            self.readSemaphore = self.mgr.get_readsemaphore()
+            self.timings = self.mgr.get_timings()
+            self.workerBarrier = self.mgr.get_workerbarrier()
+        else:
+            raise ValueError(
+                "Must supply either (inQue, segResultCache, etc.) or ALL "
+                "of (hostname, portnum and authkey)")
+
+    def shutdown(self):
+        """
+        Shut down in the right order; must be called explicitly by the
+        creating process (see reference: tiling.py:1884-1905).
+        """
+        if hasattr(self, 'server'):
+            self.server.stop_event.set()
+            futures.wait([self.serverThread])
+            self.threadPool.shutdown()
+
+    def addressStr(self):
+        """'host,port,authkey' string for worker command lines."""
+        return "{},{},{}".format(self.hostname, self.portnum, self.authkey)
+
+
+class HistogramAccumulator:
+    """
+    Incremental histogram accumulation with length-growing add; the null
+    segment's count is forced to zero (reference: tiling.py:1915-1963).
+    """
+
+    def __init__(self):
+        self.hist = None
+
+    def doHistAccum(self, arr):
+        counts = numpy.bincount(arr.flatten())
+        if len(counts) > 0:
+            counts[shepseg.SEGNULLVAL] = 0
+        self.updateHist(counts)
+
+    @staticmethod
+    def addTwoHistograms(hist1, hist2):
+        if hist1 is None:
+            return hist2
+        if len(hist1) > len(hist2):
+            hist1[:len(hist2)] += hist2
+            return hist1
+        hist2[:len(hist1)] += hist1
+        return hist2
+
+    def updateHist(self, newCounts):
+        if len(newCounts) > 0:
+            self.hist = self.addTwoHistograms(self.hist, newCounts)
+
+
+class SegmentationResultCache:
+    """
+    Thread-safe per-tile result cache keyed (col, row), with one completion
+    event per tile so the stitcher can wait with a timeout
+    (reference: tiling.py:1966-2001).
+    """
+
+    def __init__(self, colRowList, timeout=None):
+        self.timeout = timeout
+        self.lock = threading.Lock()
+        self.cache = {}
+        self.completionEvent = {
+            (col, row): threading.Event() for (col, row) in colRowList}
+
+    def addResult(self, col, row, segResult):
+        with self.lock:
+            key = (col, row)
+            self.cache[key] = segResult
+            self.completionEvent[key].set()
+
+    def waitForTile(self, col, row):
+        key = (col, row)
+        completed = self.completionEvent[key].wait(timeout=self.timeout)
+        if not completed:
+            return None
+        segResult = self.cache.pop(key)
+        self.completionEvent[key].clear()
+        return segResult
+
+
+# ------------------------------------------------------------------------
+# Decomposed 3-phase API, as used by distributed batch pipelines
+# (reference: parallel_examples/awsbatch/do_prepare.py:116,
+#  do_tile.py:101, do_stitch.py:103 — the monolithic driver above is
+#  built from the same pieces).
+
+
+def doTiledShepherdSegmentation_prepare(infile, tileSize=DFLT_TILESIZE,
+        overlapSize=DFLT_OVERLAPSIZE, numClusters=60, bandNumbers=None,
+        subsamplePcnt=None, imgNullVal=None, fixedKMeansInit=False,
+        kmeansObj=None, verbose=False):
+    """
+    Phase 1: fit the whole-file k-means model and build the tile grid.
+
+    Returns (inDs, bandNumbers, kmeansObj, subsamplePcnt, imgNullVal,
+    tileInfo).
+    """
+    if verbose:
+        print("Starting tiled segmentation")
+    if (overlapSize % 2) != 0:
+        raise PyShepSegTilingError("Overlap size must be an even number")
+
+    inDs = rio.open(infile)
+    if bandNumbers is None:
+        bandNumbers = range(1, inDs.RasterCount + 1)
+
+    if kmeansObj is None:
+        (kmeansObj, subsamplePcnt, imgNullVal) = (
+            fitSpectralClustersWholeFile(inDs, bandNumbers, numClusters,
+                                         subsamplePcnt, imgNullVal,
+                                         fixedKMeansInit))
+    elif imgNullVal is None:
+        imgNullVal = getImgNullValue(inDs, bandNumbers)
+
+    tileInfo = getTilesForFile(inDs, tileSize, overlapSize)
+    if verbose:
+        print("Found {} tiles, with {} rows and {} cols".format(
+            tileInfo.getNumTiles(), tileInfo.nrows, tileInfo.ncols))
+
+    return (inDs, bandNumbers, kmeansObj, subsamplePcnt, imgNullVal,
+            tileInfo)
+
+
+def doTiledShepherdSegmentation_doOne(inDs, filename, tileInfo, col, row,
+        bandNumbers, imgNullVal, kmeansObj, minSegmentSize=50,
+        maxSpectralDiff='auto', fourConnected=True, verbose=False,
+        spectDistPcntile=50, tempfilesDriver=DFLT_TEMPFILES_DRIVER,
+        tempfilesCreationOptions=[]):
+    """
+    Phase 2: segment one tile and write it to ``filename`` (a standalone
+    raster, so decoupled workers can ship tiles via object storage).
+
+    Returns the SegmentationResult.
+    """
+    if isinstance(inDs, str):
+        inDs = rio.open(inDs)
+    (xpos, ypos, xsize, ysize) = tileInfo.getTile(col, row)
+    lyrDataList = []
+    for bandNum in bandNumbers:
+        lyr = inDs.GetRasterBand(bandNum)
+        lyrDataList.append(lyr.ReadAsArray(xpos, ypos, xsize, ysize))
+    img = numpy.array(lyrDataList)
+
+    segResult = shepseg.doShepherdSegmentation(
+        img, minSegmentSize=minSegmentSize,
+        maxSpectralDiff=maxSpectralDiff, imgNullVal=imgNullVal,
+        fourConnected=fourConnected, kmeansObj=kmeansObj,
+        verbose=verbose, spectDistPcntile=spectDistPcntile)
+
+    driverName = tempfilesDriver if rio.HAVE_GDAL else None
+    outDs = rio.create(filename, xsize, ysize, 1, shepseg.SegIdType,
+                       driverName, tempfilesCreationOptions)
+    proj = inDs.GetProjection()
+    if proj:
+        outDs.SetProjection(proj)
+    transform = inDs.GetGeoTransform()
+    if transform is not None:
+        subsetTransform = list(transform)
+        subsetTransform[0] = transform[0] + xpos * transform[1]
+        subsetTransform[3] = transform[3] + ypos * transform[5]
+        outDs.SetGeoTransform(tuple(subsetTransform))
+    b = outDs.GetRasterBand(1)
+    b.WriteArray(segResult.segimg)
+    b.SetMetadataItem('LAYER_TYPE', 'thematic')
+    b.SetNoDataValue(int(shepseg.SEGNULLVAL))
+    outDs.FlushCache()
+    del outDs
+    return segResult
+
+
+class _FinalizeStitcher(SegNoConcurrencyMgr):
+    """Internal: stitcher wired to pre-segmented tile files on disk."""
+
+    def __init__(self, tileFilenames, tileInfo, overlapSize, tempDir,
+                 inDs, outfile, outputDriver, creationOptions, verbose,
+                 simpleTileRecode, writeHistogram):
+        # Deliberately not calling super().__init__ — this object is only
+        # used for the stitching phase.
+        self.tileFilenames = tileFilenames
+        self.tileInfo = tileInfo
+        self.overlapSize = overlapSize
+        self.tempDir = tempDir
+        self.outfile = outfile
+        self.outputDriver = outputDriver
+        self.creationOptions = creationOptions
+        self.verbose = verbose
+        self.simpleTileRecode = simpleTileRecode
+        self.writeHistogram = writeHistogram
+        self.returnGDALDS = True
+        self.timings = timinghooks.Timers()
+        self.inXsize = inDs.RasterXSize
+        self.inYsize = inDs.RasterYSize
+        self.inProj = inDs.GetProjection()
+        self.inGeoTransform = inDs.GetGeoTransform()
+
+    def getTileSegmentation(self, col, row):
+        filename = self.tileFilenames[(col, row)]
+        if filename.endswith('.npy'):
+            return numpy.load(filename)
+        ds = rio.open(filename)
+        return ds.GetRasterBand(1).ReadAsArray()
+
+
+def doTiledShepherdSegmentation_finalize(inDs, outfile, tileFilenames,
+        tileInfo, overlapSize, tempDir, simpleTileRecode=False,
+        outputDriver='KEA', creationOptions=[], verbose=False,
+        writeHistogram=True):
+    """
+    Phase 3: stitch pre-segmented tile rasters into the final output.
+
+    Returns (maxSegId, hasEmptySegments, localDs).
+    """
+    if isinstance(inDs, str):
+        inDs = rio.open(inDs)
+    stitcher = _FinalizeStitcher(tileFilenames, tileInfo, overlapSize,
+                                 tempDir, inDs, outfile, outputDriver,
+                                 creationOptions, verbose, simpleTileRecode,
+                                 writeHistogram)
+    stitcher.stitchTiles()
+    return (stitcher.maxSegId, stitcher.hasEmptySegments, stitcher.outDs)
+
+
+# ------------------------------------------------------------------------
+# Deprecated, kept for API parity (reference: tiling.py:2012-2116)
+
+
+def calcHistogramTiled(segfile, maxSegId, writeToRat=True):
+    """
+    Deprecated: tile-wise histogram of a segmentation raster, optionally
+    written to the RAT (the histogram is now accumulated during stitching).
+    """
+    utils.deprecationWarning(
+        "The calcHistogramTiled function is obsolete, as histogram of "
+        "segmentation raster is now calculated as tiles are written.")
+
+    hist = numpy.zeros((maxSegId + 1), dtype=numpy.uint32)
+    ds = rio.open(segfile, rio.GA_Update)
+    segband = ds.GetRasterBand(1)
+
+    tileSize = TILESIZE
+    (nlines, npix) = (segband.YSize, segband.XSize)
+    for topLine in range(0, nlines, tileSize):
+        for leftPix in range(0, npix, tileSize):
+            xsize = min(tileSize, npix - leftPix)
+            ysize = min(tileSize, nlines - topLine)
+            tileData = segband.ReadAsArray(leftPix, topLine, xsize, ysize)
+            counts = numpy.bincount(tileData.ravel(),
+                                    minlength=maxSegId + 1)
+            hist += counts[:maxSegId + 1].astype(numpy.uint32)
+
+    hist[shepseg.SEGNULLVAL] = 0
+
+    if writeToRat:
+        attrTbl = segband.GetDefaultRAT()
+        if attrTbl.GetRowCount() != int(maxSegId + 1):
+            attrTbl.SetRowCount(int(maxSegId + 1))
+        colNum = attrTbl.GetColOfUsage(rio.GFU_PixelCount)
+        if colNum == -1:
+            attrTbl.CreateColumn('Histogram', rio.GFT_Real,
+                                 rio.GFU_PixelCount)
+            colNum = attrTbl.GetColumnCount() - 1
+        attrTbl.WriteArray(hist, colNum)
+
+    return hist

@@ -1,0 +1,897 @@
+"""
+Per-segment statistics written into a raster attribute table (RAT)
+(reference: pyshepseg/tilingstats.py).
+
+Works tile-by-tile over (segmentation raster, imagery raster) with bounded
+memory: per-segment value histograms are accumulated as segments stream
+past, each segment's statistics are computed and its state dropped the
+moment all of its pixels have been seen (completeness = accumulated count
+equals the 'Histogram' RAT column), and the RAT is written in fixed-size
+pages which are flushed as soon as every row in them is complete.
+
+The reference's numba dict-of-dicts histogram (tilingstats.py:466-515) is
+replaced by a sorted compact (segment, value, count) accumulator merged
+with vectorized numpy per tile, and the per-segment SegmentStats jitclass
+(tilingstats.py:906-1008) by batched grouped reductions over all segments
+completing in a tile at once. Statistic definitions (including the
+percentile cumulative-count walk and its p=0 quirk) match the reference
+exactly.
+
+Spatial statistics (coordinate-list user functions) follow the same
+completeness scheme, accumulating per-segment pixel coordinate lists and
+invoking a user callback with a points recarray (fields x, y, val).
+"""
+
+import numpy
+
+from . import shepseg
+from . import tiling
+from . import timinghooks
+from . import io as rio
+
+
+class PyShepSegStatsError(Exception):
+    pass
+
+
+class TiledStatsResult(object):
+    """Result of per-segment stats calculations. Holds .timings."""
+
+    def __init__(self):
+        self.timings = None
+
+
+# Image values are handled as int64 throughout (float imagery is rejected,
+# matching reference: tilingstats.py:63-68, 450-452)
+imageValueType = numpy.int64
+
+
+def equalProjection(proj1, proj2):
+    """
+    Are the two projections equal? Uses OSR IsSame when GDAL is available,
+    else string comparison (reference: tilingstats.py:1011-1034).
+    """
+    if proj1 == proj2:
+        return True
+    try:
+        from osgeo import osr
+    except ImportError:
+        return (proj1 or "") == (proj2 or "")
+    sr1 = osr.SpatialReference(wkt=proj1)
+    sr2 = osr.SpatialReference(wkt=proj2)
+    return bool(sr1.IsSame(sr2))
+
+
+def doImageAlignmentChecks(segfile, imgfile, imgbandnum, update=True):
+    """
+    Check the segmentation and imagery rasters align (same size, transform,
+    projection) and that the imagery is not float
+    (reference: tilingstats.py:409-463).
+
+    Returns (segds, segband, imgds, imgband).
+    """
+    segds = rio.open(segfile, rio.GA_Update if update else rio.GA_ReadOnly)
+    segband = segds.GetRasterBand(1)
+
+    imgds = rio.open(imgfile, rio.GA_ReadOnly)
+    imgband = imgds.GetRasterBand(imgbandnum)
+    if imgband.DataType in (rio.GDT_Float32, rio.GDT_Float64):
+        raise PyShepSegStatsError("Float image types not supported")
+
+    if segband.XSize != imgband.XSize or segband.YSize != imgband.YSize:
+        raise PyShepSegStatsError("Images must be same size")
+
+    if segds.GetGeoTransform() != imgds.GetGeoTransform():
+        raise PyShepSegStatsError(
+            "Images must have same spatial extent and pixel size")
+
+    if not equalProjection(segds.GetProjection(), imgds.GetProjection()):
+        raise PyShepSegStatsError("Images must be in the same projection")
+
+    return segds, segband, imgds, imgband
+
+
+# ------------------------------------------------------------- stat codes
+
+STATID_MIN = 0
+STATID_MAX = 1
+STATID_MEAN = 2
+STATID_STDDEV = 3
+STATID_MEDIAN = 4
+STATID_MODE = 5
+STATID_PERCENTILE = 6
+STATID_PIXCOUNT = 7
+statIDdict = {
+    'min': STATID_MIN, 'max': STATID_MAX, 'mean': STATID_MEAN,
+    'stddev': STATID_STDDEV, 'median': STATID_MEDIAN, 'mode': STATID_MODE,
+    'percentile': STATID_PERCENTILE, 'pixcount': STATID_PIXCOUNT,
+}
+
+STAT_DTYPE_INT = 0
+STAT_DTYPE_FLOAT = 1
+
+STATSSELFAST_DTYPE = numpy.uint32
+STATSSELFAST_NULLVAL = numpy.iinfo(STATSSELFAST_DTYPE).max
+NOPARAM = STATSSELFAST_NULLVAL
+
+STATSEL_GLOBALCOLINDEX = 0
+STATSEL_STATID = 1
+STATSEL_COLTYPE = 2
+STATSEL_COLARRAYINDEX = 3
+STATSEL_PARAM = 4
+
+RAT_PAGE_SIZE = 100000
+
+
+def checkHistColumn(existingColNames):
+    """Index of the 'Histogram' column; error if absent
+    (reference: tilingstats.py:656-679)."""
+    if 'Histogram' not in existingColNames:
+        raise PyShepSegStatsError(
+            "Histogram column must exist before calculating stats")
+    return existingColNames.index('Histogram')
+
+
+def createStatColumns(statsSelection, attrTbl, existingColNames):
+    """
+    Create requested columns in the RAT if not present: mean/stddev are
+    float, everything else integer (reference: tilingstats.py:682-721).
+    Returns the list of column indexes.
+    """
+    colIndexList = []
+    for selection in statsSelection:
+        (colName, statName) = selection[:2]
+        if colName not in existingColNames:
+            colType = rio.GFT_Integer
+            if statName in ('mean', 'stddev'):
+                colType = rio.GFT_Real
+            attrTbl.CreateColumn(colName, colType, rio.GFU_Generic)
+            colNdx = attrTbl.GetColumnCount() - 1
+            existingColNames.append(colName)
+        else:
+            colNdx = existingColNames.index(colName)
+        colIndexList.append(colNdx)
+    return colIndexList
+
+
+def makeFastStatsSelection(colIndexList, statsSelection):
+    """
+    Encode the stats selection as a (numStats, 5) integer array
+    (reference: tilingstats.py:798-863). Returns
+    (statsSelection_fast, numIntCols, numFloatCols).
+    """
+    numStats = len(colIndexList)
+    sel = numpy.empty((numStats, 5), dtype=STATSSELFAST_DTYPE)
+    intCount = floatCount = 0
+    for i in range(numStats):
+        sel[i, STATSEL_GLOBALCOLINDEX] = colIndexList[i]
+        statName = statsSelection[i][1]
+        sel[i, STATSEL_STATID] = statIDdict[statName]
+        statType = STAT_DTYPE_INT
+        if statName in ('mean', 'stddev'):
+            statType = STAT_DTYPE_FLOAT
+        sel[i, STATSEL_COLTYPE] = statType
+        if statType == STAT_DTYPE_INT:
+            sel[i, STATSEL_COLARRAYINDEX] = intCount
+            intCount += 1
+        else:
+            sel[i, STATSEL_COLARRAYINDEX] = floatCount
+            floatCount += 1
+        sel[i, STATSEL_PARAM] = NOPARAM
+        if statName == 'percentile':
+            sel[i, STATSEL_PARAM] = statsSelection[i][2]
+    return (sel, intCount, floatCount)
+
+
+# ------------------------------------------------------------- paged RAT
+
+
+def getRatPageId(segId):
+    """First segment ID of the page containing segId
+    (reference: tilingstats.py:1949-1962)."""
+    return (segId // RAT_PAGE_SIZE) * RAT_PAGE_SIZE
+
+
+class RatPage:
+    """
+    One page of RAT values: int64 + float32 column blocks with per-row
+    completeness flags; the null row completes automatically
+    (reference RatPage jitclass: tilingstats.py:1971-2045).
+    """
+
+    def __init__(self, numIntCols, numFloatCols, startSegId, numSeg):
+        self.startSegId = startSegId
+        self.intcols = numpy.empty((numIntCols, numSeg), dtype=numpy.int64)
+        self.floatcols = numpy.empty((numFloatCols, numSeg),
+                                     dtype=numpy.float32)
+        self.complete = numpy.zeros(numSeg, dtype=bool)
+        if startSegId == shepseg.SEGNULLVAL:
+            # nothing will ever be written for the null segment
+            self.intcols[:, 0] = 0
+            self.floatcols[:, 0] = 0
+            self.complete[0] = True
+
+    def getIndexInPage(self, segId):
+        return segId - self.startSegId
+
+    def setRatVal(self, segId, colType, colArrayNdx, val):
+        i = self.getIndexInPage(segId)
+        if colType == STAT_DTYPE_INT:
+            self.intcols[colArrayNdx, i] = val
+        else:
+            self.floatcols[colArrayNdx, i] = val
+
+    def getRatVal(self, segId, colType, colArrayNdx):
+        i = self.getIndexInPage(segId)
+        if colType == STAT_DTYPE_INT:
+            return self.intcols[colArrayNdx, i]
+        return self.floatcols[colArrayNdx, i]
+
+    def setSegmentComplete(self, segId):
+        self.complete[self.getIndexInPage(segId)] = True
+
+    def getSegmentComplete(self, segId):
+        return self.complete[self.getIndexInPage(segId)]
+
+    def pageComplete(self):
+        return bool(self.complete.all())
+
+
+def createPagedRat():
+    """Dict of RatPage keyed by page start segment ID
+    (reference: tilingstats.py:1935-1946)."""
+    return {}
+
+
+def writeCompletePages(pagedRat, attrTbl, statsSelection_fast):
+    """Flush every complete page to the RAT and drop it
+    (reference: tilingstats.py:723-764)."""
+    numStat = statsSelection_fast.shape[0]
+    for pageId in list(pagedRat.keys()):
+        ratPage = pagedRat[pageId]
+        if not ratPage.pageComplete():
+            continue
+        startSegId = ratPage.startSegId
+        numRows = ratPage.intcols.shape[1] or ratPage.floatcols.shape[1]
+        endSegId = startSegId + numRows
+        if attrTbl.GetRowCount() < endSegId:
+            attrTbl.SetRowCount(endSegId)
+        for i in range(numStat):
+            globalColNum = int(statsSelection_fast[i, STATSEL_GLOBALCOLINDEX])
+            colType = int(statsSelection_fast[i, STATSEL_COLTYPE])
+            colArrayNdx = int(statsSelection_fast[i, STATSEL_COLARRAYINDEX])
+            if colType == STAT_DTYPE_INT:
+                colArr = ratPage.intcols[colArrayNdx]
+            else:
+                colArr = ratPage.floatcols[colArrayNdx]
+            attrTbl.WriteArray(colArr, globalColNum, start=int(startSegId))
+        pagedRat.pop(pageId)
+
+
+def _getRatPage(pagedRat, segId, numIntCols, numFloatCols, segSizeLen):
+    pageId = getRatPageId(segId)
+    if pageId not in pagedRat:
+        numSegThisPage = min(RAT_PAGE_SIZE, segSizeLen - pageId)
+        pagedRat[pageId] = RatPage(numIntCols, numFloatCols, pageId,
+                                   numSegThisPage)
+    return pagedRat[pageId]
+
+
+# ------------------------------------------------- streaming accumulator
+
+
+class SegmentHistAccumulator:
+    """
+    Streaming per-segment value-histogram accumulator: a compact array
+    triple (segId, value, count) sorted by (segId, value), merged with each
+    tile's run-length-encoded pairs, plus dense per-segment nodata and
+    seen-pixel counters. Replaces the reference's numba dict-of-dicts
+    (tilingstats.py:466-553) with vectorized numpy; completed segments'
+    entries are dropped to keep memory bounded.
+    """
+
+    def __init__(self, numSeg, imgNullVal):
+        self.numSeg = numSeg
+        self.imgNullVal = imgNullVal
+        self.segIds = numpy.empty(0, dtype=numpy.int64)
+        self.values = numpy.empty(0, dtype=imageValueType)
+        self.counts = numpy.empty(0, dtype=numpy.int64)
+        self.noData = numpy.zeros(numSeg, dtype=numpy.int64)
+        self.seen = numpy.zeros(numSeg, dtype=numpy.int64)
+        # segments touched at some point (matches the reference's "always
+        # create an entry" behaviour so all-nodata segments still complete)
+        self.touched = numpy.zeros(numSeg, dtype=bool)
+        self.done = numpy.zeros(numSeg, dtype=bool)
+
+    def accumulate(self, tileSegments, tileImageData):
+        """Merge one tile of (segment, value) pixels."""
+        seg = tileSegments.ravel().astype(numpy.int64)
+        val = tileImageData.ravel().astype(imageValueType)
+        keep = seg != shepseg.SEGNULLVAL
+        seg, val = seg[keep], val[keep]
+        if seg.size == 0:
+            return
+        self.touched[seg] = True
+        self.seen += numpy.bincount(seg, minlength=self.numSeg
+                                    ).astype(numpy.int64)[:self.numSeg]
+
+        if self.imgNullVal is not None:
+            isNull = val == imageValueType(self.imgNullVal)
+            if isNull.any():
+                self.noData += numpy.bincount(
+                    seg[isNull], minlength=self.numSeg
+                ).astype(numpy.int64)[:self.numSeg]
+            seg, val = seg[~isNull], val[~isNull]
+        if seg.size == 0:
+            return
+
+        # RLE-compact this tile's pairs, then merge with the running state
+        order = numpy.lexsort((val, seg))
+        seg, val = seg[order], val[order]
+        boundary = numpy.concatenate(
+            [[True], (seg[1:] != seg[:-1]) | (val[1:] != val[:-1])])
+        groupIdx = numpy.cumsum(boundary) - 1
+        newCounts = numpy.bincount(groupIdx).astype(numpy.int64)
+        newSeg, newVal = seg[boundary], val[boundary]
+
+        # merge two sorted run lists
+        allSeg = numpy.concatenate([self.segIds, newSeg])
+        allVal = numpy.concatenate([self.values, newVal])
+        allCnt = numpy.concatenate([self.counts, newCounts])
+        order = numpy.lexsort((allVal, allSeg))
+        allSeg, allVal, allCnt = allSeg[order], allVal[order], allCnt[order]
+        boundary = numpy.concatenate(
+            [[True], (allSeg[1:] != allSeg[:-1]) | (allVal[1:] != allVal[:-1])])
+        groupIdx = numpy.cumsum(boundary) - 1
+        self.counts = numpy.bincount(
+            groupIdx, weights=allCnt).astype(numpy.int64)
+        self.segIds = allSeg[boundary]
+        self.values = allVal[boundary]
+
+    def completedSegments(self, segSize):
+        """Segment IDs that are now complete and not yet finalized."""
+        complete = (self.touched & ~self.done &
+                    (self.seen == segSize[:self.numSeg]))
+        complete[shepseg.SEGNULLVAL] = False
+        return numpy.nonzero(complete)[0]
+
+    def extractSegments(self, segIdList):
+        """
+        Pull out (and drop) the runs for the given segment IDs. Returns
+        (vals, counts, groupStart, groupEnd, noData) where groupStart/End
+        index vals/counts per segment in segIdList order.
+        """
+        take = numpy.isin(self.segIds, segIdList)
+        segTaken = self.segIds[take]
+        vals = self.values[take]
+        counts = self.counts[take]
+        # runs are sorted by segId; order groups to match segIdList
+        sortedUniq, startIdx = numpy.unique(segTaken, return_index=True)
+        endIdx = numpy.append(startIdx[1:], len(segTaken))
+        lookup = {s: i for i, s in enumerate(sortedUniq)}
+        groupStart = numpy.zeros(len(segIdList), dtype=numpy.int64)
+        groupEnd = numpy.zeros(len(segIdList), dtype=numpy.int64)
+        for i, s in enumerate(segIdList):
+            if s in lookup:
+                j = lookup[s]
+                groupStart[i] = startIdx[j]
+                groupEnd[i] = endIdx[j]
+        noData = self.noData[segIdList]
+        # drop state
+        self.segIds = self.segIds[~take]
+        self.values = self.values[~take]
+        self.counts = self.counts[~take]
+        self.done[segIdList] = True
+        return vals, counts, groupStart, groupEnd, noData
+
+    def anyPending(self):
+        return bool((self.touched & ~self.done).any())
+
+
+def _segmentStatsFromRuns(vals, counts, start, end, statID, param,
+                          missingStatsValue):
+    """
+    One statistic for each segment whose (value, count) runs occupy
+    vals/counts[start:end]. Matches the reference SegmentStats semantics
+    (tilingstats.py:906-1008) including the percentile walk and its
+    p<=0 quirk, float32 mean/stddev, and first-max mode.
+    """
+    n = len(start)
+    out = numpy.empty(n, dtype=numpy.float64)
+    pixCount = numpy.zeros(n, dtype=numpy.int64)
+    for i in range(n):  # per completed segment; runs are short
+        v = vals[start[i]:end[i]]
+        c = counts[start[i]:end[i]]
+        pc = int(c.sum())
+        pixCount[i] = pc
+        if statID == STATID_PIXCOUNT:
+            out[i] = pc
+            continue
+        if pc == 0:
+            out[i] = missingStatsValue
+            continue
+        if statID == STATID_MIN:
+            out[i] = v[0]
+        elif statID == STATID_MAX:
+            out[i] = v[-1]
+        elif statID == STATID_MEAN:
+            out[i] = numpy.float32((v * c).sum() / pc)
+        elif statID == STATID_STDDEV:
+            mean32 = numpy.float32((v * c).sum() / pc)
+            var = (c * (v - mean32) ** 2).sum() / pc
+            out[i] = numpy.float32(numpy.sqrt(var))
+        elif statID == STATID_MODE:
+            out[i] = v[numpy.argmax(c)]
+        elif statID in (STATID_MEDIAN, STATID_PERCENTILE):
+            p = 50 if statID == STATID_MEDIAN else param
+            target = pc * (p / 100)
+            cum = numpy.cumsum(c)
+            if target <= 0:
+                # reference quirk: the walk exits immediately and indexes
+                # pixVals[-1] (tilingstats.py:983-993)
+                out[i] = v[-1]
+            else:
+                k = int(numpy.searchsorted(cum, target, side='left'))
+                out[i] = v[min(k, len(v) - 1)]
+        else:
+            raise PyShepSegStatsError(f"Unknown statID {statID}")
+    return out
+
+
+def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
+        statsSelection, missingStatsValue=-9999):
+    """
+    Calculate selected per-segment statistics of one image band against a
+    segmentation raster, writing results into the segmentation file's RAT
+    (reference: tilingstats.py:85-216 — same parameters, semantics, and
+    bounded-memory streaming behaviour).
+
+    statsSelection is a list of (columnName, statName[, param]) tuples;
+    statName in {'min','max','mean','stddev','median','mode','percentile',
+    'pixcount'}; 'percentile' takes the percentile as third element.
+    """
+    timings = timinghooks.Timers()
+
+    segds, segband, imgds, imgband = doImageAlignmentChecks(
+        segfile, imgfile, imgbandnum)
+
+    attrTbl = segband.GetDefaultRAT()
+    existingColNames = [attrTbl.GetNameOfCol(i)
+                        for i in range(attrTbl.GetColumnCount())]
+
+    imgNullVal = imgband.GetNoDataValue()
+    if imgNullVal is not None:
+        imgNullVal = imageValueType(imgNullVal)
+
+    histColNdx = checkHistColumn(existingColNames)
+    segSize = attrTbl.ReadAsArray(histColNdx).astype(numpy.int64)
+
+    colIndexList = createStatColumns(statsSelection, attrTbl,
+                                     existingColNames)
+    (statsSelection_fast, numIntCols, numFloatCols) = (
+        makeFastStatsSelection(colIndexList, statsSelection))
+
+    numSeg = len(segSize)
+    acc = SegmentHistAccumulator(numSeg, imgNullVal)
+    pagedRat = createPagedRat()
+
+    tileSize = tiling.TILESIZE
+    (nlines, npix) = (segband.YSize, segband.XSize)
+
+    for topLine in range(0, nlines, tileSize):
+        for leftPix in range(0, npix, tileSize):
+            xsize = min(tileSize, npix - leftPix)
+            ysize = min(tileSize, nlines - topLine)
+
+            with timings.interval('reading'):
+                tileSegments = segband.ReadAsArray(leftPix, topLine,
+                                                   xsize, ysize)
+                tileImageData = imgband.ReadAsArray(leftPix, topLine,
+                                                    xsize, ysize)
+
+            with timings.interval('accumulation'):
+                acc.accumulate(tileSegments, tileImageData)
+
+            with timings.interval('statscompletion'):
+                _calcStatsForCompletedSegs(acc, segSize, missingStatsValue,
+                                           pagedRat, statsSelection_fast,
+                                           numIntCols, numFloatCols)
+
+            with timings.interval('writing'):
+                writeCompletePages(pagedRat, attrTbl, statsSelection_fast)
+
+    with timings.interval('writing'):
+        segds.FlushCache()
+
+    if len(pagedRat) > 0:
+        raise PyShepSegStatsError('Not all pixels found during processing')
+
+    rtn = TiledStatsResult()
+    rtn.timings = timings
+    return rtn
+
+
+def _calcStatsForCompletedSegs(acc, segSize, missingStatsValue, pagedRat,
+                               statsSelection_fast, numIntCols,
+                               numFloatCols):
+    """Finalize every segment that completed this tile
+    (reference: tilingstats.py:556-617, batched)."""
+    segIdList = acc.completedSegments(segSize)
+    if len(segIdList) == 0:
+        return
+    vals, counts, start, end, noData = acc.extractSegments(segIdList)
+
+    numStats = statsSelection_fast.shape[0]
+    statVals = []
+    for i in range(numStats):
+        statID = int(statsSelection_fast[i, STATSEL_STATID])
+        param = int(statsSelection_fast[i, STATSEL_PARAM])
+        statVals.append(_segmentStatsFromRuns(
+            vals, counts, start, end, statID, param, missingStatsValue))
+
+    numSeg = len(segSize)
+    for j, segId in enumerate(segIdList):
+        ratPage = _getRatPage(pagedRat, int(segId), numIntCols,
+                              numFloatCols, numSeg)
+        for i in range(numStats):
+            colType = int(statsSelection_fast[i, STATSEL_COLTYPE])
+            colArrayNdx = int(statsSelection_fast[i, STATSEL_COLARRAYINDEX])
+            ratPage.setRatVal(int(segId), colType, colArrayNdx,
+                              statVals[i][j])
+        ratPage.setSegmentComplete(int(segId))
+
+
+# -------------------------------------------------------- spatial stats
+
+
+def userFuncVariogram(pts, imgNullVal, intArr, floatArr, maxDist):
+    """
+    Per-segment variograms at integer distances 1..maxDist, written into
+    floatArr (reference: tilingstats.py:1037-1094, vectorized over
+    offsets). Pass maxDist as the userParam.
+    """
+    tile = convertPtsInto2DArray(pts, imgNullVal)
+    maxDist = int(maxDist)
+    counts = numpy.zeros(maxDist, dtype=numpy.int64)
+    sumDifSqs = numpy.zeros(maxDist, dtype=numpy.float64)
+    valid = tile != imgNullVal
+    ysize, xsize = tile.shape
+    for yoffset in range(1, maxDist + 1):
+        for xoffset in range(1, maxDist + 1):
+            dist = int(numpy.sqrt(yoffset * yoffset + xoffset * xoffset))
+            if dist < 1 or dist > maxDist:
+                continue
+            if yoffset >= ysize or xoffset >= xsize:
+                continue
+            a = tile[:ysize - yoffset, :xsize - xoffset]
+            b = tile[yoffset:, xoffset:]
+            ok = valid[:ysize - yoffset, :xsize - xoffset] & valid[yoffset:,
+                                                                   xoffset:]
+            counts[dist - 1] += int(ok.sum())
+            d = (a[ok].astype(numpy.float64) - b[ok]) ** 2
+            sumDifSqs[dist - 1] += d.sum()
+    for n in range(maxDist):
+        if counts[n] > 0:
+            floatArr[n] = numpy.sqrt(sumDifSqs[n] / counts[n])
+
+
+def userFuncMeanCoord(pts, imgNullVal, intArr, floatArr, transform):
+    """
+    Mean easting/northing of the segment via the geotransform, written to
+    floatArr[0:2] (reference: tilingstats.py:1097-1142).
+    """
+    x = pts['x'].astype(numpy.float64)
+    y = pts['y'].astype(numpy.float64)
+    geox = transform[0] + transform[1] * x + transform[2] * y
+    geoy = transform[3] + transform[4] * x + transform[5] * y
+    floatArr[0] = geox.mean()
+    floatArr[1] = geoy.mean()
+
+
+def userFuncNumEdgePixels(pts, imgNullVal, intArr, floatArr, fourConnected):
+    """
+    Count of segment pixels touching another segment or the image edge
+    (4- or 8-connected), written to intArr[0]
+    (reference: tilingstats.py:1145-1216, vectorized).
+    """
+    mask = convertPtsInto2DMaskArray(pts, imgNullVal)
+    inner = numpy.ones_like(mask, dtype=bool)
+    padded = numpy.pad(mask, 1, constant_values=0)
+    if fourConnected:
+        offsets = ((-1, 0), (1, 0), (0, -1), (0, 1))
+    else:
+        offsets = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                   (1, -1), (1, 0), (1, 1))
+    for dy, dx in offsets:
+        nbr = padded[1 + dy:1 + dy + mask.shape[0],
+                     1 + dx:1 + dx + mask.shape[1]]
+        inner &= nbr == 1
+    edge = (mask == 1) & ~inner
+    intArr[0] = int(edge.sum())
+
+
+def makePtsArray(x, y, val):
+    """Build a points recarray with fields x, y, val (the array-of-structs
+    replacement for the reference's SegPoint list)."""
+    pts = numpy.recarray(len(x), dtype=[('x', numpy.uint32),
+                                        ('y', numpy.uint32),
+                                        ('val', imageValueType)])
+    pts['x'] = x
+    pts['y'] = y
+    pts['val'] = val
+    return pts
+
+
+def convertPtsInto2DArray(pts, imgNullVal):
+    """Points list -> minimal bounding-box 2D value tile, null-filled
+    (reference: tilingstats.py:1743-1792)."""
+    xmin, ymin = pts['x'].min(), pts['y'].min()
+    xs = (pts['x'] - xmin).astype(numpy.int64)
+    ys = (pts['y'] - ymin).astype(numpy.int64)
+    tile = numpy.full((ys.max() + 1, xs.max() + 1), imgNullVal,
+                      dtype=imageValueType)
+    tile[ys, xs] = pts['val']
+    return tile
+
+
+def convertPtsInto2DMaskArray(pts, imgNullVal):
+    """Points list -> minimal bounding-box 0/1 mask tile
+    (reference: tilingstats.py:1795-1843)."""
+    xmin, ymin = pts['x'].min(), pts['y'].min()
+    xs = (pts['x'] - xmin).astype(numpy.int64)
+    ys = (pts['y'] - ymin).astype(numpy.int64)
+    mask = numpy.zeros((ys.max() + 1, xs.max() + 1), dtype=numpy.uint8)
+    mask[ys, xs] = 1
+    return mask
+
+
+class SegmentPointAccumulator:
+    """
+    Streaming per-segment pixel-coordinate accumulator for spatial stats
+    (replaces the reference's SegPoint typed lists,
+    tilingstats.py:1219-1259, 1651-1740). Coordinates are whole-image
+    (x=col, y=row). NoData pixels are counted but not stored.
+    """
+
+    def __init__(self, numSeg, imgNullVal):
+        self.numSeg = numSeg
+        self.imgNullVal = imgNullVal
+        self.chunks = {}  # segId -> list of (x, y, val) arrays
+        self.noData = numpy.zeros(numSeg, dtype=numpy.int64)
+        self.seen = numpy.zeros(numSeg, dtype=numpy.int64)
+        self.touched = numpy.zeros(numSeg, dtype=bool)
+        self.done = numpy.zeros(numSeg, dtype=bool)
+
+    def accumulate(self, tileSegments, tileImageData, leftPix, topLine):
+        seg = tileSegments.ravel().astype(numpy.int64)
+        val = tileImageData.ravel().astype(imageValueType)
+        h, w = tileSegments.shape
+        yy, xx = numpy.divmod(numpy.arange(seg.size), w)
+        xx = (xx + leftPix).astype(numpy.uint32)
+        yy = (yy + topLine).astype(numpy.uint32)
+
+        keep = seg != shepseg.SEGNULLVAL
+        seg, val, xx, yy = seg[keep], val[keep], xx[keep], yy[keep]
+        if seg.size == 0:
+            return
+        self.touched[seg] = True
+        self.seen += numpy.bincount(seg, minlength=self.numSeg
+                                    ).astype(numpy.int64)[:self.numSeg]
+        if self.imgNullVal is not None:
+            isNull = val == imageValueType(self.imgNullVal)
+            if isNull.any():
+                self.noData += numpy.bincount(
+                    seg[isNull], minlength=self.numSeg
+                ).astype(numpy.int64)[:self.numSeg]
+            seg, val, xx, yy = (seg[~isNull], val[~isNull], xx[~isNull],
+                                yy[~isNull])
+        if seg.size == 0:
+            return
+        order = numpy.argsort(seg, kind='stable')
+        seg, val, xx, yy = seg[order], val[order], xx[order], yy[order]
+        boundary = numpy.concatenate([[True], seg[1:] != seg[:-1]])
+        starts = numpy.nonzero(boundary)[0]
+        ends = numpy.append(starts[1:], len(seg))
+        for s, e in zip(starts, ends):
+            self.chunks.setdefault(int(seg[s]), []).append(
+                (xx[s:e], yy[s:e], val[s:e]))
+
+    def completedSegments(self, segSize):
+        complete = (self.touched & ~self.done &
+                    (self.seen == segSize[:self.numSeg]))
+        complete[shepseg.SEGNULLVAL] = False
+        return numpy.nonzero(complete)[0]
+
+    def extractSegment(self, segId):
+        parts = self.chunks.pop(int(segId), [])
+        self.done[segId] = True
+        if parts:
+            x = numpy.concatenate([p[0] for p in parts])
+            y = numpy.concatenate([p[1] for p in parts])
+            v = numpy.concatenate([p[2] for p in parts])
+        else:
+            x = numpy.empty(0, numpy.uint32)
+            y = numpy.empty(0, numpy.uint32)
+            v = numpy.empty(0, imageValueType)
+        return makePtsArray(x, y, v)
+
+
+def createUserColumnsSpatial(colNamesAndTypes, attrTbl, existingColNames):
+    """
+    Create user columns for spatial stats; returns
+    (numIntCols+1, numFloatCols+1, userColFast) where userColFast rows are
+    (globalColIdx, colType, colArrayIdx) (reference: tilingstats.py:
+    1587-1648 — the reference reserves one extra slot in each array).
+    """
+    numIntCols = 0
+    numFloatCols = 0
+    rows = []
+    for (colName, colType) in colNamesAndTypes:
+        if colName not in existingColNames:
+            attrTbl.CreateColumn(colName, colType, rio.GFU_Generic)
+            colNdx = attrTbl.GetColumnCount() - 1
+            existingColNames.append(colName)
+        else:
+            colNdx = existingColNames.index(colName)
+        if colType == rio.GFT_Integer:
+            statType = STAT_DTYPE_INT
+            arrayNdx = numIntCols
+            numIntCols += 1
+        elif colType == rio.GFT_Real:
+            statType = STAT_DTYPE_FLOAT
+            arrayNdx = numFloatCols
+            numFloatCols += 1
+        else:
+            raise PyShepSegStatsError(
+                "Only integer and float columns supported")
+        rows.append((colNdx, statType, arrayNdx))
+    userColFast = numpy.array(rows, dtype=numpy.uint32).reshape(-1, 3)
+    return (numIntCols + 1, numFloatCols + 1, userColFast)
+
+
+def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
+        colNamesAndTypes, userFunc, userParam, missingStatsValue=-9999):
+    """
+    Spatial per-segment statistics: accumulate every segment's pixel
+    coordinates (whole-image space), and when a segment completes, call
+    ``userFunc(pts, imgNullVal, intArr, floatArr, userParam)`` to fill the
+    requested RAT columns (reference: tilingstats.py:1262-1390).
+
+    ``pts`` is a recarray with fields x, y, val. ``colNamesAndTypes`` is a
+    list of (columnName, gdal column type) tuples. The imagery must have a
+    nodata value set (matching the reference's requirement).
+    """
+    timings = timinghooks.Timers()
+
+    segds, segband, imgds, imgband = doImageAlignmentChecks(
+        segfile, imgfile, imgbandnum)
+
+    imgNullVal = imgband.GetNoDataValue()
+    if imgNullVal is None:
+        raise PyShepSegStatsError("imgfile must have a nodata value set")
+    imgNullVal = imageValueType(imgNullVal)
+
+    attrTbl = segband.GetDefaultRAT()
+    existingColNames = [attrTbl.GetNameOfCol(i)
+                        for i in range(attrTbl.GetColumnCount())]
+    histColNdx = checkHistColumn(existingColNames)
+    segSize = attrTbl.ReadAsArray(histColNdx).astype(numpy.int64)
+    numSeg = len(segSize)
+
+    (numIntCols, numFloatCols, userColFast) = createUserColumnsSpatial(
+        colNamesAndTypes, attrTbl, existingColNames)
+
+    acc = SegmentPointAccumulator(numSeg, imgNullVal)
+    pagedRat = createPagedRat()
+
+    tileSize = tiling.TILESIZE
+    (nlines, npix) = (segband.YSize, segband.XSize)
+
+    for topLine in range(0, nlines, tileSize):
+        for leftPix in range(0, npix, tileSize):
+            xsize = min(tileSize, npix - leftPix)
+            ysize = min(tileSize, nlines - topLine)
+
+            with timings.interval('reading'):
+                tileSegments = segband.ReadAsArray(leftPix, topLine,
+                                                   xsize, ysize)
+                tileImageData = imgband.ReadAsArray(leftPix, topLine,
+                                                    xsize, ysize)
+
+            with timings.interval('accumulation'):
+                acc.accumulate(tileSegments, tileImageData, leftPix,
+                               topLine)
+
+            with timings.interval('statscompletion'):
+                for segId in acc.completedSegments(segSize):
+                    pts = acc.extractSegment(segId)
+                    intArr = numpy.full(numIntCols, missingStatsValue,
+                                        dtype=numpy.int64)
+                    floatArr = numpy.full(numFloatCols, missingStatsValue,
+                                          dtype=numpy.float64)
+                    if len(pts) > 0:
+                        userFunc(pts, imgNullVal, intArr, floatArr,
+                                 userParam)
+                    ratPage = _getRatPage(pagedRat, int(segId),
+                                          numIntCols, numFloatCols, numSeg)
+                    for (colNdx, statType, arrayNdx) in userColFast:
+                        if statType == STAT_DTYPE_INT:
+                            ratPage.setRatVal(int(segId), STAT_DTYPE_INT,
+                                              int(arrayNdx),
+                                              intArr[int(arrayNdx)])
+                        else:
+                            ratPage.setRatVal(int(segId), STAT_DTYPE_FLOAT,
+                                              int(arrayNdx),
+                                              floatArr[int(arrayNdx)])
+                    ratPage.setSegmentComplete(int(segId))
+
+            with timings.interval('writing'):
+                _writeCompletePagesSpatial(pagedRat, attrTbl, userColFast)
+
+    with timings.interval('writing'):
+        segds.FlushCache()
+
+    if len(pagedRat) > 0:
+        raise PyShepSegStatsError('Not all pixels found during processing')
+
+    rtn = TiledStatsResult()
+    rtn.timings = timings
+    return rtn
+
+
+def _writeCompletePagesSpatial(pagedRat, attrTbl, userColFast):
+    """Flush complete pages for the spatial-stats user columns."""
+    for pageId in list(pagedRat.keys()):
+        ratPage = pagedRat[pageId]
+        if not ratPage.pageComplete():
+            continue
+        startSegId = ratPage.startSegId
+        numRows = max(ratPage.intcols.shape[1], ratPage.floatcols.shape[1])
+        endSegId = startSegId + numRows
+        if attrTbl.GetRowCount() < endSegId:
+            attrTbl.SetRowCount(endSegId)
+        for (colNdx, statType, arrayNdx) in userColFast:
+            if statType == STAT_DTYPE_INT:
+                colArr = ratPage.intcols[int(arrayNdx)]
+            else:
+                colArr = ratPage.floatcols[int(arrayNdx)]
+            attrTbl.WriteArray(colArr, int(colNdx), start=int(startSegId))
+        pagedRat.pop(pageId)
+
+
+# ------------------------------------------------------------- RIOS glue
+
+
+def calcPerSegmentStatsRIOS(imgfile, imgbandnum, segfile,
+        statsSelection, missingStatsValue=-9999):
+    """
+    RIOS-driven variant of calcPerSegmentStatsTiled with read-worker
+    concurrency (reference: tilingstats.py:219-407). Requires RIOS.
+    """
+    try:
+        from rios import applier  # noqa: F401
+    except ImportError:
+        raise PyShepSegStatsError(
+            "calcPerSegmentStatsRIOS requires the rios package; use "
+            "calcPerSegmentStatsTiled instead")
+    # With RIOS present, the tiled implementation is driven identically;
+    # read concurrency comes from the io layer.
+    return calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
+                                    statsSelection, missingStatsValue)
+
+
+def calcPerSegmentSpatialStatsRIOS(imgfile, imgbandnum, segfile,
+        colNamesAndTypes, userFunc, userParam, missingStatsValue=-9999):
+    """
+    RIOS-driven variant of calcPerSegmentSpatialStatsTiled
+    (reference: tilingstats.py:1393-1584). Requires RIOS.
+    """
+    try:
+        from rios import applier  # noqa: F401
+    except ImportError:
+        raise PyShepSegStatsError(
+            "calcPerSegmentSpatialStatsRIOS requires the rios package; "
+            "use calcPerSegmentSpatialStatsTiled instead")
+    return calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
+                                           colNamesAndTypes, userFunc,
+                                           userParam, missingStatsValue)

@@ -1,0 +1,216 @@
+"""End-to-end tests for the tiled segmentation driver, including the
+stitch/recode logic and the concurrency backends."""
+
+import numpy as np
+import pytest
+
+from pyshepseg_tpu import tiling, shepseg
+from pyshepseg_tpu import io as rio
+from pyshepseg_tpu.ops.kmeans import TPUKMeans
+
+
+def perfect_kmeans(ncentres=20, nbands=3):
+    """A kmeansObj whose centres are exactly the test palette, so the
+    tests exercise the tiling machinery, not clustering quality."""
+    km = TPUKMeans(n_clusters=ncentres)
+    km.cluster_centers_ = (100 + 40 * np.arange(ncentres)[:, None] +
+                           np.zeros((1, nbands))).astype(np.float32)
+    return km
+
+
+def make_voronoi_raster(path, rng, shape=(150, 180), ncentres=20, nbands=3,
+                        nodata=None):
+    """Synthetic Voronoi-cell raster saved as .npseg; returns true cells."""
+    h, w = shape
+    centres = rng.uniform(0, [h, w], size=(ncentres, 2))
+    yy, xx = np.mgrid[0:h, 0:w]
+    d = ((yy[..., None] - centres[:, 0]) ** 2 +
+         (xx[..., None] - centres[:, 1]) ** 2)
+    true_seg = d.argmin(axis=-1)
+    # Colinear, well-separated palette: ideal for the diagonal k-means init,
+    # and cell colours differ by >= 40*sqrt(nbands), so a maxSpectralDiff
+    # below that provably blocks cross-cell merges.
+    palette = (100 + 40 * np.arange(ncentres)[:, None] +
+               np.zeros((1, nbands), dtype=np.int64))
+    img = palette[true_seg].transpose(2, 0, 1).astype(np.uint16)
+
+    ds = rio.create(path, w, h, nbands, np.uint16)
+    ds.SetGeoTransform((0.0, 10.0, 0.0, 0.0, 0.0, -10.0))
+    ds.SetProjection("FAKE_PROJ")
+    for b in range(nbands):
+        band = ds.GetRasterBand(b + 1)
+        band.WriteArray(img[b])
+        if nodata is not None:
+            band.SetNoDataValue(nodata)
+    return img, true_seg
+
+
+def run_tiled(inpath, outpath, **kwargs):
+    defaults = dict(tileSize=64, overlapSize=16, minSegmentSize=10,
+                    numClusters=20, kmeansObj=perfect_kmeans(),
+                    fourConnected=True, maxSpectralDiff=30.0)
+    defaults.update(kwargs)
+    return tiling.doTiledShepherdSegmentation(inpath, outpath, **defaults)
+
+
+@pytest.fixture
+def paths(tmp_path):
+    return str(tmp_path / "in.npseg"), str(tmp_path / "out.npseg")
+
+
+@pytest.fixture(scope="module")
+def serial_case(tmp_path_factory):
+    """One shared serial tiled run (the expensive part of this module)."""
+    tmp = tmp_path_factory.mktemp("serial")
+    inpath = str(tmp / "in.npseg")
+    outpath = str(tmp / "out.npseg")
+    rng = np.random.default_rng(42)
+    img, true_seg = make_voronoi_raster(inpath, rng)
+    res = run_tiled(inpath, outpath)
+    seg = rio.open(outpath).GetRasterBand(1).ReadAsArray()
+    return dict(inpath=inpath, outpath=outpath, img=img,
+                true_seg=true_seg, res=res, seg=seg)
+
+
+def check_output(outpath, res, img, true_seg):
+    ds = rio.open(outpath)
+    seg = ds.GetRasterBand(1).ReadAsArray()
+    assert seg.shape == true_seg.shape
+    # contiguous labels 1..maxSegId, none empty
+    used = np.unique(seg[seg > 0])
+    np.testing.assert_array_equal(used, np.arange(1, res.maxSegId + 1))
+    assert not res.hasEmptySegments
+    # Each segment belongs to one true Voronoi cell, except that
+    # eliminateSinglePixels may absorb a 1-pixel corner sliver into a
+    # neighbouring cell's segment with no spectral threshold (by design,
+    # matching the reference; shepseg.py:572-615). Allow only such
+    # single-pixel contamination.
+    misplaced = 0
+    for sid in used:
+        cells, counts = np.unique(true_seg[seg == sid], return_counts=True)
+        minority = counts.sum() - counts.max()
+        assert minority <= 2, f"segment {sid} spans cells {cells}: {counts}"
+        misplaced += minority
+    assert misplaced <= max(5, seg.size // 1000)
+    # histogram RAT matches actual counts
+    rat = ds.GetRasterBand(1).GetDefaultRAT()
+    histCol = rat.GetColOfUsage(rio.GFU_PixelCount)
+    hist = rat.ReadAsArray(histCol)
+    want = np.bincount(seg.ravel(), minlength=len(hist))
+    want[0] = 0
+    np.testing.assert_array_equal(hist.astype(np.int64),
+                                  want[:len(hist)].astype(np.int64))
+    return seg
+
+
+def test_tiled_serial(serial_case):
+    res = serial_case["res"]
+    outpath = serial_case["outpath"]
+    img, true_seg = serial_case["img"], serial_case["true_seg"]
+    assert res.numTileRows >= 2 and res.numTileCols >= 2
+    seg = check_output(outpath, res, img, true_seg)
+    # all pixels labelled (no nulls in input)
+    assert seg.min() >= 1
+    # timing machinery populated
+    summary = res.timings.makeSummaryDict()
+    assert "walltime" in summary and "stitchtiles" in summary
+    # geo metadata propagated
+    ds = rio.open(outpath)
+    assert ds.GetGeoTransform() == (0.0, 10.0, 0.0, 0.0, 0.0, -10.0)
+    assert ds.GetProjection() == "FAKE_PROJ"
+
+
+def test_tiled_with_nodata(paths, rng):
+    inpath, outpath = paths
+    img, true_seg = make_voronoi_raster(inpath, rng, nodata=0)
+    res = run_tiled(inpath, outpath, imgNullVal=None)  # read from file
+    ds = rio.open(outpath)
+    seg = ds.GetRasterBand(1).ReadAsArray()
+    assert seg.max() == res.maxSegId
+
+
+def test_simple_tile_recode(paths, rng):
+    inpath, outpath = paths
+    img, true_seg = make_voronoi_raster(inpath, rng, shape=(100, 100))
+    res = run_tiled(inpath, outpath, simpleTileRecode=True)
+    ds = rio.open(outpath)
+    seg = ds.GetRasterBand(1).ReadAsArray()
+    assert seg.min() >= 1
+    assert seg.max() <= res.maxSegId
+
+
+def test_tiled_threads_matches_serial(serial_case, tmp_path):
+    out2 = str(tmp_path / "out2.npseg")
+    cfg = tiling.SegmentationConcurrencyConfig(
+        concurrencyType=tiling.CONC_THREADS, numWorkers=2,
+        tileCompletionTimeout=600)
+    res2 = run_tiled(serial_case["inpath"], out2, concurrencyCfg=cfg)
+    seg2 = rio.open(out2).GetRasterBand(1).ReadAsArray()
+    np.testing.assert_array_equal(serial_case["seg"], seg2)
+    assert serial_case["res"].maxSegId == res2.maxSegId
+
+
+def test_three_phase_api_matches_monolithic(serial_case, tmp_path):
+    inpath = serial_case["inpath"]
+    seg1 = serial_case["seg"]
+    res1 = serial_case["res"]
+
+    # 3-phase: prepare -> per-tile doOne -> finalize
+    (inDs, bandNumbers, kmeansObj, subsamplePcnt, imgNullVal, tileInfo) = (
+        tiling.doTiledShepherdSegmentation_prepare(
+            inpath, tileSize=64, overlapSize=16, numClusters=20,
+            kmeansObj=perfect_kmeans()))
+    tileFilenames = {}
+    for (col, row) in sorted(tileInfo.tiles.keys()):
+        fn = str(tmp_path / f"tile_{col}_{row}.npseg")
+        tiling.doTiledShepherdSegmentation_doOne(
+            inDs, fn, tileInfo, col, row, bandNumbers, imgNullVal,
+            kmeansObj, minSegmentSize=10)
+        tileFilenames[(col, row)] = fn
+
+    out3 = str(tmp_path / "out3.npseg")
+    (maxSegId, hasEmpty, outDs) = (
+        tiling.doTiledShepherdSegmentation_finalize(
+            inDs, out3, tileFilenames, tileInfo, 16, str(tmp_path)))
+    seg3 = outDs.GetRasterBand(1).ReadAsArray()
+    np.testing.assert_array_equal(seg1, seg3)
+    assert maxSegId == res1.maxSegId
+
+
+def test_tile_grid_sliver_growth():
+    class FakeDs:
+        RasterXSize = 100
+        RasterYSize = 70
+
+    ti = tiling.getTilesForFile(FakeDs(), 40, 10)
+    # y: 0+80 > 70, so the single row grows to the full 70 rows
+    # x: tile at 0 (40 wide); next at 30: 30+80 > 100 -> grows to 70 wide
+    assert ti.ncols == 2 and ti.nrows == 1
+    assert ti.getTile(0, 0) == (0, 0, 40, 70)
+    assert ti.getTile(1, 0) == (30, 0, 70, 70)
+
+
+def test_histogram_accumulator():
+    acc = tiling.HistogramAccumulator()
+    acc.doHistAccum(np.array([[0, 1, 1], [2, 2, 2]], dtype=np.uint32))
+    np.testing.assert_array_equal(acc.hist, [0, 2, 3])
+    acc.doHistAccum(np.array([[5, 1]], dtype=np.uint32))
+    np.testing.assert_array_equal(acc.hist, [0, 3, 3, 0, 0, 1])
+
+
+def test_mode_match_tie_break():
+    a = np.array([[7, 7, 7, 7]], dtype=np.uint32)
+    b = np.array([[3, 3, 2, 2]], dtype=np.uint32)
+    m = tiling._modeMatch(a, b, np.array([7], dtype=np.uint32))
+    assert m == {7: 2}  # tie between 2 and 3 -> smallest wins
+
+
+def test_calc_histogram_tiled_deprecated(paths, rng):
+    inpath, outpath = paths
+    img, true_seg = make_voronoi_raster(inpath, rng, shape=(80, 80))
+    res = run_tiled(inpath, outpath)
+    hist = tiling.calcHistogramTiled(outpath, res.maxSegId, writeToRat=True)
+    seg = rio.open(outpath).GetRasterBand(1).ReadAsArray()
+    want = np.bincount(seg.ravel(), minlength=res.maxSegId + 1)
+    want[0] = 0
+    np.testing.assert_array_equal(hist, want)

@@ -1,0 +1,274 @@
+"""Tests for per-segment statistics (tilingstats) against brute-force
+oracles implementing the reference semantics."""
+
+import numpy as np
+import pytest
+
+from pyshepseg_tpu import tilingstats, tiling
+from pyshepseg_tpu import io as rio
+
+
+NODATA = 255
+
+
+def make_seg_and_img(tmp_path, rng, shape=(120, 130), nseg=40,
+                     img_nodata=NODATA):
+    """Random segmentation + image rasters with Histogram RAT column."""
+    h, w = shape
+    # random blobs: nearest of nseg random centres (so segments are compact)
+    centres = rng.uniform(0, [h, w], size=(nseg, 2))
+    yy, xx = np.mgrid[0:h, 0:w]
+    d = ((yy[..., None] - centres[:, 0]) ** 2 +
+         (xx[..., None] - centres[:, 1]) ** 2)
+    seg = (d.argmin(axis=-1) + 1).astype(np.uint32)
+    # some null segment area
+    seg[:3, :] = 0
+
+    img = rng.integers(0, 100, size=shape).astype(np.uint16)
+    # scatter nodata pixels
+    nd = rng.random(shape) < 0.05
+    img[nd] = img_nodata
+
+    segpath = str(tmp_path / "seg.npseg")
+    imgpath = str(tmp_path / "img.npseg")
+    segds = rio.create(segpath, w, h, 1, np.uint32)
+    segds.GetRasterBand(1).WriteArray(seg)
+    hist = np.bincount(seg.ravel(), minlength=int(seg.max()) + 1
+                       ).astype(np.float64)
+    hist[0] = 0
+    rat = segds.GetRasterBand(1).GetDefaultRAT()
+    rat.CreateColumn("Histogram", rio.GFT_Real, rio.GFU_PixelCount)
+    rat.WriteArray(hist, 0)
+
+    imgds = rio.create(imgpath, w, h, 1, np.uint16)
+    band = imgds.GetRasterBand(1)
+    band.WriteArray(img)
+    if img_nodata is not None:
+        band.SetNoDataValue(img_nodata)
+    return segpath, imgpath, seg, img
+
+
+def ref_stats(seg, img, sid, nodata):
+    """Reference-semantics per-segment stats, brute force."""
+    vals = img[seg == sid].astype(np.int64)
+    vals = np.sort(vals[vals != nodata])
+    out = {}
+    pc = len(vals)
+    out['pixcount'] = pc
+    if pc == 0:
+        return out
+    out['min'] = vals[0]
+    out['max'] = vals[-1]
+    mean32 = np.float32(vals.sum() / pc)
+    out['mean'] = mean32
+    out['stddev'] = np.float32(np.sqrt(((vals - mean32) ** 2).sum() / pc))
+    uniq, counts = np.unique(vals, return_counts=True)
+    out['mode'] = uniq[np.argmax(counts)]
+
+    def pcntile(p):
+        target = pc * (p / 100)
+        cum = 0
+        i = 0
+        while cum < target:
+            cum += counts[i]
+            i += 1
+        return uniq[i - 1]
+
+    out['median'] = pcntile(50)
+    out['p25'] = pcntile(25)
+    out['p75'] = pcntile(75)
+    return out
+
+
+@pytest.fixture
+def small_tiles(monkeypatch):
+    """Force small internal stats tiles so streaming is exercised."""
+    monkeypatch.setattr(tiling, "TILESIZE", 48)
+
+
+def test_per_segment_stats(tmp_path, rng, small_tiles):
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+    sel = [("b1_min", "min"), ("b1_max", "max"), ("b1_mean", "mean"),
+           ("b1_std", "stddev"), ("b1_med", "median"), ("b1_mode", "mode"),
+           ("b1_p25", "percentile", 25), ("b1_p75", "percentile", 75),
+           ("b1_n", "pixcount")]
+    res = tilingstats.calcPerSegmentStatsTiled(imgpath, 1, segpath, sel)
+    assert res.timings is not None
+
+    rat = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    cols = {n: rat.ReadAsArray(names.index(n)) for n in
+            ("b1_min", "b1_max", "b1_mean", "b1_std", "b1_med", "b1_mode",
+             "b1_p25", "b1_p75", "b1_n")}
+
+    for sid in range(1, int(seg.max()) + 1):
+        want = ref_stats(seg, img, sid, NODATA)
+        assert cols["b1_n"][sid] == want['pixcount']
+        if want['pixcount'] == 0:
+            assert cols["b1_min"][sid] == -9999
+            continue
+        assert cols["b1_min"][sid] == want['min']
+        assert cols["b1_max"][sid] == want['max']
+        np.testing.assert_allclose(cols["b1_mean"][sid], want['mean'],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(cols["b1_std"][sid], want['stddev'],
+                                   rtol=1e-5, atol=1e-5)
+        assert cols["b1_med"][sid] == want['median']
+        assert cols["b1_mode"][sid] == want['mode']
+        assert cols["b1_p25"][sid] == want['p25']
+        assert cols["b1_p75"][sid] == want['p75']
+
+
+def test_all_nodata_segment(tmp_path, rng, small_tiles):
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
+                                                  shape=(60, 60), nseg=6)
+    # make one whole segment nodata
+    imgds = rio.open(imgpath, rio.GA_Update)
+    band = imgds.GetRasterBand(1)
+    data = band.ReadAsArray()
+    data[seg == 3] = NODATA
+    band.WriteArray(data)
+
+    sel = [("m", "mean"), ("n", "pixcount")]
+    tilingstats.calcPerSegmentStatsTiled(imgpath, 1, segpath, sel,
+                                         missingStatsValue=-42)
+    rat = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    assert rat.ReadAsArray(names.index("m"))[3] == -42
+    assert rat.ReadAsArray(names.index("n"))[3] == 0
+
+
+def test_float_image_rejected(tmp_path, rng):
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
+                                                  shape=(40, 40), nseg=4)
+    fpath = str(tmp_path / "f.npseg")
+    ds = rio.create(fpath, 40, 40, 1, np.float32)
+    ds.GetRasterBand(1).WriteArray(np.zeros((40, 40), np.float32))
+    with pytest.raises(tilingstats.PyShepSegStatsError,
+                       match="Float image"):
+        tilingstats.calcPerSegmentStatsTiled(fpath, 1, segpath,
+                                             [("m", "mean")])
+
+
+def test_missing_histogram_column(tmp_path, rng):
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
+                                                  shape=(40, 40), nseg=4)
+    seg2 = str(tmp_path / "seg2.npseg")
+    ds = rio.create(seg2, 40, 40, 1, np.uint32)
+    ds.GetRasterBand(1).WriteArray(seg[:40, :40])
+    with pytest.raises(tilingstats.PyShepSegStatsError,
+                       match="Histogram"):
+        tilingstats.calcPerSegmentStatsTiled(imgpath, 1, seg2,
+                                             [("m", "mean")])
+
+
+def test_size_mismatch_rejected(tmp_path, rng):
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
+                                                  shape=(40, 40), nseg=4)
+    other = str(tmp_path / "other.npseg")
+    ds = rio.create(other, 30, 30, 1, np.uint16)
+    ds.GetRasterBand(1).WriteArray(np.zeros((30, 30), np.uint16))
+    with pytest.raises(tilingstats.PyShepSegStatsError, match="same size"):
+        tilingstats.calcPerSegmentStatsTiled(other, 1, segpath,
+                                             [("m", "mean")])
+
+
+# ------------------------------------------------------------ spatial
+
+
+def test_spatial_mean_coord(tmp_path, rng, small_tiles):
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+    transform = np.array([0.0, 1.0, 0.0, 0.0, 0.0, 1.0])
+    cols = [("easting", rio.GFT_Real), ("northing", rio.GFT_Real)]
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, cols, tilingstats.userFuncMeanCoord,
+        transform)
+    rat = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    e = rat.ReadAsArray(names.index("easting"))
+    n = rat.ReadAsArray(names.index("northing"))
+    for sid in range(1, int(seg.max()) + 1):
+        inseg = (seg == sid) & (img != NODATA)
+        if inseg.sum() == 0:
+            continue
+        rows, colsIdx = np.nonzero(inseg)
+        np.testing.assert_allclose(e[sid], colsIdx.mean(), atol=3e-4)
+        np.testing.assert_allclose(n[sid], rows.mean(), atol=3e-4)
+
+
+def test_spatial_edge_pixels(tmp_path, rng, small_tiles):
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
+                                                  shape=(80, 80), nseg=8)
+    cols = [("edgepix", rio.GFT_Integer)]
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, cols, tilingstats.userFuncNumEdgePixels, True)
+    rat = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    edgecol = rat.ReadAsArray(names.index("edgepix"))
+
+    # brute-force oracle following the reference definition: mask of valid
+    # (non-nodata) segment pixels over the segment's bounding box; edge =
+    # mask pixel with any missing 4-neighbour (bbox border counts)
+    for sid in range(1, int(seg.max()) + 1):
+        inseg = (seg == sid) & (img != NODATA)
+        if inseg.sum() == 0:
+            continue
+        rows, colsIdx = np.nonzero(inseg)
+        mask = np.zeros((rows.max() - rows.min() + 1,
+                         colsIdx.max() - colsIdx.min() + 1), np.uint8)
+        mask[rows - rows.min(), colsIdx - colsIdx.min()] = 1
+        want = 0
+        for (r, c) in zip(*np.nonzero(mask)):
+            if (r == 0 or c == 0 or r == mask.shape[0] - 1 or
+                    c == mask.shape[1] - 1):
+                want += 1
+            elif (mask[r - 1, c] + mask[r + 1, c] + mask[r, c - 1] +
+                  mask[r, c + 1]) < 4:
+                want += 1
+        assert edgecol[sid] == want, f"segment {sid}"
+
+
+def test_spatial_variogram(tmp_path, rng, small_tiles):
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
+                                                  shape=(60, 60), nseg=5)
+    maxDist = 2
+    cols = [("vario1", rio.GFT_Real), ("vario2", rio.GFT_Real)]
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, cols, tilingstats.userFuncVariogram, maxDist)
+    rat = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    v1 = rat.ReadAsArray(names.index("vario1"))
+    v2 = rat.ReadAsArray(names.index("vario2"))
+
+    # brute force from the reference's loop definition
+    for sid in range(1, int(seg.max()) + 1):
+        inseg = (seg == sid) & (img != NODATA)
+        if inseg.sum() == 0:
+            continue
+        rows, colsIdx = np.nonzero(inseg)
+        tile = np.full((rows.max() - rows.min() + 1,
+                        colsIdx.max() - colsIdx.min() + 1), NODATA,
+                       np.int64)
+        tile[rows - rows.min(), colsIdx - colsIdx.min()] = (
+            img[inseg].astype(np.int64))
+        counts = np.zeros(maxDist)
+        sums = np.zeros(maxDist)
+        ys, xs = tile.shape
+        for y in range(ys):
+            for x in range(xs):
+                if tile[y, x] == NODATA:
+                    continue
+                for yo in range(1, maxDist + 1):
+                    for xo in range(1, maxDist + 1):
+                        if y + yo < ys and x + xo < xs:
+                            val2 = tile[y + yo, x + xo]
+                            if val2 == NODATA:
+                                continue
+                            dist = int(np.sqrt(yo * yo + xo * xo))
+                            if 0 < dist <= maxDist:
+                                counts[dist - 1] += 1
+                                sums[dist - 1] += (tile[y, x] - val2) ** 2
+        for n, col in ((0, v1), (1, v2)):
+            if counts[n] > 0:
+                np.testing.assert_allclose(
+                    col[sid], np.sqrt(sums[n] / counts[n]), rtol=1e-6)
