@@ -3,10 +3,17 @@ Connected-component labelling ("clumping") on TPU.
 
 Replaces the reference's scan-order flood fill
 (reference: pyshepseg/shepseg.py:452-541) with an iterative data-parallel
-formulation: every valid pixel starts labelled with its own flat index, and
-each sweep takes the minimum label over connected same-value neighbours,
-followed by pointer-jumping (label = label[label]) which shortcuts long
-chains so convergence is ~O(log diameter) sweeps instead of O(diameter).
+formulation: every valid pixel starts labelled with its own flat index and
+labels only ever decrease, via three complementary mechanisms per sweep:
+
+1. neighbour min over the connectivity offsets (cheap pad+slice shifts;
+   for 8-connectivity this is what carries labels across diagonals),
+2. segmented min-scans along rows and columns (``lax.associative_scan``
+   with run breaks where the pixel value changes) — a label crosses an
+   entire same-value run in one log-depth scan with NO gather traffic,
+3. one pointer-jumping step (label = label[label]) that collapses long
+   label chains so spiral-shaped components converge in O(log) sweeps.
+
 At the fixpoint every component carries the flat index of its first pixel
 in row-major scan order, which is exactly the order in which the reference's
 flood fill seeds new clumps — so the final scan-order relabel reproduces the
@@ -29,31 +36,36 @@ from .constants import SegIdType, SEGNULLVAL
 from .shifts import shift, offsets_for
 
 
-def _propagation_step(img, valid, sentinel, offsets):
-    """Build the body of one min-label propagation sweep."""
+def _seg_min_scan(labels, brk, axis):
+    """
+    Segmented inclusive min-scan of ``labels`` along ``axis``; ``brk`` marks
+    elements that must not take from their predecessor in scan direction.
+    The (value, break) combiner is the standard segmented-scan monoid.
+    """
 
-    def body(carry):
-        labels, _ = carry
-        new = labels
-        for dy, dx in offsets:
-            nbr_lab = shift(labels, dy, dx, sentinel)
-            nbr_same = shift(img, dy, dx, -1) == img
-            cand = jnp.where(valid & nbr_same, nbr_lab, sentinel)
-            new = jnp.minimum(new, cand)
-        # Pointer jumping: follow the label chain two hops so minima spread
-        # multiplicatively across the component each sweep.
-        flat = new.ravel()
-        flat_ext = jnp.concatenate([flat, jnp.array([sentinel], flat.dtype)])
-        for _ in range(2):
-            flat = flat_ext[flat]
-            flat_ext = jnp.concatenate(
-                [flat, jnp.array([sentinel], flat.dtype)])
-        new = flat.reshape(labels.shape)
-        new = jnp.where(valid, new, sentinel)
-        changed = jnp.any(new != labels)
-        return new, changed
+    def comb(a, b):
+        av, ab = a
+        bv, bb = b
+        return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
 
-    return body
+    v, _ = jax.lax.associative_scan(comb, (labels, brk), axis=axis)
+    return v
+
+
+def _run_min(labels, conn_prev, axis):
+    """
+    Min of each label over its whole same-value run along ``axis``.
+    ``conn_prev[..i..]`` is True when element i is connected to element i-1
+    along the axis. Computed as min(forward scan, backward scan).
+    """
+    fwd = _seg_min_scan(labels, ~conn_prev, axis)
+    # Backward: in flipped coordinates, the predecessor of j is the
+    # original successor, whose connectivity bit is conn_prev at i+1.
+    conn_next = jnp.flip(
+        shift(conn_prev, *((1, 0) if axis == 0 else (0, 1)), False), axis)
+    bwd = jnp.flip(
+        _seg_min_scan(jnp.flip(labels, axis), ~conn_next, axis), axis)
+    return jnp.minimum(fwd, bwd)
 
 
 def clump_labels(img, ignore_val, four_connected=True):
@@ -81,15 +93,43 @@ def clump_labels(img, ignore_val, four_connected=True):
     sentinel = jnp.int32(n)
     valid = img != ignore_val
     idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
-    labels = jnp.where(valid, idx, sentinel)
+    labels0 = jnp.where(valid, idx, sentinel)
 
-    body = _propagation_step(img, valid, sentinel, offsets_for(four_connected))
+    # Connectivity along rows/cols (pass-invariant)
+    def conn(dy, dx):
+        # valid-shift masks both out-of-image and null neighbours, so the
+        # fill value of the img shift never reaches the comparison result
+        return (valid & shift(valid, dy, dx, False) &
+                (img == shift(img, dy, dx, ignore_val)))
 
-    def cond(carry):
-        return carry[1]
+    conn_row = conn(0, -1)   # connected to left neighbour
+    conn_col = conn(-1, 0)   # connected to upper neighbour
+
+    # Diagonal offsets only — horizontal/vertical propagation is handled
+    # (much further per sweep) by the run scans.
+    diag_offsets = [(dy, dx) for dy, dx in offsets_for(four_connected)
+                    if dy != 0 and dx != 0]
+    nbr_same = [(dy, dx, conn(dy, dx)) for dy, dx in diag_offsets]
+
+    def body(carry):
+        labels, _ = carry
+        new = labels
+        for dy, dx, same in nbr_same:
+            new = jnp.minimum(new, jnp.where(same,
+                                             shift(new, dy, dx, sentinel),
+                                             sentinel))
+        new = _run_min(new, conn_row, axis=1)
+        new = _run_min(new, conn_col, axis=0)
+        # One pointer-jumping hop collapses label chains multiplicatively
+        flat = new.ravel()
+        flat_ext = jnp.concatenate([flat, jnp.array([sentinel], flat.dtype)])
+        new = flat_ext[flat].reshape(labels.shape)
+        new = jnp.where(valid, new, sentinel)
+        changed = jnp.any(new != labels)
+        return new, changed
 
     labels, _ = jax.lax.while_loop(
-        cond, lambda c: body(c), (labels, jnp.bool_(True)))
+        lambda c: c[1], body, (labels0, jnp.bool_(True)))
 
     # Scan-order relabel: component root = min flat index = first pixel the
     # reference's raster scan would have seeded from.

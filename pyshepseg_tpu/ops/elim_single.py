@@ -29,28 +29,39 @@ from .shifts import shift, offsets_for
 from .segreduce import seg_sizes, relabel
 
 
-def _one_pass(img_f, seg, seg_size, four_connected: bool):
+def _spectral_dist_fields(img_f, four_connected: bool):
+    """
+    (K, H, W) squared spectral distances to each 3x3 neighbour in scan
+    order. Pass-invariant (the image never changes), so the fixpoint loop
+    hoists this out and each pass only recomputes the masks.
+    """
+    dists = []
+    for dy, dx in offsets_for(four_connected):
+        d2 = jnp.zeros(img_f.shape[1:], jnp.float32)
+        for b in range(img_f.shape[0]):
+            diff = img_f[b] - shift(img_f[b], dy, dx, 0.0)
+            d2 = d2 + diff * diff
+        dists.append(d2)
+    return jnp.stack(dists)
+
+
+def _one_pass(dist_all, seg, seg_size, four_connected: bool):
     """One find-all-then-apply merge pass. Returns (seg', seg_size', nElim)."""
-    h, w = seg.shape
     capacity = seg_size.shape[0]
     offsets = offsets_for(four_connected)
     inf = jnp.float32(jnp.inf)
 
-    sizes_at = seg_size[seg.astype(jnp.int32)]
+    sizes_at = seg_size[seg.astype(jnp.int32)]   # the pass's only big gather
     single = sizes_at == 1
 
-    inb = jnp.ones((h, w), dtype=bool)
     dists = []
     nbr_segs = []
-    for dy, dx in offsets:
+    for k, (dy, dx) in enumerate(offsets):
         nbr_seg = shift(seg, dy, dx, 0)
-        nbr_inb = shift(inb, dy, dx, False)
-        nbr_ok = nbr_inb & (seg_size[nbr_seg.astype(jnp.int32)] > 1)
-        d2 = jnp.zeros((h, w), jnp.float32)
-        for b in range(img_f.shape[0]):
-            diff = img_f[b] - shift(img_f[b], dy, dx, 0.0)
-            d2 = d2 + diff * diff
-        dists.append(jnp.where(nbr_ok, d2, inf))
+        # Neighbour's segment size as a shift of the gathered field; the
+        # 0 fill keeps out-of-image neighbours ineligible (size 0 < 2).
+        nbr_ok = shift(sizes_at, dy, dx, jnp.uint32(0)) > 1
+        dists.append(jnp.where(nbr_ok, dist_all[k], inf))
         nbr_segs.append(nbr_seg)
 
     dist_stack = jnp.stack(dists)        # (K, H, W), scan order
@@ -80,12 +91,14 @@ def eliminate_single_pixels_device(img_f, seg, seg_size,
     Returns (relabelled seg, total number of pixels eliminated).
     """
 
+    dist_all = _spectral_dist_fields(img_f, four_connected)
+
     def cond(carry):
         return carry[3] > 0
 
     def body(carry):
         seg_c, size_c, total, _ = carry
-        seg_n, size_n, n = _one_pass(img_f, seg_c, size_c, four_connected)
+        seg_n, size_n, n = _one_pass(dist_all, seg_c, size_c, four_connected)
         return seg_n, size_n, total + n, n
 
     seg, seg_size, total, _ = jax.lax.while_loop(

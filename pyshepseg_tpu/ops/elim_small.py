@@ -26,13 +26,21 @@ exactly-equal spectral distances. We document two deviations:
 
 Both only matter on exact floating-point ties.
 
-Per pass the kernel does: gather per-pixel segment means -> masked 3x3
-neighbour distance fields -> per-segment min reduction (segment_min) ->
-tie-resolved neighbour choice -> spectral-difference threshold -> gather
-remap of labels + segment-sum updates of sizes/spectral sums. Everything is
+Per pass the kernel does: ONE gather of per-pixel segment means/sizes ->
+shift-based (pad+slice, gather-free) 3x3 neighbour distance fields reduced
+to a per-pixel minimum -> two per-segment min reductions (distance, then
+tie-resolved neighbour ID) -> spectral-difference threshold -> gather remap
+of labels + segment-sum updates of sizes/spectral sums. TPU scatters
+(segment_min/_sum over megapixel index vectors) are the expensive
+primitive, so the pixel-level pre-reduction that cuts them from 8 per pass
+to 2 is the key optimisation; neighbour values come from shifts of the
+already-gathered per-pixel fields rather than fresh gathers. Everything is
 statically shaped (capacity = padded max segment count), so the whole
-targetSize x pass loop nest compiles to one XLA program.
+targetSize x pass loop nest compiles to one XLA program, and target sizes
+with no candidate segments short-circuit in the while-loop condition.
 """
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -62,37 +70,40 @@ def _merge_pass(seg, seg_size, spect_sum, target, max_diff_sqr,
     seg_i = seg.astype(jnp.int32)
     mean_at = mean[seg_i]                              # (H, W, nBands)
     size_at = seg_size[seg_i]                          # (H, W)
-    cand_at = is_cand[seg_i]                           # (H, W)
+    cand_at = (size_at == target) & (seg != SEGNULLVAL)
 
-    # Pass 1: per-candidate-segment minimum neighbour distance
-    d_best = jnp.full(capacity, inf)
+    # Per-pixel minimum over the neighbour offsets. Neighbour mean/size
+    # fields are shifts (pad+slice) of the gathered per-pixel fields — no
+    # further gathers. A given (seg, nbr) pair produces bit-identical d2 at
+    # every pixel (same float expression on the same mean rows), so exact
+    # equality against the per-segment minimum below recovers the full
+    # (pixel, offset) argmin set.
+    d2_fields = []
     nbr_fields = []
-    dist_fields = []
     for dy, dx in offsets:
         nbr = shift(seg, dy, dx, SEGNULLVAL)
-        nbr_i = nbr.astype(jnp.int32)
+        nbr_size = shift(size_at, dy, dx, jnp.uint32(0))
+        nbr_mean = shift(mean_at, dy, dx, 0.0)
         ok = (cand_at & (nbr != seg) & (nbr != SEGNULLVAL) &
-              (seg_size[nbr_i] > size_at))
-        diff = mean_at - mean[nbr_i]
+              (nbr_size > size_at))
+        diff = mean_at - nbr_mean
         d2 = jnp.sum(diff * diff, axis=-1)
-        d2 = jnp.where(ok, d2, inf)
-        d_best = jnp.minimum(
-            d_best,
-            jax.ops.segment_min(d2.ravel(), seg_i.ravel(),
-                                num_segments=capacity))
-        nbr_fields.append(nbr)
-        dist_fields.append(d2)
+        d2_fields.append(jnp.where(ok, d2, inf))
+        nbr_fields.append(jnp.where(ok, nbr, big_id))
+    d2_px = functools.reduce(jnp.minimum, d2_fields)   # (H, W)
+    nb_px = jnp.full((h, w), big_id, jnp.uint32)
+    for d2, nbr in zip(d2_fields, nbr_fields):
+        nb_px = jnp.minimum(nb_px, jnp.where(d2 == d2_px, nbr, big_id))
 
-    # Pass 2: among pairs achieving the minimum, pick the smallest nbr ID
+    # Two per-segment reductions: min distance, then smallest neighbour ID
+    # among the (pixel, offset) pairs achieving it.
+    flat_seg = seg_i.ravel()
+    d_best = jax.ops.segment_min(d2_px.ravel(), flat_seg,
+                                 num_segments=capacity)
     d_best_at = d_best[seg_i]
-    best_nbr = jnp.full(capacity, big_id)
-    for nbr, d2 in zip(nbr_fields, dist_fields):
-        hit = jnp.isfinite(d2) & (d2 == d_best_at)
-        cand_nbr = jnp.where(hit, nbr, big_id)
-        best_nbr = jnp.minimum(
-            best_nbr,
-            jax.ops.segment_min(cand_nbr.ravel(), seg_i.ravel(),
-                                num_segments=capacity))
+    nb_hit = jnp.where(d2_px == d_best_at, nb_px, big_id)
+    best_nbr = jax.ops.segment_min(nb_hit.ravel(), flat_seg,
+                                   num_segments=capacity)
 
     # Spectral-difference limit (reference: shepseg.py:1060-1061, strict >)
     merge_to = jnp.where(
@@ -142,7 +153,10 @@ def eliminate_small_segments_device(seg, img_f, seg_size, spect_sum,
 
         def cond(c):
             _, _, _, count, prev, passes, _ = c
-            return (count != prev) & (passes < 10)
+            # count == 0 short-circuit: a pass with no candidate segments is
+            # the identity, so skipping it cannot change the result (the
+            # reference would run the no-op pass; same fixpoint).
+            return (count > 0) & (count != prev) & (passes < 10)
 
         def body(c):
             seg_c, size_c, spect_c, count, prev, passes, elim = c

@@ -33,9 +33,16 @@ def _assign_scores(x, centers):
     catastrophic float32 cancellation of |x|^2 - 2x.c + |c|^2 (which can
     make near-duplicate centres each appear closest to some points, hiding
     empty clusters from the repair step).
+
+    Precision.HIGHEST is load-bearing: the TPU MXU's default bfloat16
+    inputs give ~2^-8 relative error, which at 16-bit imagery magnitudes
+    (scores ~1e8) exceeds the inter-cluster score margins (~1e4) and makes
+    Lloyd's diverge from even a perfect init. HIGHEST (fp32-accurate
+    multi-pass) keeps rounding ~1e0 at these magnitudes.
     """
     cc = jnp.sum(centers * centers, axis=1)
-    xc = jnp.dot(x, centers.T, preferred_element_type=jnp.float32)
+    xc = jnp.dot(x, centers.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     return 0.5 * cc[None, :] - xc
 
 

@@ -35,11 +35,15 @@ def shift(a, dy: int, dx: int, fill):
     is in bounds, and ``fill`` elsewhere — i.e. "the value of my neighbour at
     offset (dy, dx)". dy/dx are compile-time constants; implemented as
     pad + static slice so XLA fuses it into surrounding elementwise ops.
+
+    Arrays with more than 2 dims are shifted along the first two axes
+    (e.g. per-pixel spectral vectors of shape (H, W, nBands)).
     """
     if dy == 0 and dx == 0:
         return a
-    h, w = a.shape
-    pad = [(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))]
+    h, w = a.shape[:2]
+    pad = ([(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))] +
+           [(0, 0)] * (a.ndim - 2))
     padded = jnp.pad(a, pad, mode="constant", constant_values=fill)
     y0 = max(-dy, 0) + dy
     x0 = max(-dx, 0) + dx

@@ -12,16 +12,21 @@ Segment ID numbers start from 1; zero is the null segment ID.
 """
 
 import time
+import functools
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from .ops.constants import SegIdType, SEGNULLVAL, MINSEGID  # noqa: F401
-from .ops.clump import clump  # noqa: F401
+from .ops.clump import clump, clump_labels  # noqa: F401
 from .ops.segreduce import (  # noqa: F401
     makeSegSize, buildSegmentSpectra, relabelSegments,
-    makeSegmentLocations, SegmentLocations)
-from .ops.elim_single import eliminateSinglePixels  # noqa: F401
-from .ops.elim_small import eliminateSmallSegments  # noqa: F401
+    makeSegmentLocations, SegmentLocations, seg_sizes, seg_spectral_sums)
+from .ops.elim_single import (  # noqa: F401
+    eliminateSinglePixels, eliminate_single_pixels_device)
+from .ops.elim_small import (  # noqa: F401
+    eliminateSmallSegments, eliminate_small_segments_device, round_capacity)
 from .ops.kmeans import TPUKMeans, predict_labels
 
 
@@ -52,6 +57,56 @@ class SegmentationResult(object):
         self.smallSegmentsEliminated = None
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("has_null", "four_connected"))
+def _cluster_and_clump_device(img_dev, centers, img_null_val,
+                              has_null: bool, four_connected: bool):
+    """
+    Device dispatch #1: cast image to float32, assign nearest cluster
+    (reference: shepseg.py:317-361), clump connected components
+    (reference: shepseg.py:452-541). Keeps everything device-resident so
+    the image crosses host->device exactly once, in its native dtype.
+    """
+    from .ops.kmeans import _assign_scores
+
+    img_f = img_dev.astype(jnp.float32)
+    nbands, h, w = img_f.shape
+    x = img_f.reshape(nbands, h * w).T
+    labels = jnp.argmin(_assign_scores(x, centers), axis=1).astype(
+        jnp.uint32) + MINSEGID
+    clusters = labels.reshape(h, w)
+    if has_null:
+        nullmask = jnp.any(img_f == img_null_val, axis=0)
+        clusters = jnp.where(nullmask, jnp.uint32(SEGNULLVAL), clusters)
+    seg, num_clumps = clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
+                                   four_connected=four_connected)
+    return img_f, seg, num_clumps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_seg_size", "four_connected", "capacity"))
+def _eliminations_device(img_f, seg, max_spectral_diff,
+                         min_seg_size: int, four_connected: bool,
+                         capacity: int):
+    """
+    Device dispatch #2 (static capacity bucketed from the clump count):
+    single-pixel elimination (reference: shepseg.py:572-736), then
+    small-segment elimination (reference: shepseg.py:918-1123), both with
+    their internal relabels. Returns (seg, maxAfterSingle, nSmall, maxSegId).
+    """
+    size = seg_sizes(seg, capacity)
+    seg, _ = eliminate_single_pixels_device(img_f, seg, size, four_connected)
+    max_after_single = jnp.max(seg)
+    size = seg_sizes(seg, capacity)
+    spect = seg_spectral_sums(seg, img_f, capacity)
+    seg, n_small = eliminate_small_segments_device(
+        seg, img_f, size, spect, min_seg_size, max_spectral_diff,
+        four_connected)
+    return seg, max_after_single, n_small, jnp.max(seg)
+
+
 def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
         minSegmentSize=50, maxSpectralDiff='auto', imgNullVal=None,
         fourConnected=True, verbose=False, fixedKMeansInit=False,
@@ -61,6 +116,10 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     array of shape (nBands, nRows, nCols)
     (reference: pyshepseg/shepseg.py:130-249 — same parameters, same
     semantics; compute runs on TPU).
+
+    The image is uploaded to the device once (native dtype) and all stages
+    run device-resident; the only mid-pipeline host sync is the scalar
+    clump count, which picks the static per-segment array capacity.
 
     Returns a SegmentationResult. Segment IDs start from 1; 0 is null.
     """
@@ -72,41 +131,34 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     else:
         km = fitSpectralClusters(img, numClusters, clusterSubsamplePcnt,
                                  imgNullVal, fixedKMeansInit)
-    clusters = applySpectralClusters(km, img, imgNullVal)
+    centers = jnp.asarray(np.asarray(km.cluster_centers_, dtype=np.float32))
+    hasNull = imgNullVal is not None
+    nullVal = jnp.float32(imgNullVal if hasNull else 0)
+    img_f, seg_dev, numClumps = _cluster_and_clump_device(
+        jnp.asarray(img), centers, nullVal,
+        has_null=hasNull, four_connected=bool(fourConnected))
+    maxSegId = int(numClumps)  # scalar sync; picks the capacity bucket
     if verbose:
-        print("Kmeans, in", round(time.time() - t0, 1), "seconds")
-
-    t0 = time.time()
-    (seg, maxSegId) = clump(clusters, SEGNULLVAL, fourConnected=fourConnected,
-                            clumpId=MINSEGID)
-    maxSegId = SegIdType(maxSegId - 1)
-    if verbose:
-        print("Found", maxSegId, "clumps, in",
-              round(time.time() - t0, 1), "seconds")
-
-    segSize = makeSegSize(seg)
-
-    t0 = time.time()
-    oldMaxSegId = maxSegId
-    eliminateSinglePixels(img, seg, segSize, MINSEGID, maxSegId,
-                          fourConnected)
-    maxSegId = seg.max()
-    numElimSinglepix = int(oldMaxSegId) - int(maxSegId)
-    if verbose:
-        print("Eliminated", numElimSinglepix, "single pixels, in",
+        print("Kmeans plus clump found", maxSegId, "clumps, in",
               round(time.time() - t0, 1), "seconds")
 
     maxSpectralDiff = autoMaxSpectralDiff(km, maxSpectralDiff,
                                           spectDistPcntile)
 
     t0 = time.time()
-    numElimSmall = eliminateSmallSegments(seg, img, maxSegId, minSegmentSize,
-                                          maxSpectralDiff, fourConnected,
-                                          MINSEGID)
+    capacity = round_capacity(maxSegId + 1)
+    seg_dev, maxAfterSingle, numElimSmall, finalMax = _eliminations_device(
+        img_f, seg_dev, jnp.float32(maxSpectralDiff),
+        min_seg_size=int(minSegmentSize),
+        four_connected=bool(fourConnected), capacity=capacity)
+    seg = np.asarray(seg_dev).astype(SegIdType)
+    numElimSinglepix = maxSegId - int(maxAfterSingle)
+    numElimSmall = int(numElimSmall)
     if verbose:
-        print("Eliminated", numElimSmall, "segments, in",
+        print("Eliminated", numElimSinglepix, "single pixels and",
+              numElimSmall, "small segments, in",
               round(time.time() - t0, 1), "seconds")
-        print("Final result has", seg.max(), "segments")
+        print("Final result has", int(finalMax), "segments")
 
     segResult = SegmentationResult()
     segResult.segimg = seg
