@@ -26,18 +26,27 @@ exactly-equal spectral distances. We document two deviations:
 
 Both only matter on exact floating-point ties.
 
-Per pass the kernel does: ONE gather of per-pixel segment means/sizes ->
-shift-based (pad+slice, gather-free) 3x3 neighbour distance fields reduced
-to a per-pixel minimum -> two per-segment min reductions (distance, then
-tie-resolved neighbour ID) -> spectral-difference threshold -> gather remap
-of labels + segment-sum updates of sizes/spectral sums. TPU scatters
-(segment_min/_sum over megapixel index vectors) are the expensive
-primitive, so the pixel-level pre-reduction that cuts them from 8 per pass
-to 2 is the key optimisation; neighbour values come from shifts of the
-already-gathered per-pixel fields rather than fresh gathers. Everything is
-statically shaped (capacity = padded max segment count), so the whole
-targetSize x pass loop nest compiles to one XLA program, and target sizes
-with no candidate segments short-circuit in the while-loop condition.
+TPU-native formulation — GRAPH space, not image space
+-----------------------------------------------------
+The reference rescans segment pixels and their 3x3 windows every pass. A
+dense whole-image pass on TPU costs O(H*W) regardless of how few candidate
+segments exist, and the targetSize x fixpoint loop nest runs hundreds of
+passes. Key observation: segments only ever merge, so the *current*
+segment adjacency is the image's original adjacency pushed through an
+id-remap (orig id -> current id). We therefore:
+
+1. extract the unique segment-adjacency edge list from the image ONCE
+   (shift comparisons -> lexicographic sort -> run-length dedupe), sized
+   by a host-bucketed edge capacity;
+2. run every find+apply pass purely on (numEdges,) and (capacity,) arrays:
+   remap edge endpoints, per-edge mean distances, two segment_min
+   reductions, merge application as capacity-sized scatter-adds, and a
+   remap composition (remap = mergeMap[remap]);
+3. rewrite the segment image with a single gather at the very end,
+   followed by the contiguous relabel.
+
+Per-pass cost goes from O(H*W) to O(E) with E ~ 6 * numSegments (grid
+adjacency is near-planar), independent of tile size.
 """
 
 import functools
@@ -51,59 +60,90 @@ from .shifts import shift, offsets_for
 from .segreduce import seg_sizes, seg_spectral_sums, relabel
 
 
-def _merge_pass(seg, seg_size, spect_sum, target, max_diff_sqr,
-                four_connected: bool):
-    """One find+apply pass for segments of exactly ``target`` pixels."""
-    h, w = seg.shape
-    capacity = seg_size.shape[0]
-    offsets = offsets_for(four_connected)
-    inf = jnp.float32(jnp.inf)
-    big_id = jnp.uint32(0xFFFFFFFF)
+def round_capacity(n: int) -> int:
+    """Round a segment-count capacity up to a bucket to limit recompiles."""
+    cap = 1024
+    while cap < n:
+        cap *= 2
+    return cap
 
-    ids = jnp.arange(capacity, dtype=jnp.uint32)
-    is_cand = (seg_size == target) & (ids >= MINSEGID)
 
-    # Per-segment mean spectra (frozen snapshot for the whole pass)
-    safe_size = jnp.maximum(seg_size, 1).astype(jnp.float32)
-    mean = spect_sum / safe_size[:, None]              # (capacity, nBands)
-
-    seg_i = seg.astype(jnp.int32)
-    mean_at = mean[seg_i]                              # (H, W, nBands)
-    size_at = seg_size[seg_i]                          # (H, W)
-    cand_at = (size_at == target) & (seg != SEGNULLVAL)
-
-    # Per-pixel minimum over the neighbour offsets. Neighbour mean/size
-    # fields are shifts (pad+slice) of the gathered per-pixel fields — no
-    # further gathers. A given (seg, nbr) pair produces bit-identical d2 at
-    # every pixel (same float expression on the same mean rows), so exact
-    # equality against the per-segment minimum below recovers the full
-    # (pixel, offset) argmin set.
-    d2_fields = []
-    nbr_fields = []
+def edge_sort_keys(seg, four_connected: bool):
+    """
+    Device: sorted canonical (min id, max id) segment-adjacency pairs from
+    a segment image, one per adjacent pixel pair (duplicates included),
+    plus the number of unique pairs. Padding/invalid slots sort to the
+    end as (0xFFFFFFFF, 0xFFFFFFFF).
+    """
+    offsets = [(dy, dx) for dy, dx in offsets_for(four_connected)
+               if (dy, dx) in ((0, 1), (1, 0), (1, 1), (1, -1))]
+    pad = jnp.uint32(0xFFFFFFFF)
+    a_parts, b_parts = [], []
     for dy, dx in offsets:
         nbr = shift(seg, dy, dx, SEGNULLVAL)
-        nbr_size = shift(size_at, dy, dx, jnp.uint32(0))
-        nbr_mean = shift(mean_at, dy, dx, 0.0)
-        ok = (cand_at & (nbr != seg) & (nbr != SEGNULLVAL) &
-              (nbr_size > size_at))
-        diff = mean_at - nbr_mean
-        d2 = jnp.sum(diff * diff, axis=-1)
-        d2_fields.append(jnp.where(ok, d2, inf))
-        nbr_fields.append(jnp.where(ok, nbr, big_id))
-    d2_px = functools.reduce(jnp.minimum, d2_fields)   # (H, W)
-    nb_px = jnp.full((h, w), big_id, jnp.uint32)
-    for d2, nbr in zip(d2_fields, nbr_fields):
-        nb_px = jnp.minimum(nb_px, jnp.where(d2 == d2_px, nbr, big_id))
+        ok = (seg != SEGNULLVAL) & (nbr != SEGNULLVAL) & (nbr != seg)
+        lo = jnp.minimum(seg, nbr)
+        hi = jnp.maximum(seg, nbr)
+        a_parts.append(jnp.where(ok, lo, pad).ravel())
+        b_parts.append(jnp.where(ok, hi, pad).ravel())
+    a = jnp.concatenate(a_parts)
+    b = jnp.concatenate(b_parts)
+    a, b = jax.lax.sort((a, b), num_keys=2)
+    first = (a != pad) & ((jnp.arange(a.shape[0]) == 0) |
+                          (a != jnp.roll(a, 1)) | (b != jnp.roll(b, 1)))
+    n_unique = jnp.sum(first.astype(jnp.uint32))
+    return a, b, first, n_unique
 
-    # Two per-segment reductions: min distance, then smallest neighbour ID
-    # among the (pixel, offset) pairs achieving it.
-    flat_seg = seg_i.ravel()
-    d_best = jax.ops.segment_min(d2_px.ravel(), flat_seg,
-                                 num_segments=capacity)
-    d_best_at = d_best[seg_i]
-    nb_hit = jnp.where(d2_px == d_best_at, nb_px, big_id)
-    best_nbr = jax.ops.segment_min(nb_hit.ravel(), flat_seg,
-                                   num_segments=capacity)
+
+_edge_sort_jit = jax.jit(edge_sort_keys, static_argnames=("four_connected",))
+
+
+def compact_edges(a, b, first, e_cap: int):
+    """
+    Device: scatter the flagged unique pairs into fixed-size (e_cap,)
+    endpoint arrays, mirrored to directed form: slot i holds (a, b) and
+    slot i + e_cap holds (b, a). Unused slots are (0, 0), which the pass
+    masks out via the null-segment check.
+    """
+    pos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    pos = jnp.where(first, pos, e_cap)  # dump non-unique past the end
+    ea = jnp.zeros(e_cap + 1, jnp.uint32).at[pos].set(
+        a, mode="drop").astype(jnp.uint32)[:e_cap]
+    eb = jnp.zeros(e_cap + 1, jnp.uint32).at[pos].set(
+        b, mode="drop")[:e_cap]
+    return jnp.concatenate([ea, eb]), jnp.concatenate([eb, ea])
+
+
+def _merge_pass_edges(ea, eb, remap, seg_size, spect_sum, target,
+                      max_diff_sqr):
+    """
+    One find+apply pass for segments of exactly ``target`` pixels, on the
+    segment-adjacency graph. ea/eb are ORIGINAL ids; remap maps original
+    id -> current id. Mirrors reference findMergeSegment + doMerge
+    (shepseg.py:1003-1123) semantics on frozen per-pass state.
+    """
+    capacity = seg_size.shape[0]
+    inf = jnp.float32(jnp.inf)
+    big_id = jnp.uint32(0xFFFFFFFF)
+    ids = jnp.arange(capacity, dtype=jnp.uint32)
+
+    is_cand = (seg_size == target) & (ids >= MINSEGID)
+    safe_size = jnp.maximum(seg_size, 1).astype(jnp.float32)
+    mean = spect_sum / safe_size[:, None]            # (capacity, nBands)
+
+    cur_a = remap[ea.astype(jnp.int32)].astype(jnp.int32)   # (E,)
+    cur_b = remap[eb.astype(jnp.int32)].astype(jnp.int32)
+    ok = (is_cand[cur_a] & (cur_a != cur_b) &
+          (cur_a != SEGNULLVAL) & (cur_b != SEGNULLVAL) &
+          (seg_size[cur_b] > seg_size[cur_a]))
+    diff = mean[cur_a] - mean[cur_b]                 # (E, nBands)
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(ok, d2, inf)
+    nbr = jnp.where(ok, cur_b.astype(jnp.uint32), big_id)
+
+    d_best = jax.ops.segment_min(d2, cur_a, num_segments=capacity)
+    nb_hit = jnp.where(d2 == d_best[cur_a], nbr, big_id)
+    best_nbr = jax.ops.segment_min(nb_hit, cur_a, num_segments=capacity)
 
     # Spectral-difference limit (reference: shepseg.py:1060-1061, strict >)
     merge_to = jnp.where(
@@ -113,7 +153,7 @@ def _merge_pass(seg, seg_size, spect_sum, target, max_diff_sqr,
     # Apply all merges at once (commutative: targets are never candidates)
     move = merge_to != SEGNULLVAL
     merge_map = jnp.where(move, merge_to, ids)
-    seg_new = merge_map[seg_i]
+    remap_new = merge_map[remap.astype(jnp.int32)]
 
     tgt = merge_to.astype(jnp.int32)
     moved_size = jnp.where(move, seg_size, 0).astype(jnp.uint32)
@@ -125,72 +165,91 @@ def _merge_pass(seg, seg_size, spect_sum, target, max_diff_sqr,
     spect_sum_new = spect_sum - moved_spect + inc_spect
 
     n_merged = move.sum().astype(jnp.uint32)
-    return seg_new, seg_size_new, spect_sum_new, n_merged
+    return remap_new, seg_size_new, spect_sum_new, n_merged
 
 
-def eliminate_small_segments_device(seg, img_f, seg_size, spect_sum,
-                                    min_seg_size: int, max_spectral_diff,
-                                    four_connected: bool):
+def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
+                                   min_seg_size: int, max_spectral_diff):
     """
-    Device: the full targetSize sweep (reference: shepseg.py:918-1000).
+    Device: the full targetSize sweep (reference: shepseg.py:918-1000) on
+    the adjacency graph. For targetSize = 1 .. min_seg_size-1, run
+    find+apply passes until the count of segments at that size stops
+    changing (max 10 passes, matching the reference's MAXPASSES); target
+    sizes with no candidates short-circuit (a candidate-free pass is the
+    identity, so the fixpoint is unchanged).
 
-    For targetSize = 1 .. min_seg_size-1, run find+apply passes until the
-    count of segments at that size stops changing (max 10 passes, matching
-    the reference's MAXPASSES), then relabel to contiguous IDs.
-
-    ``min_seg_size`` is static; ``max_spectral_diff`` is a traced float.
-    Returns (relabelled seg, numEliminated).
+    Returns (remap original->current id, seg_size, numEliminated).
     """
     capacity = seg_size.shape[0]
     max_diff_sqr = (jnp.float32(max_spectral_diff) ** 2)
+    remap0 = jnp.arange(capacity, dtype=jnp.uint32)
 
     def count_at(seg_size, target):
         return jnp.count_nonzero(seg_size == target).astype(jnp.int32)
 
     def per_target(target, carry):
-        seg, seg_size, spect_sum, num_elim = carry
+        remap, seg_size, spect_sum, num_elim = carry
         target_u = target.astype(jnp.uint32)
 
         def cond(c):
             _, _, _, count, prev, passes, _ = c
-            # count == 0 short-circuit: a pass with no candidate segments is
-            # the identity, so skipping it cannot change the result (the
-            # reference would run the no-op pass; same fixpoint).
             return (count > 0) & (count != prev) & (passes < 10)
 
         def body(c):
-            seg_c, size_c, spect_c, count, prev, passes, elim = c
-            seg_n, size_n, spect_n, n = _merge_pass(
-                seg_c, size_c, spect_c, target_u, max_diff_sqr,
-                four_connected)
-            return (seg_n, size_n, spect_n, count_at(size_n, target_u),
+            remap_c, size_c, spect_c, count, prev, passes, elim = c
+            remap_n, size_n, spect_n, n = _merge_pass_edges(
+                ea, eb, remap_c, size_c, spect_c, target_u, max_diff_sqr)
+            return (remap_n, size_n, spect_n, count_at(size_n, target_u),
                     count, passes + 1, elim + n)
 
-        init = (seg, seg_size, spect_sum, count_at(seg_size, target_u),
+        init = (remap, seg_size, spect_sum, count_at(seg_size, target_u),
                 jnp.int32(-1), jnp.int32(0), num_elim)
-        seg, seg_size, spect_sum, _, _, _, num_elim = jax.lax.while_loop(
+        remap, seg_size, spect_sum, _, _, _, num_elim = jax.lax.while_loop(
             cond, body, init)
-        return seg, seg_size, spect_sum, num_elim
+        return remap, seg_size, spect_sum, num_elim
 
-    seg, seg_size, spect_sum, num_elim = jax.lax.fori_loop(
+    remap, seg_size, spect_sum, num_elim = jax.lax.fori_loop(
         1, min_seg_size, per_target,
-        (seg, seg_size, spect_sum, jnp.uint32(0)))
+        (remap0, seg_size, spect_sum, jnp.uint32(0)))
+    return remap, seg_size, num_elim
 
-    seg = relabel(seg, seg_size, MINSEGID)
-    return seg, num_elim
+
+def eliminate_small_segments_device(seg, img_f, seg_size, spect_sum,
+                                    min_seg_size: int, max_spectral_diff,
+                                    four_connected: bool,
+                                    e_cap: int = None):
+    """
+    Device: edge extraction + graph elimination + final image rewrite.
+    ``e_cap`` (static) bounds the unique adjacency count; when None it
+    defaults to 8x capacity (grid adjacency is near-planar, so the true
+    count is ~6x segment count; callers with a measured count should
+    bucket it — see eliminateSmallSegments).
+
+    Returns (relabelled seg, numEliminated, overflowed). ``overflowed``
+    is True when the unique adjacency count exceeded e_cap (results are
+    then unreliable and the caller must re-run with a larger bucket —
+    only possible for pathologically interleaved segmentations, since
+    4-connected adjacency graphs are planar with E <= 3V).
+    """
+    capacity = seg_size.shape[0]
+    if e_cap is None:
+        e_cap = 8 * capacity
+    if min_seg_size <= 1:
+        return (relabel(seg, seg_size, MINSEGID), jnp.uint32(0),
+                jnp.bool_(False))
+    a, b, first, n_unique = edge_sort_keys(seg, four_connected)
+    overflow = n_unique > jnp.uint32(e_cap)
+    ea, eb = compact_edges(a, b, first, e_cap)
+    remap, seg_size_out, num_elim = eliminate_small_segments_graph(
+        ea, eb, seg_size, spect_sum, min_seg_size, max_spectral_diff)
+    seg = remap[seg.astype(jnp.int32)]
+    seg = relabel(seg, seg_size_out, MINSEGID)
+    return seg, num_elim, overflow
 
 
 _elim_small_jit = jax.jit(
     eliminate_small_segments_device,
-    static_argnames=("min_seg_size", "four_connected"))
-
-
-def round_capacity(n: int) -> int:
-    """Round a segment-count capacity up to a bucket to limit recompiles."""
-    cap = 1024
-    while cap < n:
-        cap *= 2
-    return cap
+    static_argnames=("min_seg_size", "four_connected", "e_cap"))
 
 
 def eliminateSmallSegments(seg, img, maxSegId, minSegSize, maxSpectralDiff,
@@ -207,10 +266,15 @@ def eliminateSmallSegments(seg, img, maxSegId, minSegSize, maxSpectralDiff,
     img_f = jnp.asarray(np.ascontiguousarray(img)).astype(jnp.float32)
     seg_size = seg_sizes(seg_j, capacity)
     spect_sum = seg_spectral_sums(seg_j, img_f, capacity)
-    seg_out, num_elim = _elim_small_jit(
+    # Measure the true unique-adjacency count, then bucket the edge
+    # capacity statically (one scalar sync, mirroring the clump-count sync)
+    _, _, _, n_unique = _edge_sort_jit(
+        seg_j, four_connected=bool(fourConnected))
+    e_cap = round_capacity(int(n_unique) + 1)
+    seg_out, num_elim, _ = _elim_small_jit(
         seg_j, img_f, seg_size, spect_sum,
         min_seg_size=int(minSegSize),
         max_spectral_diff=float(maxSpectralDiff),
-        four_connected=bool(fourConnected))
+        four_connected=bool(fourConnected), e_cap=e_cap)
     seg[...] = np.asarray(seg_out).astype(SegIdType)
     return int(num_elim)

@@ -72,7 +72,9 @@ def segment_tile(img_f, centers, img_null_val, max_spectral_diff,
                                             four_connected)
     size = seg_sizes(seg, capacity)
     spect = seg_spectral_sums(seg, img_f, capacity)
-    seg, _ = eliminate_small_segments_device(
+    # e_cap = 8 * capacity can never overflow here: capacity is bucketed
+    # from H*W+1 and unique adjacencies are bounded by 4*H*W
+    seg, _, _ = eliminate_small_segments_device(
         seg, img_f, size, spect, min_seg_size, max_spectral_diff,
         four_connected)
     return seg, jnp.max(seg)

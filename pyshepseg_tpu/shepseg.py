@@ -101,10 +101,10 @@ def _eliminations_device(img_f, seg, max_spectral_diff,
     max_after_single = jnp.max(seg)
     size = seg_sizes(seg, capacity)
     spect = seg_spectral_sums(seg, img_f, capacity)
-    seg, n_small = eliminate_small_segments_device(
+    seg, n_small, overflow = eliminate_small_segments_device(
         seg, img_f, size, spect, min_seg_size, max_spectral_diff,
         four_connected)
-    return seg, max_after_single, n_small, jnp.max(seg)
+    return seg, max_after_single, n_small, jnp.max(seg), overflow
 
 
 def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
@@ -126,6 +126,9 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     img = np.ascontiguousarray(img)
 
     t0 = time.time()
+    # Start the (async) host->device image transfer first so it overlaps
+    # with the host-side subsampling and k-means fit below.
+    img_dev = jax.device_put(img)
     if kmeansObj is not None:
         km = kmeansObj
     else:
@@ -135,7 +138,7 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     hasNull = imgNullVal is not None
     nullVal = jnp.float32(imgNullVal if hasNull else 0)
     img_f, seg_dev, numClumps = _cluster_and_clump_device(
-        jnp.asarray(img), centers, nullVal,
+        img_dev, centers, nullVal,
         has_null=hasNull, four_connected=bool(fourConnected))
     maxSegId = int(numClumps)  # scalar sync; picks the capacity bucket
     if verbose:
@@ -147,13 +150,31 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
 
     t0 = time.time()
     capacity = round_capacity(maxSegId + 1)
-    seg_dev, maxAfterSingle, numElimSmall, finalMax = _eliminations_device(
-        img_f, seg_dev, jnp.float32(maxSpectralDiff),
-        min_seg_size=int(minSegmentSize),
-        four_connected=bool(fourConnected), capacity=capacity)
-    seg = np.asarray(seg_dev).astype(SegIdType)
+    clump_dev = seg_dev
+    seg_dev, maxAfterSingle, numElimSmall, finalMax, overflow = (
+        _eliminations_device(
+            img_f, clump_dev, jnp.float32(maxSpectralDiff),
+            min_seg_size=int(minSegmentSize),
+            four_connected=bool(fourConnected), capacity=capacity))
+    if bool(overflow):
+        # Pathological adjacency density blew the default edge bucket
+        # (needs >8 distinct neighbours per segment on average — only
+        # possible with heavily interleaved segments). Redo both
+        # elimination stages through the host APIs, which measure the
+        # exact unique-adjacency count and rebucket.
+        seg = np.asarray(clump_dev).astype(SegIdType)
+        segSize = makeSegSize(seg, maxSegId)
+        eliminateSinglePixels(img, seg, segSize, MINSEGID, maxSegId,
+                              fourConnected)
+        maxAfterSingle = seg.max()
+        numElimSmall = eliminateSmallSegments(
+            seg, img, int(maxAfterSingle), int(minSegmentSize),
+            float(maxSpectralDiff), bool(fourConnected), MINSEGID)
+        finalMax = seg.max()
+    else:
+        seg = np.asarray(seg_dev).astype(SegIdType)
+        numElimSmall = int(numElimSmall)
     numElimSinglepix = maxSegId - int(maxAfterSingle)
-    numElimSmall = int(numElimSmall)
     if verbose:
         print("Eliminated", numElimSinglepix, "single pixels and",
               numElimSmall, "small segments, in",
