@@ -68,7 +68,32 @@ def _run_min(labels, conn_prev, axis):
     return jnp.minimum(fwd, bwd)
 
 
-def clump_labels(img, ignore_val, four_connected=True):
+def _pallas_seed_labels(img, ignore_val, four_connected, valid, sentinel):
+    """
+    Seed the global loop with block-locally converged labels from the
+    Pallas VMEM kernel (ops/pallas_ccl.py). The kernel works on an image
+    padded to block multiples; returned flat indices are translated from
+    padded to unpadded coordinates (both row-major, so lexicographic
+    (y, x) order — and with it the min-index root rule — is preserved).
+    """
+    from .pallas_ccl import local_ccl_blocks, BLOCK
+
+    h, w = img.shape
+    blk = BLOCK
+    while blk > max(h, w, 8):
+        blk //= 2
+    hp = -(-h // blk) * blk
+    wp = -(-w // blk) * blk
+    img_p = jnp.pad(img, ((0, hp - h), (0, wp - w)), mode="constant",
+                    constant_values=ignore_val)
+    lab_p = local_ccl_blocks(img_p, ignore_val, four_connected, block=blk)
+    lab = lab_p[:h, :w]
+    ly = lab // wp
+    lx = lab % wp
+    return jnp.where(valid, ly * w + lx, sentinel)
+
+
+def clump_labels(img, ignore_val, four_connected=True, use_pallas=None):
     """
     Device kernel: label connected components of equal-valued pixels.
 
@@ -80,6 +105,9 @@ def clump_labels(img, ignore_val, four_connected=True):
         Null value in ``img``.
     four_connected : bool (static)
         4-way vs 8-way connectedness.
+    use_pallas : bool or None (static)
+        Seed the global loop with the Pallas block-local CCL kernel
+        (None = yes; interpreted off-TPU).
 
     Returns
     -------
@@ -92,8 +120,14 @@ def clump_labels(img, ignore_val, four_connected=True):
     n = h * w
     sentinel = jnp.int32(n)
     valid = img != ignore_val
-    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
-    labels0 = jnp.where(valid, idx, sentinel)
+    if use_pallas is None:
+        use_pallas = True
+    if use_pallas:
+        labels0 = _pallas_seed_labels(img, ignore_val, four_connected,
+                                      valid, sentinel)
+    else:
+        idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+        labels0 = jnp.where(valid, idx, sentinel)
 
     # Connectivity along rows/cols (pass-invariant)
     def conn(dy, dx):
@@ -142,7 +176,8 @@ def clump_labels(img, ignore_val, four_connected=True):
     return seg.reshape(h, w).astype(jnp.uint32), num_clumps
 
 
-_clump_jit = jax.jit(clump_labels, static_argnames=("four_connected",))
+_clump_jit = jax.jit(clump_labels,
+                     static_argnames=("four_connected", "use_pallas"))
 
 
 def clump(img, ignoreVal, fourConnected=True, clumpId=1):
