@@ -180,14 +180,25 @@ _clump_jit = jax.jit(clump_labels,
                      static_argnames=("four_connected", "use_pallas"))
 
 
-def clump(img, ignoreVal, fourConnected=True, clumpId=1):
+def clump(img, ignoreVal, fourConnected=True, clumpId=1, maxClumpSize=None):
     """
     Host API matching the reference signature
     (reference: pyshepseg/shepseg.py:452-541).
 
     Returns ``(clumpimg, nextClumpId)`` where clumpimg has IDs starting at
     ``clumpId`` in scan order and nextClumpId is the highest ID used + 1.
+
+    ``maxClumpSize`` opts into the reference's MAX_CLUMP_SIZE cap
+    semantics (splitting big clumps in flood-fill stack order,
+    shepseg.py:477-481). The cap's geometry is inherently sequential, so
+    that path runs the native C++ flood fill on the host
+    (pyshepseg_tpu/native/ccl.cpp); the default (None) is the exact
+    TPU label-propagation kernel.
     """
+    if maxClumpSize is not None:
+        from ..native import flood_fill_clump
+        return flood_fill_clump(img, ignoreVal, fourConnected,
+                                maxClumpSize, clumpId)
     img = jnp.asarray(np.ascontiguousarray(img))
     seg, num = _clump_jit(img, int(ignoreVal), four_connected=bool(fourConnected))
     seg = np.asarray(seg)

@@ -16,6 +16,7 @@ import numpy
 from . import shepseg
 from . import tiling
 from . import tilingstats
+from . import native
 from . import io as rio
 
 
@@ -61,6 +62,17 @@ def subsetImage(inname, outname, tlx, tly, newXsize, newYsize, outformat,
     recodeDict = {}     # original ID -> new dense ID
     histogramDict = {}  # new ID -> pixel count in subset
 
+    # The recode is strictly sequential (a segment's new ID depends on
+    # which of its pixels is hit first in global scan order), so the hot
+    # path is the native C++ kernel with a dense LUT; the vectorized
+    # per-tile dict merge below is the compiler-less fallback.
+    useNative = native.available() and inRAT.GetRowCount() > 0
+    if useNative:
+        maxOldId = inRAT.GetRowCount() - 1
+        recodeLut = numpy.zeros(maxOldId + 2, dtype=numpy.uint32)
+        histArr = numpy.zeros(maxOldId + 2, dtype=numpy.uint64)
+        nextNativeId = 1
+
     numIntCols, numFloatCols = copyColumns(inRAT, outRAT)
 
     maskBand = None
@@ -97,12 +109,24 @@ def subsetImage(inname, outname, tlx, tly, newXsize, newYsize, outformat,
                 maskData = maskBand.ReadAsArray(tileColStart, tileRowStart,
                                                 xsize, ysize)
 
-            outData = processSubsetTile(inData, recodeDict, histogramDict,
-                                        maskData)
+            if useNative:
+                outData, nextNativeId = native.subset_recode(
+                    inData, maskData, recodeLut, nextNativeId, histArr)
+            else:
+                outData = processSubsetTile(inData, recodeDict,
+                                            histogramDict, maskData)
             outband.WriteArray(outData, tileColStart, tileRowStart)
 
     if minInVal is None or maxInVal is None:
         raise PyShepSegSubsetError('No valid data found in subset')
+
+    if useNative:
+        # Synthesize the dict views the RAT-copy stage consumes; the
+        # first-encounter ordering is already baked into the LUT values.
+        origArr = numpy.nonzero(recodeLut)[0]
+        recodeDict = {int(o): int(recodeLut[o]) for o in origArr}
+        histogramDict = {int(recodeLut[o]): int(histArr[recodeLut[o]])
+                         for o in origArr}
 
     # Copy surviving RAT rows across, one input page at a time
     outPagedRat = tilingstats.createPagedRat()
