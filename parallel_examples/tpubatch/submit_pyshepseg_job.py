@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""
+Submit the three-phase decoupled segmentation pipeline
+(prepare -> array of tile jobs -> stitch) to an execution backend.
+TPU-native analogue of the reference's
+parallel_examples/awsbatch/submit-pyshepseg-job.py (which wires the same
+DAG through AWS Batch job dependencies).
+
+Backends:
+
+- ``local``   — run every phase as local subprocesses, tile jobs with a
+  bounded pool. Exercises the exact pipeline end-to-end on one machine
+  (the batch analogue of tiling's CONC_SUBPROC test backend).
+- ``slurm``   — emit (and optionally run) sbatch scripts: one prepare
+  job, one array job of tiles (--array=0-N-1, one TPU-VM each via
+  ``--gres``/partition of your site), one dependent stitch job.
+- ``gcpbatch``— emit gcloud batch JSON job specs with taskCount=N for
+  the tile phase on a TPU-VM instance template.
+
+For slurm/gcpbatch the emitted artifacts are written to --emit-dir for
+review/submission; this script does not talk to cloud APIs itself.
+"""
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+from concurrent import futures
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def getCmdargs():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--backend", default="local",
+                   choices=["local", "slurm", "gcpbatch"])
+    p.add_argument("--infile", required=True)
+    p.add_argument("--store", required=True, help="Object store URL")
+    p.add_argument("--outname", default="segmentation.npseg")
+    p.add_argument("--tilesize", type=int, default=4096)
+    p.add_argument("--overlapsize", type=int, default=1024)
+    p.add_argument("--nclusters", type=int, default=60)
+    p.add_argument("--bands")
+    p.add_argument("--statsbands")
+    p.add_argument("--workers", type=int, default=4,
+                   help="local backend: concurrent tile subprocesses")
+    p.add_argument("--emit-dir", default="batch_jobs",
+                   help="slurm/gcpbatch: where to write job artifacts")
+    return p.parse_args()
+
+
+def _run(cmd):
+    print("+", " ".join(cmd), flush=True)
+    res = subprocess.run(cmd, check=True, capture_output=True, text=True)
+    print(res.stdout)
+    return res.stdout
+
+
+def submit_local(cmdargs):
+    py = sys.executable
+    prepCmd = [py, os.path.join(HERE, "do_prepare.py"),
+               "--infile", cmdargs.infile, "--store", cmdargs.store,
+               "--tilesize", str(cmdargs.tilesize),
+               "--overlapsize", str(cmdargs.overlapsize),
+               "--nclusters", str(cmdargs.nclusters)]
+    if cmdargs.bands:
+        prepCmd += ["--bands", cmdargs.bands]
+    out = _run(prepCmd)
+    numTiles = int(re.search(r"NUMTILES=(\d+)", out).group(1))
+
+    def tileJob(i):
+        _run([py, os.path.join(HERE, "do_tile.py"),
+              "--store", cmdargs.store, "--index", str(i)])
+
+    with futures.ThreadPoolExecutor(cmdargs.workers) as pool:
+        list(pool.map(tileJob, range(numTiles)))
+
+    stitchCmd = [py, os.path.join(HERE, "do_stitch.py"),
+                 "--store", cmdargs.store, "--outname", cmdargs.outname]
+    if cmdargs.statsbands:
+        stitchCmd += ["--statsbands", cmdargs.statsbands]
+    _run(stitchCmd)
+    print("pipeline complete:", cmdargs.store + "/" + cmdargs.outname)
+
+
+SLURM_TEMPLATE = """#!/bin/bash
+#SBATCH --job-name={name}
+{array}#SBATCH --output={name}_%A_%a.log
+{deps}
+python {script} {args}
+"""
+
+
+def submit_slurm(cmdargs):
+    os.makedirs(cmdargs.emit_dir, exist_ok=True)
+    common = "--store {}".format(cmdargs.store)
+    jobs = [
+        ("psseg_prepare", "do_prepare.py",
+         "--infile {} {} --tilesize {} --overlapsize {} --nclusters {}"
+         .format(cmdargs.infile, common, cmdargs.tilesize,
+                 cmdargs.overlapsize, cmdargs.nclusters), None, False),
+        ("psseg_tiles", "do_tile.py", common, "psseg_prepare", True),
+        ("psseg_stitch", "do_stitch.py",
+         "{} --outname {}".format(common, cmdargs.outname),
+         "psseg_tiles", False),
+    ]
+    for name, script, args, dep, isArray in jobs:
+        body = SLURM_TEMPLATE.format(
+            name=name,
+            array="#SBATCH --array=0-$((NUMTILES-1))\n" if isArray else "",
+            deps="#SBATCH --dependency=afterok:{}\n".format(dep)
+                 if dep else "",
+            script=os.path.join(HERE, script), args=args)
+        path = os.path.join(cmdargs.emit_dir, name + ".sbatch")
+        with open(path, "w") as f:
+            f.write(body)
+        print("wrote", path)
+    print("Submit with sbatch in order; NUMTILES comes from the prepare "
+          "job's output.")
+
+
+GCP_TEMPLATE = """{{
+  "taskGroups": [{{
+    "taskCount": "{count}",
+    "taskSpec": {{
+      "runnables": [{{
+        "script": {{ "text": "python {script} {args}" }}
+      }}]
+    }}
+  }}],
+  "allocationPolicy": {{
+    "instances": [{{ "installGpuDrivers": false,
+                     "policy": {{ "machineType": "ct5lp-hightpu-1t" }} }}]
+  }},
+  "logsPolicy": {{ "destination": "CLOUD_LOGGING" }}
+}}
+"""
+
+
+def submit_gcpbatch(cmdargs):
+    os.makedirs(cmdargs.emit_dir, exist_ok=True)
+    common = "--store {}".format(cmdargs.store)
+    specs = [
+        ("psseg_prepare", "do_prepare.py", 1,
+         "--infile {} {}".format(cmdargs.infile, common)),
+        ("psseg_tiles", "do_tile.py", "NUMTILES", common),
+        ("psseg_stitch", "do_stitch.py", 1,
+         "{} --outname {}".format(common, cmdargs.outname)),
+    ]
+    for name, script, count, args in specs:
+        path = os.path.join(cmdargs.emit_dir, name + ".json")
+        with open(path, "w") as f:
+            f.write(GCP_TEMPLATE.format(
+                count=count, script=os.path.join(HERE, script), args=args))
+        print("wrote", path)
+    print("Submit with: gcloud batch jobs submit <name> "
+          "--config <spec>.json (set taskCount from the prepare output; "
+          "BATCH_TASK_INDEX indexes the tiles).")
+
+
+def main():
+    cmdargs = getCmdargs()
+    if cmdargs.backend == "local":
+        submit_local(cmdargs)
+    elif cmdargs.backend == "slurm":
+        submit_slurm(cmdargs)
+    else:
+        submit_gcpbatch(cmdargs)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

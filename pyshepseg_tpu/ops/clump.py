@@ -76,14 +76,10 @@ def _pallas_seed_labels(img, ignore_val, four_connected, valid, sentinel):
     padded to unpadded coordinates (both row-major, so lexicographic
     (y, x) order — and with it the min-index root rule — is preserved).
     """
-    from .pallas_ccl import local_ccl_blocks, BLOCK
+    from .pallas_ccl import local_ccl_blocks, block_shape_for
 
     h, w = img.shape
-    blk = BLOCK
-    while blk > max(h, w, 8):
-        blk //= 2
-    hp = -(-h // blk) * blk
-    wp = -(-w // blk) * blk
+    blk, (hp, wp) = block_shape_for(h, w)
     img_p = jnp.pad(img, ((0, hp - h), (0, wp - w)), mode="constant",
                     constant_values=ignore_val)
     lab_p = local_ccl_blocks(img_p, ignore_val, four_connected, block=blk)

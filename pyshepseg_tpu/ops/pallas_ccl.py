@@ -135,32 +135,50 @@ def _local_ccl_kernel(ignore_ref, img_ref, out_ref, *, width: int,
     out_ref[...] = labels
 
 
+def block_shape_for(h: int, w: int):
+    """
+    Per-axis block sizes honouring the Mosaic tiling rules for int32:
+    the lane (last) dimension must be a multiple of 128 and the sublane
+    dimension a multiple of 8 (or each equal to the whole padded array).
+    Returns ((block_y, block_x), (padded_h, padded_w)).
+    """
+    block_x = BLOCK if w >= BLOCK else 128
+    block_y = BLOCK if h >= BLOCK else max(8, -(-h // 8) * 8)
+    hp = -(-h // block_y) * block_y
+    wp = -(-w // block_x) * block_x
+    return (block_y, block_x), (hp, wp)
+
+
 def local_ccl_blocks(img, ignore_val, four_connected: bool,
-                     block: int = None, interpret: bool = None):
+                     block=None, interpret: bool = None):
     """
     Device: per-block locally-converged labels (global flat indices;
     invalid pixels get INT32_MAX). ``img`` must be int32 (H, W) with H, W
-    multiples of the block size — callers pad with ``ignore_val``.
+    multiples of the block shape — callers pad with ``ignore_val``
+    (see block_shape_for).
     """
     h, w = img.shape
     if block is None:
-        block = min(BLOCK, h, w)
-    assert h % block == 0 and w % block == 0, (h, w, block)
+        block = (min(BLOCK, h), min(BLOCK, w))
+    elif isinstance(block, int):
+        block = (block, block)
+    by, bx = block
+    assert h % by == 0 and w % bx == 0, (h, w, block)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     kernel = functools.partial(_local_ccl_kernel, width=w,
                                four_connected=four_connected)
-    grid = (h // block, w // block)
+    grid = (h // by, w // bx)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block, block), lambda i, j: (i, j),
+            pl.BlockSpec((by, bx), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block, block), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((by, bx), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
         interpret=interpret,

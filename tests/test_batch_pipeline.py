@@ -1,0 +1,85 @@
+"""End-to-end drive of parallel_examples/tpubatch with the local backend
+and a file:// object store (the CI-testable fake of the multi-node
+pipeline, mirroring the role of CONC_SUBPROC for the in-driver backends)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pyshepseg_tpu import io as rio
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "parallel_examples", "tpubatch")
+
+
+@pytest.fixture
+def scene(tmp_path, rng):
+    """Small 3-band scene of coloured Voronoi-ish blobs."""
+    h = w = 96
+    ncells = 12
+    centres = rng.uniform(0, [h, w], size=(ncells, 2)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    d = ((yy[..., None] - centres[:, 0]) ** 2 +
+         (xx[..., None] - centres[:, 1]) ** 2)
+    cells = d.argmin(axis=-1)
+    palette = rng.integers(200, 9000, size=(ncells, 3)).astype(np.uint16)
+    path = str(tmp_path / "scene.npseg")
+    ds = rio.create(path, w, h, 3, np.uint16)
+    ds.SetGeoTransform((0, 1, 0, 0, 0, -1))
+    for b in range(3):
+        band = ds.GetRasterBand(b + 1)
+        band.SetNoDataValue(0)
+        band.WriteArray(palette[cells, b])
+    ds.FlushCache()
+    return path
+
+
+def test_local_batch_pipeline(scene, tmp_path):
+    store = "file://" + str(tmp_path / "store")
+    env = dict(os.environ,
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""),
+               JAX_PLATFORMS="cpu")
+    cmd = [sys.executable,
+           os.path.join(EXAMPLES, "submit_pyshepseg_job.py"),
+           "--backend", "local", "--infile", scene, "--store", store,
+           "--tilesize", "64", "--overlapsize", "32",
+           "--nclusters", "12", "--statsbands", "1", "--workers", "2"]
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+
+    outpath = str(tmp_path / "store" / "segmentation.npseg")
+    ds = rio.open(outpath)
+    seg = ds.GetRasterBand(1).ReadAsArray()
+    assert seg.shape == (96, 96)
+    assert seg.max() >= 1
+    # contiguous IDs and a histogram RAT present
+    rat = ds.GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    assert "Histogram" in names and "Band_1_mean" in names
+    hist = rat.ReadAsArray(names.index("Histogram"))
+    counts = np.bincount(seg.ravel(), minlength=len(hist))
+    np.testing.assert_array_equal(hist[1:].astype(np.int64),
+                                  counts[1:len(hist)])
+    # tiles cleaned from the store after stitch
+    leftover = [f for f in os.listdir(str(tmp_path / "store"))
+                if f.startswith("tile_")]
+    assert leftover == []
+
+
+def test_slurm_emit(scene, tmp_path):
+    emit = str(tmp_path / "jobs")
+    cmd = [sys.executable,
+           os.path.join(EXAMPLES, "submit_pyshepseg_job.py"),
+           "--backend", "slurm", "--infile", scene,
+           "--store", "file:///x", "--emit-dir", emit]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    assert res.returncode == 0, res.stdout + res.stderr
+    files = sorted(os.listdir(emit))
+    assert files == ["psseg_prepare.sbatch", "psseg_stitch.sbatch",
+                     "psseg_tiles.sbatch"]
+    tiles = open(os.path.join(emit, "psseg_tiles.sbatch")).read()
+    assert "--array=" in tiles and "--dependency=afterok" in tiles
