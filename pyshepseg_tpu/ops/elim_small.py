@@ -101,9 +101,8 @@ _edge_sort_jit = jax.jit(edge_sort_keys, static_argnames=("four_connected",))
 def compact_edges(a, b, first, e_cap: int):
     """
     Device: scatter the flagged unique pairs into fixed-size (e_cap,)
-    endpoint arrays, mirrored to directed form: slot i holds (a, b) and
-    slot i + e_cap holds (b, a). Unused slots are (0, 0), which the pass
-    masks out via the null-segment check.
+    endpoint arrays (undirected, canonical lo/hi order). Unused slots are
+    (0, 0), which the pass masks out via the null-segment check.
     """
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1
     pos = jnp.where(first, pos, e_cap)  # dump non-unique past the end
@@ -111,7 +110,7 @@ def compact_edges(a, b, first, e_cap: int):
         a, mode="drop").astype(jnp.uint32)[:e_cap]
     eb = jnp.zeros(e_cap + 1, jnp.uint32).at[pos].set(
         b, mode="drop")[:e_cap]
-    return jnp.concatenate([ea, eb]), jnp.concatenate([eb, ea])
+    return ea, eb
 
 
 def _merge_pass_edges(ea, eb, remap, seg_size, spect_sum, target,
@@ -131,19 +130,31 @@ def _merge_pass_edges(ea, eb, remap, seg_size, spect_sum, target,
     safe_size = jnp.maximum(seg_size, 1).astype(jnp.float32)
     mean = spect_sum / safe_size[:, None]            # (capacity, nBands)
 
+    # Undirected edges: distances, sizes, and candidacy gathered ONCE per
+    # pair, then mirrored into both directions by concatenation (a given
+    # pair's d2 is direction-independent).
     cur_a = remap[ea.astype(jnp.int32)].astype(jnp.int32)   # (E,)
     cur_b = remap[eb.astype(jnp.int32)].astype(jnp.int32)
-    ok = (is_cand[cur_a] & (cur_a != cur_b) &
-          (cur_a != SEGNULLVAL) & (cur_b != SEGNULLVAL) &
-          (seg_size[cur_b] > seg_size[cur_a]))
+    live = (cur_a != cur_b) & (cur_a != SEGNULLVAL) & (cur_b != SEGNULLVAL)
+    size_a = seg_size[cur_a]
+    size_b = seg_size[cur_b]
+    cand_a = is_cand[cur_a]
+    cand_b = is_cand[cur_b]
     diff = mean[cur_a] - mean[cur_b]                 # (E, nBands)
-    d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.where(ok, d2, inf)
-    nbr = jnp.where(ok, cur_b.astype(jnp.uint32), big_id)
+    d2u = jnp.sum(diff * diff, axis=-1)
 
-    d_best = jax.ops.segment_min(d2, cur_a, num_segments=capacity)
-    nb_hit = jnp.where(d2 == d_best[cur_a], nbr, big_id)
-    best_nbr = jax.ops.segment_min(nb_hit, cur_a, num_segments=capacity)
+    ok_ab = live & cand_a & (size_b > size_a)        # a merges into b
+    ok_ba = live & cand_b & (size_a > size_b)        # b merges into a
+    d2 = jnp.concatenate([jnp.where(ok_ab, d2u, inf),
+                          jnp.where(ok_ba, d2u, inf)])
+    src = jnp.concatenate([cur_a, cur_b])
+    nbr = jnp.concatenate([
+        jnp.where(ok_ab, cur_b.astype(jnp.uint32), big_id),
+        jnp.where(ok_ba, cur_a.astype(jnp.uint32), big_id)])
+
+    d_best = jax.ops.segment_min(d2, src, num_segments=capacity)
+    nb_hit = jnp.where(d2 == d_best[src], nbr, big_id)
+    best_nbr = jax.ops.segment_min(nb_hit, src, num_segments=capacity)
 
     # Spectral-difference limit (reference: shepseg.py:1060-1061, strict >)
     merge_to = jnp.where(

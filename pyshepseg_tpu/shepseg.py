@@ -104,7 +104,19 @@ def _eliminations_device(img_f, seg, max_spectral_diff,
     seg, n_small, overflow = eliminate_small_segments_device(
         seg, img_f, size, spect, min_seg_size, max_spectral_diff,
         four_connected)
-    return seg, max_after_single, n_small, jnp.max(seg), overflow
+    # One packed scalar vector -> one host round trip instead of four
+    # (each blocking scalar fetch costs a full tunnel/PCIe round trip)
+    scalars = jnp.stack([max_after_single.astype(jnp.uint32),
+                         n_small.astype(jnp.uint32),
+                         jnp.max(seg).astype(jnp.uint32),
+                         overflow.astype(jnp.uint32)])
+    # Downloading uint16 halves the transfer when IDs fit (capacity is
+    # the static bound on the largest ID)
+    if capacity <= 0xFFFF + 1:
+        seg_out = seg.astype(jnp.uint16)
+    else:
+        seg_out = seg
+    return seg_out, scalars
 
 
 def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
@@ -151,11 +163,12 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     t0 = time.time()
     capacity = round_capacity(maxSegId + 1)
     clump_dev = seg_dev
-    seg_dev, maxAfterSingle, numElimSmall, finalMax, overflow = (
-        _eliminations_device(
-            img_f, clump_dev, jnp.float32(maxSpectralDiff),
-            min_seg_size=int(minSegmentSize),
-            four_connected=bool(fourConnected), capacity=capacity))
+    seg_dev, scalars_dev = _eliminations_device(
+        img_f, clump_dev, jnp.float32(maxSpectralDiff),
+        min_seg_size=int(minSegmentSize),
+        four_connected=bool(fourConnected), capacity=capacity)
+    maxAfterSingle, numElimSmall, finalMax, overflow = (
+        np.asarray(scalars_dev).tolist())
     if bool(overflow):
         # Pathological adjacency density blew the default edge bucket
         # (needs >8 distinct neighbours per segment on average — only
