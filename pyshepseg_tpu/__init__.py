@@ -21,5 +21,16 @@ Public modules (mirroring the reference package layout):
 - :mod:`pyshepseg_tpu.timinghooks` — named-interval timing collector
 """
 
+import os as _os
+
+# Explicit platform pin for worker subprocesses: site customizations (e.g.
+# the axon TPU tunnel) can override the JAX_PLATFORMS environment variable,
+# so spawned workers that must run on a specific backend (CI, tests) set
+# PYSHEPSEG_TPU_PLATFORM instead — the config API wins over site defaults.
+if _os.environ.get("PYSHEPSEG_TPU_PLATFORM"):
+    import jax as _jax
+    _jax.config.update("jax_platforms",
+                       _os.environ["PYSHEPSEG_TPU_PLATFORM"])
+
 SHEPSEG_TPU_VERSION = "0.1.0"
 __version__ = SHEPSEG_TPU_VERSION

@@ -214,3 +214,27 @@ def test_calc_histogram_tiled_deprecated(paths, rng):
     want = np.bincount(seg.ravel(), minlength=res.maxSegId + 1)
     want[0] = 0
     np.testing.assert_array_equal(hist, want)
+
+
+def test_tiled_subproc_matches_serial(serial_case, tmp_path, monkeypatch):
+    """CONC_SUBPROC drives the full remote-worker protocol — TCP channel,
+    pickled tiles/results, barrier, queues, timing merge — with local
+    subprocesses (the reference's fake-distributed-backend pattern,
+    tiling.py:1773-1796)."""
+    # Workers are fresh processes; pin them to the CPU backend (site
+    # customizations can override the JAX_PLATFORMS env var).
+    monkeypatch.setenv("PYSHEPSEG_TPU_PLATFORM", "cpu")
+    monkeypatch.setenv(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(tmp_path.parent / "subproc_jax_cache"))
+    outpath = str(tmp_path / "out_subproc.npseg")
+    cfg = tiling.SegmentationConcurrencyConfig(
+        concurrencyType=tiling.CONC_SUBPROC, numWorkers=2,
+        tileCompletionTimeout=600, barrierTimeout=600)
+    res = run_tiled(serial_case["inpath"], outpath, concurrencyCfg=cfg)
+    seg = check_output(outpath, res, serial_case["img"],
+                       serial_case["true_seg"])
+    np.testing.assert_array_equal(seg, serial_case["seg"])
+    # worker timings merged back over the channel
+    summary = res.timings.makeSummaryDict()
+    assert "segmentation" in summary
