@@ -238,3 +238,18 @@ def test_tiled_subproc_matches_serial(serial_case, tmp_path, monkeypatch):
     # worker timings merged back over the channel
     summary = res.timings.makeSummaryDict()
     assert "segmentation" in summary
+
+
+def test_tiled_mesh_matches_serial(serial_case, tmp_path):
+    """CONC_MESH shards tile batches over the (virtual, 8-device) mesh and
+    runs the fused per-tile pipeline on each device; the stitched result
+    must be identical to the serial backend."""
+    import jax
+    assert len(jax.devices()) == 8  # conftest's virtual CPU mesh
+    outpath = str(tmp_path / "out_mesh.npseg")
+    cfg = tiling.SegmentationConcurrencyConfig(
+        concurrencyType=tiling.CONC_MESH, numWorkers=0)
+    res = run_tiled(serial_case["inpath"], outpath, concurrencyCfg=cfg)
+    seg = check_output(outpath, res, serial_case["img"],
+                       serial_case["true_seg"])
+    np.testing.assert_array_equal(seg, serial_case["seg"])
