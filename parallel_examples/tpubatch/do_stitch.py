@@ -44,6 +44,18 @@ def getCmdargs():
 
 def main():
     cmdargs = getCmdargs()
+    # Validate the colour-table request BEFORE the expensive download +
+    # stitch: every colour band needs its per-segment mean column.
+    if cmdargs.colortablebands:
+        statsBands = ([int(b) for b in cmdargs.statsbands.split(",")]
+                      if cmdargs.statsbands else [])
+        rgb = [int(b) for b in cmdargs.colortablebands.split(",")]
+        missing = [b for b in rgb if b not in statsBands]
+        if missing:
+            raise SystemExit(
+                "--colortablebands {} need per-segment means: add band(s) "
+                "{} to --statsbands".format(cmdargs.colortablebands,
+                                            missing))
     store = ObjectStore(cmdargs.store)
 
     with tempfile.TemporaryDirectory() as tmpDir:

@@ -86,9 +86,35 @@ def submit_local(cmdargs):
 
 SLURM_TEMPLATE = """#!/bin/bash
 #SBATCH --job-name={name}
-{array}#SBATCH --output={name}_%A_%a.log
-{deps}
+#SBATCH --output={name}_%A_%a.log
+
 python {script} {args}
+"""
+
+# Array size and dependencies are only known at submission time (the
+# prepare job computes NUMTILES), so they are passed as sbatch
+# command-line options — which override in-file directives — by this
+# orchestrator rather than baked into the scripts.
+SLURM_SUBMIT_ALL = """#!/bin/bash
+# Submit the three-phase pipeline with real job-id dependencies.
+set -euo pipefail
+cd "$(dirname "$0")"
+
+# Phase 1: prepare (run synchronously so we learn the tile count)
+prep_id=$(sbatch --parsable --wait psseg_prepare.sbatch)
+numtiles=$(grep -oP 'NUMTILES=\\K\\d+' psseg_prepare_${{prep_id}}_*.log \\
+           psseg_prepare_${{prep_id}}.log 2>/dev/null | head -1)
+if [ -z "${{numtiles}}" ]; then
+    echo "could not find NUMTILES in the prepare job log" >&2
+    exit 1
+fi
+
+# Phase 2: one array task per tile
+tiles_id=$(sbatch --parsable --array=0-$((numtiles - 1)) \\
+           psseg_tiles.sbatch)
+
+# Phase 3: stitch after every tile job succeeded
+sbatch --dependency=afterok:${{tiles_id}} psseg_stitch.sbatch
 """
 
 
@@ -99,25 +125,25 @@ def submit_slurm(cmdargs):
         ("psseg_prepare", "do_prepare.py",
          "--infile {} {} --tilesize {} --overlapsize {} --nclusters {}"
          .format(cmdargs.infile, common, cmdargs.tilesize,
-                 cmdargs.overlapsize, cmdargs.nclusters), None, False),
-        ("psseg_tiles", "do_tile.py", common, "psseg_prepare", True),
+                 cmdargs.overlapsize, cmdargs.nclusters)),
+        ("psseg_tiles", "do_tile.py", common),
         ("psseg_stitch", "do_stitch.py",
-         "{} --outname {}".format(common, cmdargs.outname),
-         "psseg_tiles", False),
+         "{} --outname {}".format(common, cmdargs.outname)),
     ]
-    for name, script, args, dep, isArray in jobs:
+    for name, script, args in jobs:
         body = SLURM_TEMPLATE.format(
-            name=name,
-            array="#SBATCH --array=0-$((NUMTILES-1))\n" if isArray else "",
-            deps="#SBATCH --dependency=afterok:{}\n".format(dep)
-                 if dep else "",
-            script=os.path.join(HERE, script), args=args)
+            name=name, script=os.path.join(HERE, script), args=args)
         path = os.path.join(cmdargs.emit_dir, name + ".sbatch")
         with open(path, "w") as f:
             f.write(body)
         print("wrote", path)
-    print("Submit with sbatch in order; NUMTILES comes from the prepare "
-          "job's output.")
+    submitAll = os.path.join(cmdargs.emit_dir, "submit_all.sh")
+    with open(submitAll, "w") as f:
+        f.write(SLURM_SUBMIT_ALL.format())
+    os.chmod(submitAll, 0o755)
+    print("wrote", submitAll)
+    print("Run submit_all.sh to submit the DAG (array size and job-id "
+          "dependencies are wired at submission time).")
 
 
 GCP_TEMPLATE = """{{

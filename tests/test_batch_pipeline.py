@@ -41,6 +41,9 @@ def test_local_batch_pipeline(scene, tmp_path):
     store = "file://" + str(tmp_path / "store")
     env = dict(os.environ,
                XLA_FLAGS=os.environ.get("XLA_FLAGS", ""),
+               # the package-level knob, not JAX_PLATFORMS: site
+               # customizations (axon) override the plain env var
+               PYSHEPSEG_TPU_PLATFORM="cpu",
                JAX_PLATFORMS="cpu")
     cmd = [sys.executable,
            os.path.join(EXAMPLES, "submit_pyshepseg_job.py"),
@@ -80,6 +83,13 @@ def test_slurm_emit(scene, tmp_path):
     assert res.returncode == 0, res.stdout + res.stderr
     files = sorted(os.listdir(emit))
     assert files == ["psseg_prepare.sbatch", "psseg_stitch.sbatch",
-                     "psseg_tiles.sbatch"]
-    tiles = open(os.path.join(emit, "psseg_tiles.sbatch")).read()
-    assert "--array=" in tiles and "--dependency=afterok" in tiles
+                     "psseg_tiles.sbatch", "submit_all.sh"]
+    # array size and job-id dependencies are wired at submission time by
+    # the orchestrator (sbatch CLI options override in-file directives)
+    orch = open(os.path.join(emit, "submit_all.sh")).read()
+    assert "--array=0-$((numtiles - 1))" in orch
+    assert "--dependency=afterok:${tiles_id}" in orch
+    assert "--parsable --wait" in orch
+    import subprocess as sp
+    assert sp.run(["bash", "-n", os.path.join(emit, "submit_all.sh")],
+                  capture_output=True).returncode == 0

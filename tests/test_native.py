@@ -73,3 +73,24 @@ def test_subset_recode_mask(rng):
     out, nxt = native.subset_recode(tile, mask, lut, 1, hist)
     np.testing.assert_array_equal(out, [[1, 0], [0, 2]])
     assert nxt == 3
+
+
+def test_missing_source_falls_back(monkeypatch, rng):
+    # Installed environments without the .cpp (or without g++) must get
+    # the pure-Python fallback, not a crash.
+    monkeypatch.setattr(native, "_SRC", "/nonexistent/ccl.cpp")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_build_error", None)
+    assert native.available() is False
+    img = rng.integers(0, 3, size=(12, 12)).astype(np.int32)
+    got, nxt = native.flood_fill_clump(img, -1, True, maxClumpSize=20)
+    ref, refNext = oracle_clump(img, -1, True, maxClumpSize=20)
+    assert nxt == refNext
+    np.testing.assert_array_equal(got, ref)
+    # subset_recode fallback too
+    lut = np.zeros(8, dtype=np.uint32)
+    hist = np.zeros(8, dtype=np.uint64)
+    out, nid = native.subset_recode(
+        np.array([[2, 2], [1, 0]], dtype=np.uint32), None, lut, 1, hist)
+    np.testing.assert_array_equal(out, [[1, 1], [2, 0]])
+    assert nid == 3
