@@ -36,35 +36,35 @@ from .constants import SegIdType, SEGNULLVAL
 from .shifts import shift, offsets_for
 
 
-def _seg_min_scan(labels, brk, axis):
-    """
-    Segmented inclusive min-scan of ``labels`` along ``axis``; ``brk`` marks
-    elements that must not take from their predecessor in scan direction.
-    The (value, break) combiner is the standard segmented-scan monoid.
-    """
-
-    def comb(a, b):
-        av, ab = a
-        bv, bb = b
-        return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
-
-    v, _ = jax.lax.associative_scan(comb, (labels, brk), axis=axis)
-    return v
-
-
-def _run_min(labels, conn_prev, axis):
+def _run_min(labels, conn_prev, axis, sentinel):
     """
     Min of each label over its whole same-value run along ``axis``.
     ``conn_prev[..i..]`` is True when element i is connected to element i-1
-    along the axis. Computed as min(forward scan, backward scan).
+    along the axis.
+
+    Implemented as Hillis-Steele doubling over plain pad+slice shifts
+    (after step k each element holds the min over the 2^k elements of its
+    run behind/ahead of it). NOT lax.associative_scan: its recursive
+    odd/even interleaving makes XLA compile time explode on large 2D
+    arrays (~20 minutes at 2048x2048 vs seconds for this form — measured).
     """
-    fwd = _seg_min_scan(labels, ~conn_prev, axis)
-    # Backward: in flipped coordinates, the predecessor of j is the
-    # original successor, whose connectivity bit is conn_prev at i+1.
-    conn_next = jnp.flip(
-        shift(conn_prev, *((1, 0) if axis == 0 else (0, 1)), False), axis)
-    bwd = jnp.flip(
-        _seg_min_scan(jnp.flip(labels, axis), ~conn_next, axis), axis)
+
+    def sweep(lab, conn, sign):
+        reach = conn
+        d = 1
+        size = lab.shape[axis]
+        while d < size:
+            off = (sign * d, 0) if axis == 0 else (0, sign * d)
+            lab_s = shift(lab, *off, sentinel)
+            reach_s = shift(reach, *off, False)
+            lab = jnp.where(reach, jnp.minimum(lab, lab_s), lab)
+            reach = reach & reach_s
+            d *= 2
+        return lab
+
+    fwd = sweep(labels, conn_prev, -1)          # take from predecessors
+    conn_next = shift(conn_prev, *((1, 0) if axis == 0 else (0, 1)), False)
+    bwd = sweep(labels, conn_next, 1)           # take from successors
     return jnp.minimum(fwd, bwd)
 
 
@@ -148,8 +148,8 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None):
             new = jnp.minimum(new, jnp.where(same,
                                              shift(new, dy, dx, sentinel),
                                              sentinel))
-        new = _run_min(new, conn_row, axis=1)
-        new = _run_min(new, conn_col, axis=0)
+        new = _run_min(new, conn_row, 1, sentinel)
+        new = _run_min(new, conn_col, 0, sentinel)
         # One pointer-jumping hop collapses label chains multiplicatively
         flat = new.ravel()
         flat_ext = jnp.concatenate([flat, jnp.array([sentinel], flat.dtype)])
