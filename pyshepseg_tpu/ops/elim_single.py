@@ -29,24 +29,17 @@ from .shifts import shift, offsets_for
 from .segreduce import seg_sizes, relabel
 
 
-def _spectral_dist_fields(img_f, four_connected: bool):
-    """
-    (K, H, W) squared spectral distances to each 3x3 neighbour in scan
-    order. Pass-invariant (the image never changes), so the fixpoint loop
-    hoists this out and each pass only recomputes the masks.
-    """
-    dists = []
-    for dy, dx in offsets_for(four_connected):
-        d2 = jnp.zeros(img_f.shape[1:], jnp.float32)
-        for b in range(img_f.shape[0]):
-            diff = img_f[b] - shift(img_f[b], dy, dx, 0.0)
-            d2 = d2 + diff * diff
-        dists.append(d2)
-    return jnp.stack(dists)
+def _one_pass(band_planes, seg, seg_size, four_connected: bool):
+    """One find-all-then-apply merge pass. Returns (seg', seg_size', nElim).
 
-
-def _one_pass(dist_all, seg, seg_size, four_connected: bool):
-    """One find-all-then-apply merge pass. Returns (seg', seg_size', nElim)."""
+    ``band_planes`` is a tuple of 2D (H, W) float32 planes, NOT a
+    (nBands, H, W) array: with the 3D form XLA's layout assignment can
+    materialise a rematerialised copy with the nBands dim as the padded
+    lane dimension (4 -> 128 lanes = 32x memory), which OOM'd large grown
+    edge tiles. Neighbour distances are a RUNNING strict-< minimum
+    (keeping the FIRST minimum in the reference's 3x3 scan order) instead
+    of (K, H, W) stacks, bounding the pass to a few (H, W) buffers.
+    """
     capacity = seg_size.shape[0]
     offsets = offsets_for(four_connected)
     inf = jnp.float32(jnp.inf)
@@ -54,21 +47,21 @@ def _one_pass(dist_all, seg, seg_size, four_connected: bool):
     sizes_at = seg_size[seg.astype(jnp.int32)]   # the pass's only big gather
     single = sizes_at == 1
 
-    dists = []
-    nbr_segs = []
-    for k, (dy, dx) in enumerate(offsets):
+    best_d = jnp.full(seg.shape, inf)
+    new_seg = jnp.zeros_like(seg)
+    for dy, dx in offsets:
         nbr_seg = shift(seg, dy, dx, 0)
         # Neighbour's segment size as a shift of the gathered field; the
         # 0 fill keeps out-of-image neighbours ineligible (size 0 < 2).
         nbr_ok = shift(sizes_at, dy, dx, jnp.uint32(0)) > 1
-        dists.append(jnp.where(nbr_ok, dist_all[k], inf))
-        nbr_segs.append(nbr_seg)
-
-    dist_stack = jnp.stack(dists)        # (K, H, W), scan order
-    seg_stack = jnp.stack(nbr_segs)      # (K, H, W)
-    best_k = jnp.argmin(dist_stack, axis=0)   # first minimum wins (scan order)
-    best_d = jnp.take_along_axis(dist_stack, best_k[None], axis=0)[0]
-    new_seg = jnp.take_along_axis(seg_stack, best_k[None], axis=0)[0]
+        d2 = jnp.zeros(seg.shape, jnp.float32)
+        for plane in band_planes:
+            diff = plane - shift(plane, dy, dx, 0.0)
+            d2 = d2 + diff * diff
+        d2 = jnp.where(nbr_ok, d2, inf)
+        better = d2 < best_d          # strict <: first minimum wins
+        best_d = jnp.where(better, d2, best_d)
+        new_seg = jnp.where(better, nbr_seg, new_seg)
 
     elim = single & jnp.isfinite(best_d)
     seg_out = jnp.where(elim, new_seg, seg)
@@ -87,18 +80,21 @@ def eliminate_single_pixels_device(img_f, seg, seg_size,
     """
     Device: run merge passes to fixpoint, then relabel to contiguous IDs
     (the reference's eliminateSinglePixels driver, shepseg.py:572-615).
+    ``img_f`` may be a (nBands, H, W) array or a tuple of (H, W) planes
+    (preferred for large tiles — see _one_pass).
 
     Returns (relabelled seg, total number of pixels eliminated).
     """
-
-    dist_all = _spectral_dist_fields(img_f, four_connected)
+    band_planes = (img_f if isinstance(img_f, tuple)
+                   else tuple(img_f[b] for b in range(img_f.shape[0])))
 
     def cond(carry):
         return carry[3] > 0
 
     def body(carry):
         seg_c, size_c, total, _ = carry
-        seg_n, size_n, n = _one_pass(dist_all, seg_c, size_c, four_connected)
+        seg_n, size_n, n = _one_pass(band_planes, seg_c, size_c,
+                                     four_connected)
         return seg_n, size_n, total + n, n
 
     seg, seg_size, total, _ = jax.lax.while_loop(

@@ -35,14 +35,23 @@ def seg_spectral_sums(seg, img, capacity: int):
     Row 0 (the null segment) is computed but unused, matching the reference
     layout (reference: shepseg.py:780-813).
     """
+    return seg_spectral_sums_planes(
+        seg, tuple(img[b] for b in range(img.shape[0])), capacity)
+
+
+def seg_spectral_sums_planes(seg, band_planes, capacity: int):
+    """
+    Per-segment per-band sums from a tuple of 2D band planes. The plane
+    form exists so callers can keep large tiles free of (nBands, H, W)
+    arrays — XLA layout assignment may otherwise materialise copies with
+    the nBands dim as the padded lane dimension (4 -> 128 lanes = 32x
+    memory) inside downstream loops.
+    """
     flat_seg = seg.ravel().astype(jnp.int32)
-
-    def one_band(band):
-        return jax.ops.segment_sum(band.ravel().astype(jnp.float32),
-                                   flat_seg, num_segments=capacity)
-
-    sums = jax.vmap(one_band)(img)  # (nBands, capacity)
-    return sums.T
+    sums = [jax.ops.segment_sum(p.ravel().astype(jnp.float32),
+                                flat_seg, num_segments=capacity)
+            for p in band_planes]
+    return jnp.stack(sums, axis=1)           # (capacity, nBands)
 
 
 def relabel_subtract(seg_size, min_seg_id: int = MINSEGID):

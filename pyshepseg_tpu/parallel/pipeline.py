@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..ops.constants import SEGNULLVAL, MINSEGID
 from ..ops.kmeans import _assign_scores
 from ..ops.clump import clump_labels
-from ..ops.segreduce import seg_sizes, seg_spectral_sums
+from ..ops.segreduce import seg_sizes, seg_spectral_sums_planes
 from ..ops.elim_single import eliminate_single_pixels_device
 from ..ops.elim_small import eliminate_small_segments_device, round_capacity
 
@@ -67,11 +67,13 @@ def segment_tile(img_f, centers, img_null_val, max_spectral_diff,
     clusters = assign_clusters(img_f, centers, img_null_val, has_null)
     seg, _ = clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
                           four_connected=four_connected)
+    # per-band planes: avoids band-minor layout copies on large tiles
+    planes = tuple(img_f[b] for b in range(img_f.shape[0]))
     size = seg_sizes(seg, capacity)
-    seg, _ = eliminate_single_pixels_device(img_f, seg, size,
+    seg, _ = eliminate_single_pixels_device(planes, seg, size,
                                             four_connected)
     size = seg_sizes(seg, capacity)
-    spect = seg_spectral_sums(seg, img_f, capacity)
+    spect = seg_spectral_sums_planes(seg, planes, capacity)
     # e_cap = 8 * capacity can never overflow here: capacity is bucketed
     # from H*W+1 and unique adjacencies are bounded by 4*H*W
     seg, _, _ = eliminate_small_segments_device(

@@ -22,7 +22,8 @@ from .ops.constants import SegIdType, SEGNULLVAL, MINSEGID  # noqa: F401
 from .ops.clump import clump, clump_labels  # noqa: F401
 from .ops.segreduce import (  # noqa: F401
     makeSegSize, buildSegmentSpectra, relabelSegments,
-    makeSegmentLocations, SegmentLocations, seg_sizes, seg_spectral_sums)
+    makeSegmentLocations, SegmentLocations, seg_sizes, seg_spectral_sums,
+    seg_spectral_sums_planes)
 from .ops.elim_single import (  # noqa: F401
     eliminateSinglePixels, eliminate_single_pixels_device)
 from .ops.elim_small import (  # noqa: F401
@@ -81,13 +82,18 @@ def _cluster_and_clump_device(img_dev, centers, img_null_val,
         clusters = jnp.where(nullmask, jnp.uint32(SEGNULLVAL), clusters)
     seg, num_clumps = clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
                                    four_connected=four_connected)
-    return img_f, seg, num_clumps
+    # Per-band 2D planes, NOT the 3D (nBands, H, W) array: the second
+    # dispatch must never see a 3D float image, or XLA layout assignment
+    # can insert a copy with the nBands dim as the padded lane dimension
+    # (4 -> 128 lanes = 32x memory) that OOMs HBM on large tiles.
+    planes = tuple(img_f[b] for b in range(nbands))
+    return planes, seg, num_clumps
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("min_seg_size", "four_connected", "capacity"))
-def _eliminations_device(img_f, seg, max_spectral_diff,
+def _eliminations_device(band_planes, seg, max_spectral_diff,
                          min_seg_size: int, four_connected: bool,
                          capacity: int):
     """
@@ -97,10 +103,11 @@ def _eliminations_device(img_f, seg, max_spectral_diff,
     their internal relabels. Returns (seg, maxAfterSingle, nSmall, maxSegId).
     """
     size = seg_sizes(seg, capacity)
-    seg, _ = eliminate_single_pixels_device(img_f, seg, size, four_connected)
+    seg, _ = eliminate_single_pixels_device(band_planes, seg, size,
+                                            four_connected)
     max_after_single = jnp.max(seg)
     size = seg_sizes(seg, capacity)
-    spect = seg_spectral_sums(seg, img_f, capacity)
+    spect = seg_spectral_sums_planes(seg, band_planes, capacity)
     seg, n_small, overflow = eliminate_small_segments_device(
         seg, size, spect, min_seg_size, max_spectral_diff, four_connected)
     # One packed scalar vector -> one host round trip instead of four
@@ -148,7 +155,7 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     centers = jnp.asarray(np.asarray(km.cluster_centers_, dtype=np.float32))
     hasNull = imgNullVal is not None
     nullVal = jnp.float32(imgNullVal if hasNull else 0)
-    img_f, seg_dev, numClumps = _cluster_and_clump_device(
+    planes_dev, seg_dev, numClumps = _cluster_and_clump_device(
         img_dev, centers, nullVal,
         has_null=hasNull, four_connected=bool(fourConnected))
     maxSegId = int(numClumps)  # scalar sync; picks the capacity bucket
@@ -163,7 +170,7 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     capacity = round_capacity(maxSegId + 1)
     clump_dev = seg_dev
     seg_dev, scalars_dev = _eliminations_device(
-        img_f, clump_dev, jnp.float32(maxSpectralDiff),
+        planes_dev, clump_dev, jnp.float32(maxSpectralDiff),
         min_seg_size=int(minSegmentSize),
         four_connected=bool(fourConnected), capacity=capacity)
     maxAfterSingle, numElimSmall, finalMax, overflow = (
