@@ -50,8 +50,10 @@ def test_local_batch_pipeline(scene, tmp_path):
            "--backend", "local", "--infile", scene, "--store", store,
            "--tilesize", "64", "--overlapsize", "32",
            "--nclusters", "12", "--statsbands", "1", "--workers", "2"]
+    # generous timeout: worker subprocesses recompile after any kernel
+    # change and may contend with other suite processes for the device
     res = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                         timeout=900)
+                         timeout=1800)
     assert res.returncode == 0, res.stdout + res.stderr
 
     outpath = str(tmp_path / "store" / "segmentation.npseg")
