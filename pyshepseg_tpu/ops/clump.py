@@ -8,9 +8,10 @@ labels only ever decrease, via three complementary mechanisms per sweep:
 
 1. neighbour min over the connectivity offsets (cheap pad+slice shifts;
    for 8-connectivity this is what carries labels across diagonals),
-2. segmented min-scans along rows and columns (``lax.associative_scan``
-   with run breaks where the pixel value changes) — a label crosses an
-   entire same-value run in one log-depth scan with NO gather traffic,
+2. segmented min-scans along rows and columns (Hillis-Steele doubling
+   over pad+slice shifts, with run breaks where the pixel value changes)
+   — a label crosses an entire same-value run in one log-depth sweep with
+   NO gather traffic,
 3. one pointer-jumping step (label = label[label]) that collapses long
    label chains so spiral-shaped components converge in O(log) sweeps.
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from .constants import SegIdType, MINSEGID
 from .shifts import shift, offsets_for
-from .segreduce import seg_sizes, relabel
+from .segreduce import seg_sizes, relabel, band_planes
 
 
 def _one_pass(band_planes, seg, seg_size, four_connected: bool):
@@ -85,15 +85,14 @@ def eliminate_single_pixels_device(img_f, seg, seg_size,
 
     Returns (relabelled seg, total number of pixels eliminated).
     """
-    band_planes = (img_f if isinstance(img_f, tuple)
-                   else tuple(img_f[b] for b in range(img_f.shape[0])))
+    planes = band_planes(img_f)
 
     def cond(carry):
         return carry[3] > 0
 
     def body(carry):
         seg_c, size_c, total, _ = carry
-        seg_n, size_n, n = _one_pass(band_planes, seg_c, size_c,
+        seg_n, size_n, n = _one_pass(planes, seg_c, size_c,
                                      four_connected)
         return seg_n, size_n, total + n, n
 

@@ -27,6 +27,19 @@ def seg_sizes(seg, capacity: int):
                                num_segments=capacity)
 
 
+def band_planes(img_f):
+    """
+    Split a (nBands, H, W) array into a tuple of 2D (H, W) planes, or pass
+    a tuple through unchanged. Invariant: device loops must never see a 3D
+    float image — XLA layout assignment may otherwise materialise a copy
+    with the nBands dim as the padded lane dimension (4 -> 128 lanes =
+    32x memory), which OOMs HBM on large tiles.
+    """
+    if isinstance(img_f, tuple):
+        return img_f
+    return tuple(img_f[b] for b in range(img_f.shape[0]))
+
+
 def seg_spectral_sums(seg, img, capacity: int):
     """
     Device: per-segment per-band sums of pixel values.
@@ -35,17 +48,13 @@ def seg_spectral_sums(seg, img, capacity: int):
     Row 0 (the null segment) is computed but unused, matching the reference
     layout (reference: shepseg.py:780-813).
     """
-    return seg_spectral_sums_planes(
-        seg, tuple(img[b] for b in range(img.shape[0])), capacity)
+    return seg_spectral_sums_planes(seg, band_planes(img), capacity)
 
 
 def seg_spectral_sums_planes(seg, band_planes, capacity: int):
     """
-    Per-segment per-band sums from a tuple of 2D band planes. The plane
-    form exists so callers can keep large tiles free of (nBands, H, W)
-    arrays — XLA layout assignment may otherwise materialise copies with
-    the nBands dim as the padded lane dimension (4 -> 128 lanes = 32x
-    memory) inside downstream loops.
+    Per-segment per-band sums from a tuple of 2D band planes (see
+    :func:`band_planes` for why callers keep large tiles in plane form).
     """
     flat_seg = seg.ravel().astype(jnp.int32)
     sums = [jax.ops.segment_sum(p.ravel().astype(jnp.float32),

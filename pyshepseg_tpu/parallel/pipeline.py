@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from ..ops.constants import SEGNULLVAL, MINSEGID
 from ..ops.kmeans import _assign_scores
 from ..ops.clump import clump_labels
-from ..ops.segreduce import seg_sizes, seg_spectral_sums_planes
+from ..ops.segreduce import (seg_sizes, seg_spectral_sums_planes,
+                             band_planes)
 from ..ops.elim_single import eliminate_single_pixels_device
 from ..ops.elim_small import eliminate_small_segments_device, round_capacity
 
@@ -68,7 +69,7 @@ def segment_tile(img_f, centers, img_null_val, max_spectral_diff,
     seg, _ = clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
                           four_connected=four_connected)
     # per-band planes: avoids band-minor layout copies on large tiles
-    planes = tuple(img_f[b] for b in range(img_f.shape[0]))
+    planes = band_planes(img_f)
     size = seg_sizes(seg, capacity)
     seg, _ = eliminate_single_pixels_device(planes, seg, size,
                                             four_connected)

@@ -23,7 +23,7 @@ from .ops.clump import clump, clump_labels  # noqa: F401
 from .ops.segreduce import (  # noqa: F401
     makeSegSize, buildSegmentSpectra, relabelSegments,
     makeSegmentLocations, SegmentLocations, seg_sizes, seg_spectral_sums,
-    seg_spectral_sums_planes)
+    seg_spectral_sums_planes, band_planes as band_planes_fn)
 from .ops.elim_single import (  # noqa: F401
     eliminateSinglePixels, eliminate_single_pixels_device)
 from .ops.elim_small import (  # noqa: F401
@@ -82,12 +82,9 @@ def _cluster_and_clump_device(img_dev, centers, img_null_val,
         clusters = jnp.where(nullmask, jnp.uint32(SEGNULLVAL), clusters)
     seg, num_clumps = clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
                                    four_connected=four_connected)
-    # Per-band 2D planes, NOT the 3D (nBands, H, W) array: the second
-    # dispatch must never see a 3D float image, or XLA layout assignment
-    # can insert a copy with the nBands dim as the padded lane dimension
-    # (4 -> 128 lanes = 32x memory) that OOMs HBM on large tiles.
-    planes = tuple(img_f[b] for b in range(nbands))
-    return planes, seg, num_clumps
+    # Per-band 2D planes, NOT the 3D array (see segreduce.band_planes
+    # for the lane-padding OOM this avoids)
+    return band_planes_fn(img_f), seg, num_clumps
 
 
 @functools.partial(
