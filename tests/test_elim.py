@@ -99,3 +99,31 @@ def test_small_elim_noop():
     n = eliminateSmallSegments(seg, img, 1, 1, 100.0, True)
     assert n == 0
     assert (seg == 1).all()
+
+
+def test_small_elim_edge_overflow_flag(rng):
+    """Forcing a too-small static edge capacity must raise the overflow
+    flag (the fused pipeline's signal to rebucket via the host APIs)."""
+    import jax.numpy as jnp
+    from pyshepseg_tpu.ops.elim_small import eliminate_small_segments_device
+    from pyshepseg_tpu.ops.segreduce import seg_sizes, seg_spectral_sums
+
+    clusters = rng.integers(1, 5, size=(24, 24)).astype(np.uint32)
+    seg, nxt = clump(clusters, 0, fourConnected=True)
+    img = (rng.integers(0, 30, size=(2, 24, 24)) * 8).astype(np.int32)
+    cap = 1024
+    seg_j = jnp.asarray(seg)
+    img_f = jnp.asarray(img).astype(jnp.float32)
+    size = seg_sizes(seg_j, cap)
+    spect = seg_spectral_sums(seg_j, img_f, cap)
+    # e_cap=2 cannot hold the real adjacency set -> overflow flag
+    _, _, overflow = eliminate_small_segments_device(
+        seg_j, size, spect, 5, jnp.float32(1e9), True, e_cap=2)
+    assert bool(overflow)
+    # generous e_cap -> no overflow, and result matches the host API
+    out, n, overflow = eliminate_small_segments_device(
+        seg_j, size, spect, 5, jnp.float32(1e9), True, e_cap=8 * cap)
+    assert not bool(overflow)
+    ref = seg.copy()
+    eliminateSmallSegments(ref, img, nxt - 1, 5, 1e9, True)
+    np.testing.assert_array_equal(np.asarray(out), ref)
