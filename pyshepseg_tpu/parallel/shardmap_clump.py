@@ -166,6 +166,9 @@ def clump_sharded(img, ignoreVal, fourConnected=True, mesh=None):
     """
     if mesh is None:
         mesh = Mesh(np.array(jax.devices()), (AXIS,))
+    elif mesh.axis_names != (AXIS,):
+        # flatten any caller mesh onto this module's 1-D row axis
+        mesh = Mesh(mesh.devices.reshape(-1), (AXIS,))
     n_dev = mesh.devices.size
     img = np.ascontiguousarray(img).astype(np.int32)
     h, w = img.shape
