@@ -41,8 +41,13 @@ def _build_and_load():
         # Source not shipped/installed — engage the pure-Python fallbacks
         _build_error = FileNotFoundError(_SRC)
         return None
+    # Build targets: the package dir, else a per-user cache dir. Never
+    # the shared system temp dir — dlopening a predictable filename from
+    # a world-writable directory lets any local user plant a library.
+    userCache = os.path.join(
+        os.path.expanduser("~"), ".cache", "pyshepseg_tpu")
     candidates = [os.path.join(_HERE, _LIB_NAME),
-                  os.path.join(tempfile.gettempdir(), _LIB_NAME)]
+                  os.path.join(userCache, _LIB_NAME)]
     src_mtime = os.path.getmtime(_SRC)
     for libpath in candidates:
         if (os.path.exists(libpath) and
@@ -58,6 +63,7 @@ def _build_and_load():
             cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                    _SRC, "-o", tmp]
             try:
+                os.makedirs(os.path.dirname(libpath), exist_ok=True)
                 subprocess.run(cmd, check=True, capture_output=True)
                 os.replace(tmp, libpath)
                 _lib = ctypes.CDLL(libpath)

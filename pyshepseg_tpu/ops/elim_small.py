@@ -49,8 +49,6 @@ Per-pass cost goes from O(H*W) to O(E) with E ~ 6 * numSegments (grid
 adjacency is near-planar), independent of tile size.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .constants import SEGNULLVAL, MINSEGID
+
 
 def _assign_scores(x, centers):
     """
@@ -138,6 +140,29 @@ def _kmeanspp_init(x, key, k_arr):
     mind0 = jnp.full(n, jnp.inf, jnp.float32)
     centers, _, _ = jax.lax.fori_loop(1, k, body, (centers, key, mind0))
     return centers
+
+
+def assign_clusters(img, centers, img_null_val, has_null: bool):
+    """
+    Device: per-pixel nearest-centre cluster IDs starting at 1; pixels
+    equal to the null value in any band become SEGNULLVAL
+    (reference: shepseg.py:317-361).
+
+    ``img`` is (nBands, H, W) in its NATIVE dtype: the null comparison
+    runs in that dtype (a float32 cast can alias distinct large integers
+    onto the null value and silently drop valid pixels); scoring casts to
+    float32 internally.
+    """
+    nbands, h, w = img.shape
+    x = img.reshape(nbands, h * w).T.astype(jnp.float32)
+    labels = jnp.argmin(_assign_scores(x, centers), axis=1).astype(
+        jnp.uint32) + MINSEGID
+    clusters = labels.reshape(h, w)
+    if has_null:
+        null = jnp.asarray(img_null_val).astype(img.dtype)
+        nullmask = jnp.any(img == null, axis=0)
+        clusters = jnp.where(nullmask, jnp.uint32(SEGNULLVAL), clusters)
+    return clusters
 
 
 @jax.jit

@@ -89,7 +89,7 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
                         bands = [inDs.GetRasterBand(b).ReadAsArray(
                             xpos, ypos, xs, ys)
                             for b in self.bandNumbers]
-                        imgs.append(np.array(bands, dtype=np.float32))
+                        imgs.append(np.array(bands))  # native dtype: exact null compare
                     # pad the batch up to the device count
                     while len(imgs) < nDev:
                         imgs.append(imgs[-1])

@@ -20,31 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.constants import SEGNULLVAL, MINSEGID
-from ..ops.kmeans import _assign_scores
+from ..ops.kmeans import assign_clusters  # noqa: F401  (re-export)
 from ..ops.clump import clump_labels
 from ..ops.segreduce import (seg_sizes, seg_spectral_sums_planes,
                              band_planes)
 from ..ops.elim_single import eliminate_single_pixels_device
 from ..ops.elim_small import eliminate_small_segments_device, round_capacity
-
-
-def assign_clusters(img_f, centers, img_null_val, has_null: bool):
-    """
-    Device: per-pixel nearest-centre cluster IDs starting at 1; pixels with
-    the null value in any band become SEGNULLVAL
-    (reference: shepseg.py:317-361).
-
-    img_f: (nBands, H, W) float32; centers: (K, nBands) float32.
-    """
-    nbands, h, w = img_f.shape
-    x = img_f.reshape(nbands, h * w).T
-    labels = jnp.argmin(_assign_scores(x, centers), axis=1).astype(
-        jnp.uint32) + MINSEGID
-    labels = labels.reshape(h, w)
-    if has_null:
-        nullmask = jnp.any(img_f == img_null_val, axis=0)
-        labels = jnp.where(nullmask, jnp.uint32(SEGNULLVAL), labels)
-    return labels
 
 
 def segment_tile(img_f, centers, img_null_val, max_spectral_diff,
@@ -55,7 +36,8 @@ def segment_tile(img_f, centers, img_null_val, max_spectral_diff,
 
     Parameters (static: min_seg_size, four_connected, has_null, capacity)
     ----------
-    img_f : (nBands, H, W) float32
+    img_f : (nBands, H, W), any numeric dtype (null comparison runs in
+        this dtype; spectral arithmetic casts to float32)
     centers : (K, nBands) float32 fitted cluster centres
     img_null_val : float32 scalar (ignored when has_null is False)
     max_spectral_diff : float32 scalar (resolve 'auto' on host via
@@ -65,20 +47,25 @@ def segment_tile(img_f, centers, img_null_val, max_spectral_diff,
 
     Returns (seg uint32 (H, W), maxSegId uint32).
     """
+    nbands, h, w = img_f.shape
     clusters = assign_clusters(img_f, centers, img_null_val, has_null)
     seg, _ = clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
                           four_connected=four_connected)
     # per-band planes: avoids band-minor layout copies on large tiles
-    planes = band_planes(img_f)
+    planes = band_planes(img_f.astype(jnp.float32))
     size = seg_sizes(seg, capacity)
     seg, _ = eliminate_single_pixels_device(planes, seg, size,
                                             four_connected)
     size = seg_sizes(seg, capacity)
     spect = seg_spectral_sums_planes(seg, planes, capacity)
-    # e_cap = 8 * capacity can never overflow here: capacity is bucketed
-    # from H*W+1 and unique adjacencies are bounded by 4*H*W
+    # e_cap at the hard bound on unique adjacencies (one per adjacent
+    # pixel pair: 2*H*W for 4-conn, 4*H*W for 8-conn) can NEVER overflow,
+    # regardless of the caller-supplied segment capacity — so discarding
+    # the overflow flag here is sound
+    pairs_bound = (2 if four_connected else 4) * h * w
     seg, _, _ = eliminate_small_segments_device(
-        seg, size, spect, min_seg_size, max_spectral_diff, four_connected)
+        seg, size, spect, min_seg_size, max_spectral_diff, four_connected,
+        e_cap=round_capacity(pairs_bound + 1))
     return seg, jnp.max(seg)
 
 

@@ -157,7 +157,9 @@ def clump_sharded(img, ignoreVal, fourConnected=True, mesh=None):
     """
     Host API: clump one large image with its rows sharded across all
     devices of ``mesh`` (default: a 1-D mesh over jax.devices()).
-    Semantics identical to ops.clump.clump (scan-order IDs from 1).
+    Label semantics match ops.clump.clump (scan-order IDs from 1), but
+    note the second return value is numClumps (= the highest ID), NOT
+    the reference clump()'s nextClumpId (= highest ID + 1).
     The image height must divide evenly by the device count — pad with
     ``ignoreVal`` rows otherwise (callers) or use ops.clump for small
     images.

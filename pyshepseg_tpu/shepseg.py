@@ -69,17 +69,10 @@ def _cluster_and_clump_device(img_dev, centers, img_null_val,
     (reference: shepseg.py:452-541). Keeps everything device-resident so
     the image crosses host->device exactly once, in its native dtype.
     """
-    from .ops.kmeans import _assign_scores
+    from .ops.kmeans import assign_clusters
 
     img_f = img_dev.astype(jnp.float32)
-    nbands, h, w = img_f.shape
-    x = img_f.reshape(nbands, h * w).T
-    labels = jnp.argmin(_assign_scores(x, centers), axis=1).astype(
-        jnp.uint32) + MINSEGID
-    clusters = labels.reshape(h, w)
-    if has_null:
-        nullmask = jnp.any(img_f == img_null_val, axis=0)
-        clusters = jnp.where(nullmask, jnp.uint32(SEGNULLVAL), clusters)
+    clusters = assign_clusters(img_dev, centers, img_null_val, has_null)
     seg, num_clumps = clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
                                    four_connected=four_connected)
     # Per-band 2D planes, NOT the 3D array (see segreduce.band_planes

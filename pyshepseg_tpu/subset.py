@@ -72,6 +72,7 @@ def subsetImage(inname, outname, tlx, tly, newXsize, newYsize, outformat,
         recodeLut = numpy.zeros(maxOldId + 2, dtype=numpy.uint32)
         histArr = numpy.zeros(maxOldId + 2, dtype=numpy.uint64)
         nextNativeId = 1
+        maxValidId = maxOldId  # IDs beyond the RAT rows are stale data
 
     numIntCols, numFloatCols = copyColumns(inRAT, outRAT)
 
@@ -109,7 +110,7 @@ def subsetImage(inname, outname, tlx, tly, newXsize, newYsize, outformat,
                 maskData = maskBand.ReadAsArray(tileColStart, tileRowStart,
                                                 xsize, ysize)
 
-            if useNative and maxVal < len(recodeLut):
+            if useNative and maxVal <= maxValidId:
                 outData, nextNativeId = native.subset_recode(
                     inData, maskData, recodeLut, nextNativeId, histArr)
             elif useNative:
