@@ -253,3 +253,25 @@ def test_tiled_mesh_matches_serial(serial_case, tmp_path):
     seg = check_output(outpath, res, serial_case["img"],
                        serial_case["true_seg"])
     np.testing.assert_array_equal(seg, serial_case["seg"])
+
+
+def test_tiled_mesh_with_nodata(paths, rng, tmp_path):
+    """CONC_MESH must propagate nodata through the native-dtype batch
+    (null comparison runs in the image dtype inside the fused pipeline)."""
+    inpath, outpath = paths
+    img, true_seg = make_voronoi_raster(inpath, rng, nodata=0)
+    # punch a null hole through the scene
+    ds = rio.open(inpath, rio.GA_Update)
+    for b in range(1, 4):
+        band = ds.GetRasterBand(b)
+        arr = band.ReadAsArray()
+        arr[10:30, 40:70] = 0
+        band.WriteArray(arr)
+    ds.FlushCache()
+    cfg = tiling.SegmentationConcurrencyConfig(
+        concurrencyType=tiling.CONC_MESH, numWorkers=0)
+    res = run_tiled(inpath, outpath, concurrencyCfg=cfg, imgNullVal=0)
+    seg = rio.open(outpath).GetRasterBand(1).ReadAsArray()
+    assert (seg[10:30, 40:70] == 0).all()          # hole stays null
+    assert not res.hasEmptySegments
+    assert seg.max() == res.maxSegId
