@@ -19,7 +19,6 @@ callers should route through the wrappers here, not the raw library.
 import os
 import ctypes
 import subprocess
-import tempfile
 
 import numpy as np
 

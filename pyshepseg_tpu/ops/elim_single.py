@@ -26,7 +26,7 @@ import numpy as np
 
 from .constants import SegIdType, MINSEGID
 from .shifts import shift, offsets_for
-from .segreduce import seg_sizes, relabel, band_planes
+from .segreduce import relabel, band_planes
 
 
 def _one_pass(band_planes, seg, seg_size, four_connected: bool):

@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.constants import SEGNULLVAL, MINSEGID
+from ..ops.constants import SEGNULLVAL
 from ..ops.kmeans import assign_clusters  # noqa: F401  (re-export)
 from ..ops.clump import clump_labels
 from ..ops.segreduce import (seg_sizes, seg_spectral_sums_planes,
