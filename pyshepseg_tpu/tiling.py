@@ -99,6 +99,12 @@ def getImgNullValue(inDs, bandNumbers):
     Common null value of the given bands; error if bands differ
     (reference: tiling.py:229-256).
     """
+    bad = [i for i in bandNumbers if i < 1 or i > inDs.RasterCount]
+    if bad:
+        raise PyShepSegTilingError(
+            "Band number(s) {} not present: the input has {} band(s). "
+            "Use the band-selection option to choose valid bands.".format(
+                bad, inDs.RasterCount))
     nullValArr = numpy.array([inDs.GetRasterBand(i).GetNoDataValue()
                               for i in bandNumbers], dtype=object)
     if any(v != nullValArr[0] for v in nullValArr):
