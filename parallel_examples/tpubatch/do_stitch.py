@@ -21,6 +21,17 @@ import pickle
 import sys
 import tempfile
 
+# Allow running straight from a repo checkout without an installed
+# package: if pyshepseg_tpu is not importable, add the repo root
+# (two levels up from this script) to sys.path.
+import sys as _sys
+import os as _os
+try:
+    import pyshepseg_tpu  # noqa: F401
+except ImportError:
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__)))))
+
 from pyshepseg_tpu import tiling, tilingstats, utils
 
 from objstore import ObjectStore
