@@ -26,84 +26,123 @@ import numpy as np
 
 from .constants import SegIdType, MINSEGID
 from .shifts import shift, offsets_for
-from .segreduce import relabel, band_planes
+from .segreduce import seg_sizes, relabel_subtract, band_planes
 
 
-def _one_pass(band_planes, seg, seg_size, four_connected: bool):
-    """One find-all-then-apply merge pass. Returns (seg', seg_size', nElim).
+def _one_pass(d2s, offsets, seg, single, nbr_ok):
+    """One find-all-then-apply merge pass. Returns
+    (seg', single', nbr_ok', nElim).
 
-    ``band_planes`` is a tuple of 2D (H, W) float32 planes, NOT a
-    (nBands, H, W) array: with the 3D form XLA's layout assignment can
-    materialise a rematerialised copy with the nBands dim as the padded
-    lane dimension (4 -> 128 lanes = 32x memory), which OOM'd large grown
-    edge tiles. Neighbour distances are a RUNNING strict-< minimum
-    (keeping the FIRST minimum in the reference's 3x3 scan order) instead
-    of (K, H, W) stacks, bounding the pass to a few (H, W) buffers.
+    Instead of re-gathering segment sizes every pass (a 1M-pixel gather
+    plus two scatter-adds), the pass carries two boolean masks that evolve
+    in closed form — an exact restatement of the reference's size rules:
+
+    - ``single`` (my segment has exactly 1 pixel): sizes never shrink and
+      singletons are never merge *targets* (targets need size > 1,
+      reference shepseg.py:726), so a pixel stays single until the moment
+      it is itself eliminated: ``single' = single & ~elim``.
+    - ``nbr_ok`` (my segment has size > 1, i.e. I am an eligible target):
+      sizes only grow, and an eliminated pixel joins a size>1 segment,
+      so ``nbr_ok' = nbr_ok | elim``.
+
+    ``d2s`` are the per-offset spectral distance fields, hoisted out of
+    the fixpoint loop entirely (pixel values never change). Each is a
+    RUNNING strict-< minimum (keeping the FIRST minimum in the
+    reference's 3x3 scan order) over a few (H, W) buffers.
     """
-    capacity = seg_size.shape[0]
-    offsets = offsets_for(four_connected)
     inf = jnp.float32(jnp.inf)
-
-    sizes_at = seg_size[seg.astype(jnp.int32)]   # the pass's only big gather
-    single = sizes_at == 1
 
     best_d = jnp.full(seg.shape, inf)
     new_seg = jnp.zeros_like(seg)
-    for dy, dx in offsets:
+    for (dy, dx), d2 in zip(offsets, d2s):
         nbr_seg = shift(seg, dy, dx, 0)
-        # Neighbour's segment size as a shift of the gathered field; the
-        # 0 fill keeps out-of-image neighbours ineligible (size 0 < 2).
-        nbr_ok = shift(sizes_at, dy, dx, jnp.uint32(0)) > 1
-        d2 = jnp.zeros(seg.shape, jnp.float32)
-        for plane in band_planes:
-            diff = plane - shift(plane, dy, dx, 0.0)
-            d2 = d2 + diff * diff
-        d2 = jnp.where(nbr_ok, d2, inf)
-        better = d2 < best_d          # strict <: first minimum wins
-        best_d = jnp.where(better, d2, best_d)
+        # False fill keeps out-of-image neighbours ineligible.
+        ok = shift(nbr_ok, dy, dx, False)
+        d2m = jnp.where(ok, d2, inf)
+        better = d2m < best_d        # strict <: first minimum wins
+        best_d = jnp.where(better, d2m, best_d)
         new_seg = jnp.where(better, nbr_seg, new_seg)
 
     elim = single & jnp.isfinite(best_d)
     seg_out = jnp.where(elim, new_seg, seg)
+    single_out = single & ~elim
+    nbr_ok_out = nbr_ok | elim
+    n = jnp.sum(elim.astype(jnp.uint32))
+    return seg_out, single_out, nbr_ok_out, n
 
-    elim_flat = elim.ravel().astype(jnp.uint32)
-    old_flat = seg.ravel().astype(jnp.int32)
-    new_flat = seg_out.ravel().astype(jnp.int32)
-    dec = jax.ops.segment_sum(elim_flat, old_flat, num_segments=capacity)
-    inc = jax.ops.segment_sum(elim_flat, new_flat, num_segments=capacity)
-    seg_size_out = seg_size - dec + inc
-    return seg_out, seg_size_out, elim_flat.sum()
+
+def _distance_fields(planes, offsets):
+    """Per-offset squared spectral distance to the shifted neighbour.
+
+    These depend only on pixel values, never on the evolving labels, so
+    the fixpoint loop reuses them across passes. Built from 2D (H, W)
+    planes, NOT a (nBands, H, W) array: with the 3D form XLA's layout
+    assignment can materialise a copy with the nBands dim as the padded
+    lane dimension (4 -> 128 lanes = 32x memory), which OOM'd large
+    grown edge tiles.
+    """
+    d2s = []
+    for dy, dx in offsets:
+        d2 = jnp.zeros(planes[0].shape, jnp.float32)
+        for plane in planes:
+            diff = plane - shift(plane, dy, dx, 0.0)
+            d2 = d2 + diff * diff
+        d2s.append(d2)
+    return d2s
 
 
 def eliminate_single_pixels_device(img_f, seg, seg_size,
-                                   four_connected: bool):
+                                   four_connected: bool,
+                                   return_sizes: bool = False):
     """
     Device: run merge passes to fixpoint, then relabel to contiguous IDs
     (the reference's eliminateSinglePixels driver, shepseg.py:572-615).
     ``img_f`` may be a (nBands, H, W) array or a tuple of (H, W) planes
-    (preferred for large tiles — see _one_pass).
+    (preferred for large tiles — see _distance_fields).
 
-    Returns (relabelled seg, total number of pixels eliminated).
+    Returns (relabelled seg, total number of pixels eliminated); with
+    ``return_sizes=True`` additionally returns the relabelled segment
+    sizes, letting fused callers skip a full-image histogram.
     """
     planes = band_planes(img_f)
+    offsets = offsets_for(four_connected)
+    d2s = _distance_fields(planes, offsets)
+
+    sizes_at = seg_size[seg.astype(jnp.int32)]  # the only full-size gather
+    single0 = sizes_at == 1
+    nbr_ok0 = sizes_at > 1
 
     def cond(carry):
-        return carry[3] > 0
+        return carry[4] > 0
 
     def body(carry):
-        seg_c, size_c, total, _ = carry
-        seg_n, size_n, n = _one_pass(planes, seg_c, size_c,
-                                     four_connected)
-        return seg_n, size_n, total + n, n
+        seg_c, single_c, nbr_ok_c, total, _ = carry
+        seg_n, single_n, nbr_ok_n, n = _one_pass(
+            d2s, offsets, seg_c, single_c, nbr_ok_c)
+        return seg_n, single_n, nbr_ok_n, total + n, n
 
-    seg, seg_size, total, _ = jax.lax.while_loop(
-        cond, body, (seg, seg_size, jnp.uint32(0), jnp.uint32(1)))
-    seg = relabel(seg, seg_size, MINSEGID)
+    seg, _, _, total, _ = jax.lax.while_loop(
+        cond, body, (seg, single0, nbr_ok0, jnp.uint32(0), jnp.uint32(1)))
+
+    capacity = seg_size.shape[0]
+    seg_size = seg_sizes(seg, capacity)
+    sub = relabel_subtract(seg_size, MINSEGID)
+    seg = (seg - sub[seg.astype(jnp.int32)]).astype(jnp.uint32)
+    if return_sizes:
+        # Relabelled sizes by a capacity-sized scatter (IDs only move
+        # down, never collide: new id = id - sub[id] is injective on
+        # non-empty ids).
+        ids = jnp.arange(capacity, dtype=jnp.uint32)
+        new_ids = jnp.where(seg_size > 0, ids - sub, jnp.uint32(capacity))
+        size_out = jnp.zeros(capacity + 1, seg_size.dtype).at[
+            new_ids.astype(jnp.int32)].set(seg_size, mode="drop")[:capacity]
+        return seg, total, size_out
     return seg, total
 
 
-_elim_single_jit = jax.jit(eliminate_single_pixels_device,
-                           static_argnames=("four_connected",))
+_elim_single_jit = jax.jit(
+    eliminate_single_pixels_device,
+    static_argnames=("four_connected", "return_sizes"))
 
 
 def eliminateSinglePixels(img, seg, segSize, minSegId=MINSEGID,

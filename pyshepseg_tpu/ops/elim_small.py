@@ -223,6 +223,19 @@ def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
     return remap, seg_size, num_elim
 
 
+def _remap_and_relabel(seg, remap, seg_size_out):
+    """
+    Device: apply the orig->current id remap and the contiguous relabel
+    with ONE full-image gather. relabel subtracts per *current* id, so
+    the two maps compose into a single capacity-sized table:
+    table[orig] = remap[orig] - sub[remap[orig]].
+    """
+    from .segreduce import relabel_subtract
+    sub = relabel_subtract(seg_size_out, MINSEGID)
+    table = (remap - sub[remap.astype(jnp.int32)]).astype(jnp.uint32)
+    return table[seg.astype(jnp.int32)]
+
+
 def eliminate_small_segments_device(seg, seg_size, spect_sum,
                                     min_seg_size: int, max_spectral_diff,
                                     four_connected: bool,
@@ -251,8 +264,7 @@ def eliminate_small_segments_device(seg, seg_size, spect_sum,
     ea, eb = compact_edges(a, b, first, e_cap)
     remap, seg_size_out, num_elim = eliminate_small_segments_graph(
         ea, eb, seg_size, spect_sum, min_seg_size, max_spectral_diff)
-    seg = remap[seg.astype(jnp.int32)]
-    seg = relabel(seg, seg_size_out, MINSEGID)
+    seg = _remap_and_relabel(seg, remap, seg_size_out)
     return seg, num_elim, overflow
 
 
@@ -272,8 +284,7 @@ def _elim_small_from_sorted(seg, a, b, first, seg_size, spect_sum,
     ea, eb = compact_edges(a, b, first, e_cap)
     remap, seg_size_out, num_elim = eliminate_small_segments_graph(
         ea, eb, seg_size, spect_sum, min_seg_size, max_spectral_diff)
-    seg = remap[seg.astype(jnp.int32)]
-    seg = relabel(seg, seg_size_out, MINSEGID)
+    seg = _remap_and_relabel(seg, remap, seg_size_out)
     return seg, num_elim
 
 

@@ -57,10 +57,13 @@ def seg_spectral_sums_planes(seg, band_planes, capacity: int):
     :func:`band_planes` for why callers keep large tiles in plane form).
     """
     flat_seg = seg.ravel().astype(jnp.int32)
-    sums = [jax.ops.segment_sum(p.ravel().astype(jnp.float32),
-                                flat_seg, num_segments=capacity)
-            for p in band_planes]
-    return jnp.stack(sums, axis=1)           # (capacity, nBands)
+    # ONE multi-channel scatter instead of one scatter per band: the
+    # index sequence (and so the per-segment accumulation order) is
+    # identical, but the 1M-pixel scatter cost is paid once, not nBands
+    # times.
+    vals = jnp.stack([p.ravel().astype(jnp.float32)
+                      for p in band_planes], axis=1)   # (N, nBands)
+    return jax.ops.segment_sum(vals, flat_seg, num_segments=capacity)
 
 
 def relabel_subtract(seg_size, min_seg_id: int = MINSEGID):

@@ -54,9 +54,8 @@ def segment_tile(img_f, centers, img_null_val, max_spectral_diff,
     # per-band planes: avoids band-minor layout copies on large tiles
     planes = band_planes(img_f.astype(jnp.float32))
     size = seg_sizes(seg, capacity)
-    seg, _ = eliminate_single_pixels_device(planes, seg, size,
-                                            four_connected)
-    size = seg_sizes(seg, capacity)
+    seg, _, size = eliminate_single_pixels_device(
+        planes, seg, size, four_connected, return_sizes=True)
     spect = seg_spectral_sums_planes(seg, planes, capacity)
     # e_cap at the hard bound on unique adjacencies (one per adjacent
     # pixel pair: 2*H*W for 4-conn, 4*H*W for 8-conn) can NEVER overflow,

@@ -93,10 +93,9 @@ def _eliminations_device(band_planes, seg, max_spectral_diff,
     their internal relabels. Returns (seg, maxAfterSingle, nSmall, maxSegId).
     """
     size = seg_sizes(seg, capacity)
-    seg, _ = eliminate_single_pixels_device(band_planes, seg, size,
-                                            four_connected)
+    seg, _, size = eliminate_single_pixels_device(
+        band_planes, seg, size, four_connected, return_sizes=True)
     max_after_single = jnp.max(seg)
-    size = seg_sizes(seg, capacity)
     spect = seg_spectral_sums_planes(seg, band_planes, capacity)
     seg, n_small, overflow = eliminate_small_segments_device(
         seg, size, spect, min_seg_size, max_spectral_diff, four_connected)
