@@ -143,7 +143,7 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None):
     nbr_same = [(dy, dx, conn(dy, dx)) for dy, dx in diag_offsets]
 
     def body(carry):
-        labels, _ = carry
+        labels, _, sweep = carry
         new = labels
         for dy, dx, same in nbr_same:
             new = jnp.minimum(new, jnp.where(same,
@@ -151,16 +151,26 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None):
                                              sentinel))
         new = _run_min(new, conn_row, 1, sentinel)
         new = _run_min(new, conn_col, 0, sentinel)
-        # One pointer-jumping hop collapses label chains multiplicatively
-        flat = new.ravel()
-        flat_ext = jnp.concatenate([flat, jnp.array([sentinel], flat.dtype)])
-        new = flat_ext[flat].reshape(labels.shape)
+
+        # One pointer-jumping hop collapses label chains multiplicatively,
+        # but costs a full-image gather — by far the most expensive op in
+        # the sweep. Typical inputs converge in a handful of sweeps from
+        # the block-local seeds without it, so only pay for it on every
+        # second sweep; pathological spiral components still converge in
+        # O(log) sweeps.
+        def jump(x):
+            flat = x.ravel()
+            flat_ext = jnp.concatenate(
+                [flat, jnp.array([sentinel], flat.dtype)])
+            return flat_ext[flat].reshape(x.shape)
+
+        new = jax.lax.cond(sweep % 2 == 1, jump, lambda x: x, new)
         new = jnp.where(valid, new, sentinel)
         changed = jnp.any(new != labels)
-        return new, changed
+        return new, changed, sweep + 1
 
-    labels, _ = jax.lax.while_loop(
-        lambda c: c[1], body, (labels0, jnp.bool_(True)))
+    labels, _, _ = jax.lax.while_loop(
+        lambda c: c[1], body, (labels0, jnp.bool_(True), jnp.int32(0)))
 
     # Scan-order relabel: component root = min flat index = first pixel the
     # reference's raster scan would have seeded from.

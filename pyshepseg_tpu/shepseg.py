@@ -82,29 +82,58 @@ def _cluster_and_clump_device(img_dev, centers, img_null_val,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("min_seg_size", "four_connected", "capacity"))
-def _eliminations_device(band_planes, seg, max_spectral_diff,
-                         min_seg_size: int, four_connected: bool,
-                         capacity: int):
+    static_argnames=("four_connected", "capacity"))
+def _elim_single_and_edges_device(band_planes, seg,
+                                  four_connected: bool, capacity: int):
     """
     Device dispatch #2 (static capacity bucketed from the clump count):
-    single-pixel elimination (reference: shepseg.py:572-736), then
-    small-segment elimination (reference: shepseg.py:918-1123), both with
-    their internal relabels. Returns (seg, maxAfterSingle, nSmall, maxSegId).
+    single-pixel elimination (reference: shepseg.py:572-736) WITHOUT its
+    relabel (monotone-remap argument — see eliminate_single_pixels_device),
+    per-segment sizes/spectral sums, and the sorted unique-adjacency edge
+    keys for small-segment elimination. The packed scalar pair
+    (number of segments after single-pixel elimination, number of unique
+    edges) syncs to the host in one fetch; the edge count picks the
+    static edge capacity for dispatch #3, which makes edge-bucket
+    overflow impossible by construction.
     """
+    from .ops.elim_small import edge_sort_keys
+
     size = seg_sizes(seg, capacity)
     seg, _, size = eliminate_single_pixels_device(
-        band_planes, seg, size, four_connected, return_sizes=True)
-    max_after_single = jnp.max(seg)
+        band_planes, seg, size, four_connected,
+        return_sizes=True, do_relabel=False)
+    n_after_single = jnp.count_nonzero(size[MINSEGID:]).astype(jnp.uint32)
     spect = seg_spectral_sums_planes(seg, band_planes, capacity)
-    seg, n_small, overflow = eliminate_small_segments_device(
-        seg, size, spect, min_seg_size, max_spectral_diff, four_connected)
-    # One packed scalar vector -> one host round trip instead of four
+    a, b, first, n_unique = edge_sort_keys(seg, four_connected)
+    scalars = jnp.stack([n_after_single, n_unique.astype(jnp.uint32)])
+    return seg, size, spect, a, b, first, scalars
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_seg_size", "e_cap", "capacity"))
+def _elim_small_finish_device(seg, size, spect, a, b, first,
+                              max_spectral_diff, min_seg_size: int,
+                              e_cap: int, capacity: int):
+    """
+    Device dispatch #3 (static e_cap bucketed from the measured unique
+    edge count): small-segment elimination on the adjacency graph
+    (reference: shepseg.py:918-1123) + the final contiguous relabel.
+    With min_seg_size <= 1 the graph loop is empty and this reduces to
+    the relabel the single-pixel stage deferred.
+    """
+    from .ops.elim_small import (compact_edges,
+                                 eliminate_small_segments_graph,
+                                 _remap_and_relabel)
+
+    ea, eb = compact_edges(a, b, first, e_cap)
+    remap, size_out, n_small = eliminate_small_segments_graph(
+        ea, eb, size, spect, min_seg_size, max_spectral_diff)
+    seg = _remap_and_relabel(seg, remap, size_out)
+    # One packed scalar vector -> one host round trip instead of two
     # (each blocking scalar fetch costs a full tunnel/PCIe round trip)
-    scalars = jnp.stack([max_after_single.astype(jnp.uint32),
-                         n_small.astype(jnp.uint32),
-                         jnp.max(seg).astype(jnp.uint32),
-                         overflow.astype(jnp.uint32)])
+    scalars = jnp.stack([n_small.astype(jnp.uint32),
+                         jnp.max(seg).astype(jnp.uint32)])
     # Downloading uint16 halves the transfer when IDs fit (capacity is
     # the static bound on the largest ID)
     if capacity <= 0xFFFF + 1:
@@ -157,32 +186,22 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
 
     t0 = time.time()
     capacity = round_capacity(maxSegId + 1)
-    clump_dev = seg_dev
-    seg_dev, scalars_dev = _eliminations_device(
-        planes_dev, clump_dev, jnp.float32(maxSpectralDiff),
-        min_seg_size=int(minSegmentSize),
+    (seg_dev, size_dev, spect_dev, ea_dev, eb_dev, first_dev,
+     scalars1_dev) = _elim_single_and_edges_device(
+        planes_dev, seg_dev,
         four_connected=bool(fourConnected), capacity=capacity)
-    maxAfterSingle, numElimSmall, finalMax, overflow = (
-        np.asarray(scalars_dev).tolist())
-    if bool(overflow):
-        # Pathological adjacency density blew the default edge bucket
-        # (needs >8 distinct neighbours per segment on average — only
-        # possible with heavily interleaved segments). Redo both
-        # elimination stages through the host APIs, which measure the
-        # exact unique-adjacency count and rebucket.
-        seg = np.asarray(clump_dev).astype(SegIdType)
-        segSize = makeSegSize(seg, maxSegId)
-        eliminateSinglePixels(img, seg, segSize, MINSEGID, maxSegId,
-                              fourConnected)
-        maxAfterSingle = seg.max()
-        numElimSmall = eliminateSmallSegments(
-            seg, img, int(maxAfterSingle), int(minSegmentSize),
-            float(maxSpectralDiff), bool(fourConnected), MINSEGID)
-        finalMax = seg.max()
-    else:
-        seg = np.asarray(seg_dev).astype(SegIdType)
-        numElimSmall = int(numElimSmall)
-    numElimSinglepix = maxSegId - int(maxAfterSingle)
+    # One scalar sync picks the static edge-capacity bucket; merges only
+    # ever contract the adjacency graph, so the measured unique count is
+    # a true bound for the whole elimination loop (no overflow possible).
+    nAfterSingle, nUniqueEdges = np.asarray(scalars1_dev).tolist()
+    eCap = round_capacity(int(nUniqueEdges) + 1)
+    seg_dev, scalars2_dev = _elim_small_finish_device(
+        seg_dev, size_dev, spect_dev, ea_dev, eb_dev, first_dev,
+        jnp.float32(maxSpectralDiff), min_seg_size=int(minSegmentSize),
+        e_cap=eCap, capacity=capacity)
+    numElimSmall, finalMax = np.asarray(scalars2_dev).tolist()
+    seg = np.asarray(seg_dev).astype(SegIdType)
+    numElimSinglepix = maxSegId - int(nAfterSingle)
     if verbose:
         print("Eliminated", numElimSinglepix, "single pixels and",
               numElimSmall, "small segments, in",
