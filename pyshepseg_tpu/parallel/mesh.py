@@ -23,7 +23,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import tiling as _tiling
 from .. import shepseg
-from .pipeline import segment_tiles_vmapped, default_capacity
+from .pipeline import (cluster_clump_tiles, eliminate_tiles_phase1,
+                       eliminate_tiles_phase2)
+from ..ops.elim_small import round_capacity
 
 
 class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
@@ -32,8 +34,8 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
 
     Extra knobs (set as attributes after construction, or leave defaults):
     - ``meshDevices``: devices to use (default jax.devices())
-    - ``segCapacity``: static per-tile segment capacity (default
-      round_capacity(tileH*tileW+1))
+    - ``segCapacity``: static per-tile segment capacity (default:
+      bucketed per batch from the measured max clump count)
     """
     concurrencyType = _tiling.CONC_MESH
 
@@ -76,7 +78,6 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
             groups.setdefault((ysize, xsize), []).append(colRow)
 
         for (ysize, xsize), members in groups.items():
-            capacity = self.segCapacity or default_capacity(ysize, xsize)
             sharding = NamedSharding(mesh, P("data"))
 
             for start in range(0, len(members), nDev):
@@ -96,12 +97,27 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
                     batch = np.stack(imgs)
 
                 with self.timings.interval('segmentation', sync=True):
+                    # Three dispatches with two batch-wide scalar syncs,
+                    # mirroring doShepherdSegmentation: the syncs bucket
+                    # the segment / edge capacities from the data instead
+                    # of padding every per-segment array to H*W (~500x).
                     batch_j = jax.device_put(batch, sharding)
-                    segs, _ = segment_tiles_vmapped(
-                        batch_j, centers, nullVal, maxDiff,
-                        min_seg_size=self.minSegmentSize,
+                    segs, counts = cluster_clump_tiles(
+                        batch_j, centers, nullVal,
                         four_connected=self.fourConnected,
-                        has_null=hasNull, capacity=capacity)
+                        has_null=hasNull)
+                    capacity = self.segCapacity or round_capacity(
+                        int(np.asarray(counts).max()) + 1)
+                    segs, sizes, spects, ea, eb, first, sc1 = (
+                        eliminate_tiles_phase1(
+                            batch_j, segs,
+                            four_connected=self.fourConnected,
+                            capacity=capacity))
+                    eCap = round_capacity(
+                        int(np.asarray(sc1)[:, 1].max()) + 1)
+                    segs, _ = eliminate_tiles_phase2(
+                        segs, sizes, spects, ea, eb, first, maxDiff,
+                        min_seg_size=self.minSegmentSize, e_cap=eCap)
                     segs = np.asarray(segs)
 
                 for i, (col, row) in enumerate(chunk):

@@ -100,3 +100,87 @@ def segment_tiles_vmapped(imgs_f, centers, img_null_val, max_spectral_diff,
                             four_connected, has_null, capacity)
 
     return jax.vmap(one)(imgs_f)
+
+
+# --------------------------------------------------------------------
+# Three-phase batched pipeline: the CONC_MESH hot path.
+#
+# segment_tiles_vmapped above is fully fused but must assume the worst-
+# case segment capacity (H*W), which pads every per-segment array ~500x
+# beyond real segment counts. Mirroring the host-orchestrated path
+# (shepseg.doShepherdSegmentation), these three dispatches sandwich two
+# batch-wide scalar syncs that bucket the segment capacity (from the max
+# clump count) and the edge capacity (from the max unique-adjacency
+# count) — shrinking every elimination pass to the data's actual size.
+# Results are bit-identical; capacity only pads.
+# --------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("four_connected", "has_null"))
+def cluster_clump_tiles(imgs, centers, img_null_val,
+                        four_connected: bool, has_null: bool):
+    """
+    Batched dispatch #1: cluster assignment + clumping for a batch of
+    tiles (B, nBands, H, W). Returns (segs uint32 (B, H, W),
+    clump counts (B,) uint32).
+    """
+
+    def one(img):
+        clusters = assign_clusters(img, centers, img_null_val, has_null)
+        return clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
+                            four_connected=four_connected)
+
+    return jax.vmap(one)(imgs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("four_connected", "capacity"))
+def eliminate_tiles_phase1(imgs, segs, four_connected: bool,
+                           capacity: int):
+    """
+    Batched dispatch #2: single-pixel elimination + per-segment
+    sizes/spectral sums + sorted adjacency edge keys, per tile.
+    Returns (segs, sizes (B, cap), spects (B, cap, nB), a, b, first,
+    scalars (B, 2) = [nSegsAfterSingle, nUniqueEdges]).
+    """
+
+    def one(img, seg):
+        planes = band_planes(img.astype(jnp.float32))
+        from ..ops.elim_small import edge_sort_keys
+        from ..ops.constants import MINSEGID
+        size = seg_sizes(seg, capacity)
+        seg, _, size = eliminate_single_pixels_device(
+            planes, seg, size, four_connected,
+            return_sizes=True, do_relabel=False)
+        n_after = jnp.count_nonzero(size[MINSEGID:]).astype(jnp.uint32)
+        spect = seg_spectral_sums_planes(seg, planes, capacity)
+        a, b, first, n_unique = edge_sort_keys(seg, four_connected)
+        return (seg, size, spect, a, b, first,
+                jnp.stack([n_after, n_unique.astype(jnp.uint32)]))
+
+    return jax.vmap(one)(imgs, segs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_seg_size", "e_cap"))
+def eliminate_tiles_phase2(segs, sizes, spects, a, b, first,
+                           max_spectral_diff, min_seg_size: int,
+                           e_cap: int):
+    """
+    Batched dispatch #3 (static e_cap bucketed from the measured max
+    unique-edge count): small-segment elimination + final relabel.
+    Returns (segs uint32 (B, H, W), maxSegIds (B,) uint32).
+    """
+    from ..ops.elim_small import (compact_edges,
+                                  eliminate_small_segments_graph,
+                                  _remap_and_relabel)
+
+    def one(seg, size, spect, aa, bb, ff):
+        ea, eb = compact_edges(aa, bb, ff, e_cap)
+        remap, size_out, _ = eliminate_small_segments_graph(
+            ea, eb, size, spect, min_seg_size, max_spectral_diff)
+        seg = _remap_and_relabel(seg, remap, size_out)
+        return seg, jnp.max(seg)
+
+    return jax.vmap(one)(segs, sizes, spects, a, b, first)
