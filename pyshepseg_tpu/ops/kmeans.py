@@ -57,9 +57,16 @@ def _assign(x, centers):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def _lloyd(x, centers, tol_scaled, max_iter: int):
-    """Run Lloyd's iterations to convergence. Returns (centers, inertia, n_iter)."""
-    n, b = x.shape
+def _lloyd(x, w, centers, tol_scaled, max_iter: int):
+    """Run Lloyd's iterations to convergence. Returns (centers, inertia, n_iter).
+
+    ``w`` are 0/1 point weights: rows with w == 0 are shape padding
+    (see TPUKMeans.fit) and contribute exact 0.0 to every sum, making
+    the result bitwise identical to an unpadded run while the array
+    shape stays in a small set of power-of-two buckets (one XLA compile
+    per bucket instead of one per distinct sample count — compiling
+    this loop at ~1e6 points costs minutes on the TPU toolchain).
+    """
     k = centers.shape[0]
 
     def assign(c):
@@ -68,9 +75,8 @@ def _lloyd(x, centers, tol_scaled, max_iter: int):
     def body(carry):
         c, _, it, _ = carry
         labels, mind = assign(c)
-        sums = jax.ops.segment_sum(x, labels, num_segments=k)
-        counts = jax.ops.segment_sum(jnp.ones(n, jnp.float32), labels,
-                                     num_segments=k)
+        sums = jax.ops.segment_sum(x * w[:, None], labels, num_segments=k)
+        counts = jax.ops.segment_sum(w, labels, num_segments=k)
         new_c = sums / jnp.maximum(counts, 1.0)[:, None]
         # Empty-cluster repair: re-seed each empty cluster at the point
         # currently farthest from any centre, updating distances after
@@ -87,7 +93,9 @@ def _lloyd(x, centers, tol_scaled, max_iter: int):
                 c_acc, mind2 = carry
 
                 def do(c_acc, mind2):
-                    j = jnp.argmax(mind2)
+                    # padding rows must never donate: mask to -1 (< any
+                    # real squared distance)
+                    j = jnp.argmax(jnp.where(w > 0, mind2, -1.0))
                     donor = x[j]
                     d = jnp.sum((x - donor) ** 2, axis=1)
                     return c_acc.at[i].set(donor), jnp.minimum(mind2, d)
@@ -114,16 +122,20 @@ def _lloyd(x, centers, tol_scaled, max_iter: int):
     centers, _, n_iter, _ = jax.lax.while_loop(cond, body, init)
     # Final inertia with the converged centres
     _, mind = assign(centers)
-    return centers, jnp.sum(mind), n_iter
+    return centers, jnp.sum(mind * w), n_iter
 
 
 @jax.jit
-def _kmeanspp_init(x, key, k_arr):
-    """k-means++ seeding. k is static via k_arr shape (k, B) scratch."""
+def _kmeanspp_init(x, w, n_real, key, k_arr):
+    """k-means++ seeding. k is static via k_arr shape (k, B) scratch.
+
+    ``w`` masks shape-padding rows (see _lloyd); ``n_real`` is the true
+    point count so the uniform first draw never lands on padding.
+    """
     n = x.shape[0]
     k = k_arr.shape[0]
     key, sub = jax.random.split(key)
-    first = x[jax.random.randint(sub, (), 0, n)]
+    first = x[jax.random.randint(sub, (), 0, n_real)]
     centers = k_arr.at[0].set(first)
 
     def body(i, carry):
@@ -131,10 +143,14 @@ def _kmeanspp_init(x, key, k_arr):
         d = jnp.sum((x - centers[i - 1]) ** 2, axis=1)
         mind = jnp.minimum(mind, d)
         key, sub = jax.random.split(key)
-        total = jnp.sum(mind)
-        probs = jnp.where(total > 0, mind / jnp.maximum(total, 1e-30),
-                          jnp.full_like(mind, 1.0 / n))
-        idx = jax.random.categorical(sub, jnp.log(probs + 1e-30))
+        mind_w = jnp.where(w > 0, mind, 0.0)
+        total = jnp.sum(mind_w)
+        probs = jnp.where(total > 0, mind_w / jnp.maximum(total, 1e-30),
+                          w / jnp.maximum(jnp.sum(w), 1.0))
+        # padding rows get -inf logits: zero probability even against
+        # real points whose own probability underflowed
+        logits = jnp.where(w > 0, jnp.log(probs + 1e-30), -jnp.inf)
+        idx = jax.random.categorical(sub, logits)
         return centers.at[i].set(x[idx]), key, mind
 
     mind0 = jnp.full(n, jnp.inf, jnp.float32)
@@ -200,10 +216,27 @@ class TPUKMeans:
         self.n_iter_ = None
 
     def fit(self, X):
-        x = jnp.asarray(np.asarray(X, dtype=np.float32))
+        X_np = np.asarray(X, dtype=np.float32)
+        n_real = X_np.shape[0]
+        # Pad the sample to a power-of-two bucket with zero-WEIGHT rows:
+        # results are bitwise identical (zero-weight terms contribute
+        # exact 0.0 and padding rows are masked out of every draw), but
+        # XLA compiles one program per bucket instead of one per distinct
+        # sample count — compiling the Lloyd loop at ~1e6 points takes
+        # minutes on the TPU toolchain, and whole-file subsample counts
+        # differ for every scene size.
+        m = 1024
+        while m < n_real:
+            m *= 2
+        if m > n_real:
+            X_np = np.concatenate(
+                [X_np, np.zeros((m - n_real, X_np.shape[1]), np.float32)])
+        w_np = np.zeros(m, np.float32)
+        w_np[:n_real] = 1.0
+        x = jnp.asarray(X_np)
+        w = jnp.asarray(w_np)
         tol_scaled = jnp.float32(
-            self.tol * float(np.mean(np.var(np.asarray(X, np.float32),
-                                            axis=0))))
+            self.tol * float(np.mean(np.var(X_np[:n_real], axis=0))))
         k = self.n_clusters
         if isinstance(self.init, str) and self.init == "k-means++":
             best = None
@@ -211,8 +244,8 @@ class TPUKMeans:
             scratch = jnp.zeros((k, x.shape[1]), jnp.float32)
             for trial in range(self.n_init):
                 key, sub = jax.random.split(key)
-                c0 = _kmeanspp_init(x, sub, scratch)
-                c, inertia, n_iter = _lloyd(x, c0, tol_scaled,
+                c0 = _kmeanspp_init(x, w, jnp.int32(n_real), sub, scratch)
+                c, inertia, n_iter = _lloyd(x, w, c0, tol_scaled,
                                             max_iter=self.max_iter)
                 inertia = float(inertia)
                 if best is None or inertia < best[1]:
@@ -222,7 +255,7 @@ class TPUKMeans:
             c0 = jnp.asarray(np.asarray(self.init, dtype=np.float32))
             if c0.shape[0] != k:
                 raise ValueError("init centres shape mismatch")
-            c, inertia, n_iter = _lloyd(x, c0, tol_scaled,
+            c, inertia, n_iter = _lloyd(x, w, c0, tol_scaled,
                                         max_iter=self.max_iter)
             self.cluster_centers_ = np.asarray(c)
             self.inertia_ = float(inertia)
