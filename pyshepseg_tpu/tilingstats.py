@@ -280,6 +280,64 @@ def _getRatPage(pagedRat, segId, numIntCols, numFloatCols, segSizeLen):
 # ------------------------------------------------- streaming accumulator
 
 
+def compactTile(tileSegments, tileImageData, imgNullVal, numSeg):
+    """
+    RLE-compact one tile of (segment, value) pixels: returns
+    (seenCounts, noDataCounts-or-None, runSegIds, runValues, runCounts)
+    with runs sorted by (segId, value), or None for an all-null tile.
+    Pure function of the tile — safe to run on worker threads.
+    """
+    seg = tileSegments.ravel().astype(numpy.int64)
+    val = tileImageData.ravel().astype(imageValueType)
+    keep = seg != shepseg.SEGNULLVAL
+    seg, val = seg[keep], val[keep]
+    if seg.size == 0:
+        return None
+    seen = numpy.bincount(seg, minlength=numSeg
+                          ).astype(numpy.int64)[:numSeg]
+    noData = None
+    if imgNullVal is not None:
+        isNull = val == imageValueType(imgNullVal)
+        if isNull.any():
+            noData = numpy.bincount(
+                seg[isNull], minlength=numSeg
+            ).astype(numpy.int64)[:numSeg]
+        seg, val = seg[~isNull], val[~isNull]
+    if seg.size == 0:
+        empty = numpy.empty(0, numpy.int64)
+        return (seen, noData, empty, empty.astype(imageValueType), empty)
+
+    # Fast path: when (segments present) * (value range) is modest —
+    # always true for byte/uint16 imagery — count (seg, value) pairs
+    # with ONE dense bincount instead of an O(n log n) lexsort of every
+    # pixel (the lexsort dominated the whole stats pass). The packed key
+    # enumerates (local segment rank, value) in lexicographic order, so
+    # the nonzero scan below yields runs already sorted by (segId, value).
+    vmin = int(val.min())
+    vmax = int(val.max())
+    vrange = vmax - vmin + 1
+    localSegs = numpy.nonzero(seen)[0]          # ascending segment IDs
+    nbins = len(localSegs) * vrange
+    if 0 < nbins <= (1 << 25):
+        lut = numpy.zeros(numSeg, dtype=numpy.int64)
+        lut[localSegs] = numpy.arange(len(localSegs), dtype=numpy.int64)
+        key = lut[seg] * vrange + (val.astype(numpy.int64) - vmin)
+        cnt = numpy.bincount(key, minlength=nbins)
+        runKey = numpy.nonzero(cnt)[0]
+        runSeg = localSegs[runKey // vrange]
+        runVal = (runKey % vrange + vmin).astype(imageValueType)
+        return (seen, noData, runSeg, runVal,
+                cnt[runKey].astype(numpy.int64))
+
+    order = numpy.lexsort((val, seg))
+    seg, val = seg[order], val[order]
+    boundary = numpy.concatenate(
+        [[True], (seg[1:] != seg[:-1]) | (val[1:] != val[:-1])])
+    groupIdx = numpy.cumsum(boundary) - 1
+    runCounts = numpy.bincount(groupIdx).astype(numpy.int64)
+    return (seen, noData, seg[boundary], val[boundary], runCounts)
+
+
 class SegmentHistAccumulator:
     """
     Streaming per-segment value-histogram accumulator: a compact array
@@ -305,34 +363,26 @@ class SegmentHistAccumulator:
 
     def accumulate(self, tileSegments, tileImageData):
         """Merge one tile of (segment, value) pixels."""
-        seg = tileSegments.ravel().astype(numpy.int64)
-        val = tileImageData.ravel().astype(imageValueType)
-        keep = seg != shepseg.SEGNULLVAL
-        seg, val = seg[keep], val[keep]
-        if seg.size == 0:
-            return
-        self.touched[seg] = True
-        self.seen += numpy.bincount(seg, minlength=self.numSeg
-                                    ).astype(numpy.int64)[:self.numSeg]
+        self.merge(compactTile(tileSegments, tileImageData,
+                               self.imgNullVal, self.numSeg))
 
-        if self.imgNullVal is not None:
-            isNull = val == imageValueType(self.imgNullVal)
-            if isNull.any():
-                self.noData += numpy.bincount(
-                    seg[isNull], minlength=self.numSeg
-                ).astype(numpy.int64)[:self.numSeg]
-            seg, val = seg[~isNull], val[~isNull]
-        if seg.size == 0:
+    def merge(self, compacted):
+        """
+        Merge one tile's pre-compacted runs (from :func:`compactTile`).
+        Splitting compaction from merging lets the driver compact tiles
+        on worker threads (the per-tile lexsort is the stats pass's
+        dominant cost) while this cheap sequential merge keeps the
+        streaming completeness semantics.
+        """
+        if compacted is None:
             return
-
-        # RLE-compact this tile's pairs, then merge with the running state
-        order = numpy.lexsort((val, seg))
-        seg, val = seg[order], val[order]
-        boundary = numpy.concatenate(
-            [[True], (seg[1:] != seg[:-1]) | (val[1:] != val[:-1])])
-        groupIdx = numpy.cumsum(boundary) - 1
-        newCounts = numpy.bincount(groupIdx).astype(numpy.int64)
-        newSeg, newVal = seg[boundary], val[boundary]
+        seen, noData, newSeg, newVal, newCounts = compacted
+        self.touched |= seen > 0
+        self.seen += seen
+        if noData is not None:
+            self.noData += noData
+        if newSeg.size == 0:
+            return
 
         # merge two sorted run lists
         allSeg = numpy.concatenate([self.segIds, newSeg])
@@ -439,7 +489,7 @@ def _segmentStatsFromRuns(vals, counts, start, end, statID, param,
 
 
 def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
-        statsSelection, missingStatsValue=-9999):
+        statsSelection, missingStatsValue=-9999, numReadWorkers=None):
     """
     Calculate selected per-segment statistics of one image band against a
     segmentation raster, writing results into the segmentation file's RAT
@@ -449,7 +499,19 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
     statsSelection is a list of (columnName, statName[, param]) tuples;
     statName in {'min','max','mean','stddev','median','mode','percentile',
     'pixcount'}; 'percentile' takes the percentile as third element.
+
+    numReadWorkers > 0 reads and RLE-compacts upcoming tiles on worker
+    threads (bounded lookahead, per-thread dataset handles) while the
+    main thread merges strictly in row-major tile order — the analogue
+    of the reference's RIOS read-worker concurrency
+    (reference: tilingstats.py:373-377), extended to cover the per-tile
+    sort that dominates this pass. Results are identical to serial.
+    Default (None): min(4, cpu_count - 1) — stays serial on single-core
+    hosts, where threads only add overhead.
     """
+    if numReadWorkers is None:
+        import os
+        numReadWorkers = min(4, max(0, (os.cpu_count() or 1) - 1))
     timings = timinghooks.Timers()
 
     segds, segband, imgds, imgband = doImageAlignmentChecks(
@@ -478,27 +540,65 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
     tileSize = tiling.TILESIZE
     (nlines, npix) = (segband.YSize, segband.XSize)
 
-    for topLine in range(0, nlines, tileSize):
-        for leftPix in range(0, npix, tileSize):
-            xsize = min(tileSize, npix - leftPix)
-            ysize = min(tileSize, nlines - topLine)
+    windows = [(min(tileSize, npix - leftPix), min(tileSize,
+                                                   nlines - topLine),
+                leftPix, topLine)
+               for topLine in range(0, nlines, tileSize)
+               for leftPix in range(0, npix, tileSize)]
 
+    def readAndCompact(window, bands):
+        (xsize, ysize, leftPix, topLine) = window
+        (segb, imgb) = bands
+        tileSegments = segb.ReadAsArray(leftPix, topLine, xsize, ysize)
+        tileImageData = imgb.ReadAsArray(leftPix, topLine, xsize, ysize)
+        return compactTile(tileSegments, tileImageData, imgNullVal, numSeg)
+
+    if numReadWorkers > 0:
+        import threading
+        from concurrent import futures
+        tlocal = threading.local()
+
+        def worker(window):
+            # per-thread dataset handles (GDAL handles are not
+            # thread-safe; the reference uses per-worker handles too)
+            bands = getattr(tlocal, 'bands', None)
+            if bands is None:
+                tlocal.bands = bands = (
+                    rio.open(segfile).GetRasterBand(1),
+                    rio.open(imgfile).GetRasterBand(imgbandnum))
+            return readAndCompact(window, bands)
+
+        pool = futures.ThreadPoolExecutor(max_workers=numReadWorkers)
+        lookahead = numReadWorkers + 2
+        pending = [pool.submit(worker, w) for w in windows[:lookahead]]
+    else:
+        pool = None
+        pending = []
+
+    for i, window in enumerate(windows):
+        if pool is not None:
             with timings.interval('reading'):
-                tileSegments = segband.ReadAsArray(leftPix, topLine,
-                                                   xsize, ysize)
-                tileImageData = imgband.ReadAsArray(leftPix, topLine,
-                                                    xsize, ysize)
+                compacted = pending[i].result()
+            nxt = i + lookahead
+            if nxt < len(windows):
+                pending.append(pool.submit(worker, windows[nxt]))
+        else:
+            with timings.interval('reading'):
+                compacted = readAndCompact(window, (segband, imgband))
 
-            with timings.interval('accumulation'):
-                acc.accumulate(tileSegments, tileImageData)
+        with timings.interval('accumulation'):
+            acc.merge(compacted)
 
-            with timings.interval('statscompletion'):
-                _calcStatsForCompletedSegs(acc, segSize, missingStatsValue,
-                                           pagedRat, statsSelection_fast,
-                                           numIntCols, numFloatCols)
+        with timings.interval('statscompletion'):
+            _calcStatsForCompletedSegs(acc, segSize, missingStatsValue,
+                                       pagedRat, statsSelection_fast,
+                                       numIntCols, numFloatCols)
 
-            with timings.interval('writing'):
-                writeCompletePages(pagedRat, attrTbl, statsSelection_fast)
+        with timings.interval('writing'):
+            writeCompletePages(pagedRat, attrTbl, statsSelection_fast)
+
+    if pool is not None:
+        pool.shutdown(wait=False)
 
     with timings.interval('writing'):
         segds.FlushCache()

@@ -272,3 +272,20 @@ def test_spatial_variogram(tmp_path, rng, small_tiles):
             if counts[n] > 0:
                 np.testing.assert_allclose(
                     col[sid], np.sqrt(sums[n] / counts[n]), rtol=1e-6)
+
+
+def test_threaded_read_workers_match_serial(tmp_path, rng):
+    """numReadWorkers pipelining must be bit-identical to serial."""
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+    tilingstats.calcPerSegmentStatsTiled(
+        imgpath, 1, segpath,
+        [("m0", "mean"), ("p0", "percentile", 30)], numReadWorkers=0)
+    tilingstats.calcPerSegmentStatsTiled(
+        imgpath, 1, segpath,
+        [("m3", "mean"), ("p3", "percentile", 30)], numReadWorkers=3)
+    rat = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    for a, b in (("m0", "m3"), ("p0", "p3")):
+        va = rat.ReadAsArray(names.index(a))
+        vb = rat.ReadAsArray(names.index(b))
+        assert (va == vb).all()
