@@ -20,13 +20,15 @@ os.environ.setdefault("XLA_FLAGS", "")
 
 import numpy as np  # noqa: E402
 
-import jax  # noqa: E402
+import jax  # noqa: E402, F401
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from pyshepseg_tpu import shepseg, utils  # noqa: E402
 
-from pyshepseg_tpu import shepseg  # noqa: E402
+# Persistent compile cache where it helps (real TPU / CPU); skipped on
+# the axon tunnel where cached-executable loads are slower than fresh
+# compiles (see utils.setupCompilationCache).
+utils.setupCompilationCache(
+    os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 # Estimated reference (numba CPU) throughput for config #1, in Mpix/s.
 # The reference repo publishes no benchmark numbers (BASELINE.md); this

@@ -9,11 +9,13 @@ the reference's parallel_examples/awsbatch/do_stitch.py.
 import os as _os
 import tempfile as _tempfile
 
-# Persistent XLA compile cache shared across worker invocations — a fresh
-# process would otherwise recompile the whole pipeline for every tile.
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_tempfile.gettempdir(), "pyshepseg_tpu_jax_cache"))
+# Persistent XLA compile cache shared across worker invocations — a
+# fresh process would otherwise recompile the whole pipeline for every
+# tile. Enabled after jax import via utils.setupCompilationCache, which
+# skips it on the axon remote-device tunnel (cached-executable loads
+# are slower than fresh compiles there).
+_CACHE_DIR = _os.path.join(_tempfile.gettempdir(),
+                           "pyshepseg_tpu_jax_cache")
 
 import argparse
 import os
@@ -33,6 +35,8 @@ except ImportError:
         _os.path.dirname(_os.path.abspath(__file__)))))
 
 from pyshepseg_tpu import tiling, tilingstats, utils
+
+utils.setupCompilationCache(_CACHE_DIR)
 
 from objstore import ObjectStore
 

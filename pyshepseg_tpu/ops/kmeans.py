@@ -78,36 +78,24 @@ def _lloyd(x, w, centers, tol_scaled, max_iter: int):
         sums = jax.ops.segment_sum(x * w[:, None], labels, num_segments=k)
         counts = jax.ops.segment_sum(w, labels, num_segments=k)
         new_c = sums / jnp.maximum(counts, 1.0)[:, None]
-        # Empty-cluster repair: re-seed each empty cluster at the point
-        # currently farthest from any centre, updating distances after
-        # each donation so successive donors are distinct (a farthest-
-        # point sweep; naive "e-th farthest point" can hand several empty
-        # clusters the same location and ping-pong forever).
+        # Empty-cluster repair, fully vectorized: the j-th empty cluster
+        # re-seeds at the j-th farthest point from any centre. top_k
+        # returns DISTINCT point indices, so several empty clusters never
+        # receive the same pixel (the ping-pong failure of a naive
+        # repeated argmax); and since the loop below never accepts
+        # convergence while clusters are empty, any residual duplicates
+        # from equal-valued pixels get re-repaired next iteration. An
+        # earlier sequential farthest-point sweep (fori of lax.cond over
+        # k clusters) was equivalent in spirit but catastrophically slow
+        # to compile and run on the TPU toolchain at ~1e6 points.
         empty = counts == 0
         any_empty = jnp.any(empty)
-
-        def repair(args):
-            c_new, mind_r = args
-
-            def step(i, carry):
-                c_acc, mind2 = carry
-
-                def do(c_acc, mind2):
-                    # padding rows must never donate: mask to -1 (< any
-                    # real squared distance)
-                    j = jnp.argmax(jnp.where(w > 0, mind2, -1.0))
-                    donor = x[j]
-                    d = jnp.sum((x - donor) ** 2, axis=1)
-                    return c_acc.at[i].set(donor), jnp.minimum(mind2, d)
-
-                return jax.lax.cond(empty[i], do,
-                                    lambda a, b: (a, b), c_acc, mind2)
-
-            c_new, _ = jax.lax.fori_loop(0, k, step, (c_new, mind_r))
-            return c_new
-
-        new_c = jax.lax.cond(any_empty, repair,
-                             lambda args: args[0], (new_c, mind))
+        # padding rows must never donate: mask to -1 (< any real
+        # squared distance)
+        _, donor_idx = jax.lax.top_k(jnp.where(w > 0, mind, -1.0), k)
+        donors = x[donor_idx]                      # (k, B) distinct points
+        rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+        new_c = jnp.where(empty[:, None], donors[rank], new_c)
         shift = jnp.sum((new_c - c) ** 2)
         return new_c, shift, it + 1, any_empty
 
