@@ -24,9 +24,9 @@ import jax  # noqa: E402, F401
 
 from pyshepseg_tpu import shepseg, utils  # noqa: E402
 
-# Persistent compile cache where it helps (real TPU / CPU); skipped on
-# the axon tunnel where cached-executable loads are slower than fresh
-# compiles (see utils.setupCompilationCache).
+# Persistent compile cache (the k-means fit bypasses it on the axon
+# tunnel, where loading its cached executable is slower than a fresh
+# compile — see utils.setupCompilationCache).
 utils.setupCompilationCache(
     os.path.join(os.path.dirname(__file__), ".jax_cache"))
 

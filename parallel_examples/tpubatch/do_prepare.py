@@ -15,9 +15,9 @@ import tempfile as _tempfile
 
 # Persistent XLA compile cache shared across worker invocations — a
 # fresh process would otherwise recompile the whole pipeline for every
-# tile. Enabled after jax import via utils.setupCompilationCache, which
-# skips it on the axon remote-device tunnel (cached-executable loads
-# are slower than fresh compiles there).
+# tile. Enabled after jax import via utils.setupCompilationCache
+# (the k-means fit bypasses it on the axon remote-device tunnel —
+# see that helper's docstring).
 _CACHE_DIR = _os.path.join(_tempfile.gettempdir(),
                            "pyshepseg_tpu_jax_cache")
 

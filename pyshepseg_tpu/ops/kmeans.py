@@ -204,6 +204,24 @@ class TPUKMeans:
         self.n_iter_ = None
 
     def fit(self, X):
+        # On the axon tunnel, loading THIS program's cached executable
+        # stalls for minutes on first execution while a fresh HLO
+        # compile takes ~22 s (the opposite holds for the segmentation
+        # programs) — so bypass the persistent cache for the fit's own
+        # compiles there. See utils.setupCompilationCache.
+        import jax as _jax
+        from ..utils import onAxonBackend
+        cache_dir = _jax.config.jax_compilation_cache_dir
+        bypass = cache_dir is not None and onAxonBackend()
+        if bypass:
+            _jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            return self._fit(X)
+        finally:
+            if bypass:
+                _jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+    def _fit(self, X):
         X_np = np.asarray(X, dtype=np.float32)
         n_real = X_np.shape[0]
         # Pad the sample to a power-of-two bucket with zero-WEIGHT rows:

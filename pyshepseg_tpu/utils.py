@@ -19,25 +19,33 @@ DEFAULT_MINOVERVIEWDIM = 100
 DEFAULT_OVERVIEWLEVELS = [4, 8, 16, 32, 64, 128, 256, 512]
 
 
-def setupCompilationCache(cacheDir):
-    """
-    Enable the persistent XLA compilation cache at ``cacheDir`` — unless
-    the TPU is reached through the axon remote-device tunnel, where
-    LOADING a cached serialized executable is pathologically slower than
-    recompiling it from HLO (measured: the ~1e6-point k-means fit takes
-    ~22 s to compile fresh but 400+ s on first execution of a
-    cache-loaded executable). On real locally-attached TPUs and on CPU
-    the cache is a large win and is enabled.
-
-    Returns True when the cache was enabled.
-    """
+def onAxonBackend():
+    """True when the TPU is reached through the axon remote-device
+    tunnel (experimental PJRT backend with different perf trade-offs)."""
     import jax
     try:
         version = getattr(jax.devices()[0].client, "platform_version", "")
     except Exception:
         version = ""
-    if "axon" in version:
-        return False
+    return "axon" in version
+
+
+def setupCompilationCache(cacheDir):
+    """
+    Enable the persistent XLA compilation cache at ``cacheDir``.
+
+    Measured trade-off on the axon remote-TPU tunnel: loading the cached
+    segmentation executables is ~2.5x faster than fresh HLO compiles
+    (123 s vs 310 s for the full pipeline warm-up), so the cache stays
+    on — EXCEPT for the k-means fit program, whose cache-loaded
+    executable stalls for minutes on first execution (400+ s vs ~22 s
+    fresh); TPUKMeans.fit bypasses the cache for its own compiles when
+    on axon. On real locally-attached TPUs and on CPU the cache is
+    enabled unconditionally.
+
+    Returns True when the cache was enabled.
+    """
+    import jax
     jax.config.update("jax_compilation_cache_dir", cacheDir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return True
