@@ -289,3 +289,21 @@ def test_threaded_read_workers_match_serial(tmp_path, rng):
         va = rat.ReadAsArray(names.index(a))
         vb = rat.ReadAsArray(names.index(b))
         assert (va == vb).all()
+
+
+def test_wide_value_range_falls_back_to_lexsort(tmp_path, rng):
+    """int64 imagery whose (segments x value-range) exceeds the dense
+    bincount budget must take the lexsort path, same results."""
+    from pyshepseg_tpu.tilingstats import compactTile
+    seg = rng.integers(1, 50, (64, 64)).astype(np.uint32)
+    # huge spread: guarantees nbins > 1<<25
+    img = rng.integers(-2**40, 2**40, (64, 64)).astype(np.int64)
+    seen, noData, rs, rv, rc = compactTile(seg, img, None, 64)
+    # brute-force RLE oracle
+    pairs = {}
+    for s, v in zip(seg.ravel(), img.ravel()):
+        pairs[(int(s), int(v))] = pairs.get((int(s), int(v)), 0) + 1
+    want = sorted(pairs.items())
+    got = list(zip(zip(rs.tolist(), rv.tolist()), rc.tolist()))
+    assert got == [((s, v), c) for (s, v), c in want]
+    assert seen.sum() == seg.size
