@@ -275,3 +275,23 @@ def test_tiled_mesh_with_nodata(paths, rng, tmp_path):
     assert (seg[10:30, 40:70] == 0).all()          # hole stays null
     assert not res.hasEmptySegments
     assert seg.max() == res.maxSegId
+
+
+def test_threads_worker_exception_surfaces(paths, rng, monkeypatch):
+    """A worker failure must ship a WorkerErrorRecord through the
+    exception queue and fail the stitch with PyShepSegTilingError
+    (reference failure-detection semantics, tiling.py:918-928)."""
+    inpath, outpath = paths
+    make_voronoi_raster(inpath, rng)
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("injected worker failure")
+
+    monkeypatch.setattr(tiling.shepseg, "doShepherdSegmentation", boom)
+    # short timeout: the workers die instantly, so the stitcher's wait
+    # for the first tile is pure timeout before the exception check
+    cfg = tiling.SegmentationConcurrencyConfig(
+        concurrencyType=tiling.CONC_THREADS, numWorkers=2,
+        tileCompletionTimeout=5)
+    with pytest.raises(tiling.PyShepSegTilingError):
+        run_tiled(inpath, outpath, concurrencyCfg=cfg)
