@@ -14,8 +14,9 @@ import tempfile as _tempfile
 # tile. Enabled after jax import via utils.setupCompilationCache
 # (the k-means fit bypasses it on the axon remote-device tunnel —
 # see that helper's docstring).
-_CACHE_DIR = _os.path.join(_tempfile.gettempdir(),
-                           "pyshepseg_tpu_jax_cache")
+_CACHE_DIR = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_tempfile.gettempdir(), "pyshepseg_tpu_jax_cache"))
 
 import argparse
 import os

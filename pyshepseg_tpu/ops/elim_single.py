@@ -116,7 +116,15 @@ def eliminate_single_pixels_device(img_f, seg, seg_size,
     """
     planes = band_planes(img_f)
     offsets = offsets_for(four_connected)
-    d2s = _distance_fields(planes, offsets)
+    # Hoist the per-offset distance fields out of the fixpoint loop when
+    # the extra residency is modest (4-connected: 4 extra (H, W) f32
+    # buffers). For 8-connected the 8 persistent buffers would re-tighten
+    # HBM headroom on large grown edge tiles (the band-planes refactor
+    # exists to protect exactly that), so recompute them per pass there.
+    if four_connected:
+        d2s = _distance_fields(planes, offsets)
+    else:
+        d2s = None
 
     sizes_at = seg_size[seg.astype(jnp.int32)]  # the only full-size gather
     single0 = sizes_at == 1
@@ -127,8 +135,10 @@ def eliminate_single_pixels_device(img_f, seg, seg_size,
 
     def body(carry):
         seg_c, single_c, nbr_ok_c, total, _ = carry
+        d2s_pass = (d2s if d2s is not None
+                    else _distance_fields(planes, offsets))
         seg_n, single_n, nbr_ok_n, n = _one_pass(
-            d2s, offsets, seg_c, single_c, nbr_ok_c)
+            d2s_pass, offsets, seg_c, single_c, nbr_ok_c)
         return seg_n, single_n, nbr_ok_n, total + n, n
 
     seg, _, _, total, _ = jax.lax.while_loop(

@@ -90,12 +90,20 @@ def _lloyd(x, w, centers, tol_scaled, max_iter: int):
         # to compile and run on the TPU toolchain at ~1e6 points.
         empty = counts == 0
         any_empty = jnp.any(empty)
-        # padding rows must never donate: mask to -1 (< any real
-        # squared distance)
-        _, donor_idx = jax.lax.top_k(jnp.where(w > 0, mind, -1.0), k)
-        donors = x[donor_idx]                      # (k, B) distinct points
-        rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
-        new_c = jnp.where(empty[:, None], donors[rank], new_c)
+
+        def repair(args):
+            nc, mind_r = args
+            # padding rows must never donate: mask to -1 (< any real
+            # squared distance)
+            _, donor_idx = jax.lax.top_k(jnp.where(w > 0, mind_r, -1.0), k)
+            donors = x[donor_idx]            # (k, B) distinct points
+            rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+            return jnp.where(empty[:, None], donors[rank], nc)
+
+        # gate behind cond: the common no-empties iteration skips the
+        # O(n log k) top_k and gathers entirely
+        new_c = jax.lax.cond(any_empty, repair, lambda args: args[0],
+                             (new_c, mind))
         shift = jnp.sum((new_c - c) ** 2)
         return new_c, shift, it + 1, any_empty
 

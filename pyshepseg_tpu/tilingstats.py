@@ -560,12 +560,18 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
 
         def worker(window):
             # per-thread dataset handles (GDAL handles are not
-            # thread-safe; the reference uses per-worker handles too)
+            # thread-safe; the reference uses per-worker handles too).
+            # Keep the Dataset objects alive alongside their bands —
+            # GDAL Band handles dangle if the parent Dataset is
+            # garbage-collected.
             bands = getattr(tlocal, 'bands', None)
             if bands is None:
+                segdsW = rio.open(segfile)
+                imgdsW = rio.open(imgfile)
+                tlocal.datasets = (segdsW, imgdsW)
                 tlocal.bands = bands = (
-                    rio.open(segfile).GetRasterBand(1),
-                    rio.open(imgfile).GetRasterBand(imgbandnum))
+                    segdsW.GetRasterBand(1),
+                    imgdsW.GetRasterBand(imgbandnum))
             return readAndCompact(window, bands)
 
         pool = futures.ThreadPoolExecutor(max_workers=numReadWorkers)
@@ -579,6 +585,10 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
         if pool is not None:
             with timings.interval('reading'):
                 compacted = pending[i].result()
+            # drop the Future so its retained result (a whole tile's
+            # runs) can be freed — otherwise memory grows with the
+            # raster instead of staying bounded
+            pending[i] = None
             nxt = i + lookahead
             if nxt < len(windows):
                 pending.append(pool.submit(worker, windows[nxt]))
