@@ -488,6 +488,78 @@ def _segmentStatsFromRuns(vals, counts, start, end, statID, param,
     return out
 
 
+def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
+                         imgbandnum, serialBands, compactFn,
+                         numReadWorkers, timings):
+    """
+    Yield ``compactFn(segTile, imgTile, window)`` per 1024^2 tile in
+    strict row-major order. With numReadWorkers > 0 the read+compact
+    runs ahead on worker threads (bounded lookahead, per-thread dataset
+    handles — GDAL handles are not thread-safe, and Band handles dangle
+    if their parent Dataset is garbage-collected); consumed results are
+    dropped immediately so memory stays bounded. Serial otherwise.
+    """
+    windows = [(min(tileSize, npix - leftPix),
+                min(tileSize, nlines - topLine), leftPix, topLine)
+               for topLine in range(0, nlines, tileSize)
+               for leftPix in range(0, npix, tileSize)]
+
+    def readAndCompact(window, bands):
+        (xsize, ysize, leftPix, topLine) = window
+        (segb, imgb) = bands
+        tileSegments = segb.ReadAsArray(leftPix, topLine, xsize, ysize)
+        tileImageData = imgb.ReadAsArray(leftPix, topLine, xsize, ysize)
+        return compactFn(tileSegments, tileImageData, window)
+
+    if numReadWorkers <= 0:
+        for window in windows:
+            with timings.interval('reading'):
+                compacted = readAndCompact(window, serialBands)
+            yield compacted
+        return
+
+    import threading
+    from concurrent import futures
+    tlocal = threading.local()
+
+    def worker(window):
+        bands = getattr(tlocal, 'bands', None)
+        if bands is None:
+            segdsW = rio.open(segfile)
+            imgdsW = rio.open(imgfile)
+            tlocal.datasets = (segdsW, imgdsW)
+            tlocal.bands = bands = (segdsW.GetRasterBand(1),
+                                    imgdsW.GetRasterBand(imgbandnum))
+        return readAndCompact(window, bands)
+
+    pool = futures.ThreadPoolExecutor(max_workers=numReadWorkers)
+    try:
+        lookahead = numReadWorkers + 2
+        pending = [pool.submit(worker, w) for w in windows[:lookahead]]
+        for i in range(len(windows)):
+            with timings.interval('reading'):
+                compacted = pending[i].result()
+            # drop the Future so its retained result (a whole tile's
+            # runs) can be freed — otherwise memory grows with the
+            # raster instead of staying bounded
+            pending[i] = None
+            nxt = i + lookahead
+            if nxt < len(windows):
+                pending.append(pool.submit(worker, windows[nxt]))
+            yield compacted
+    finally:
+        pool.shutdown(wait=False)
+
+
+def _defaultReadWorkers(numReadWorkers):
+    """None -> min(4, cpu_count - 1): serial on single-core hosts,
+    where threads only add overhead."""
+    if numReadWorkers is None:
+        import os
+        numReadWorkers = min(4, max(0, (os.cpu_count() or 1) - 1))
+    return numReadWorkers
+
+
 def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
         statsSelection, missingStatsValue=-9999, numReadWorkers=None):
     """
@@ -509,9 +581,7 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
     Default (None): min(4, cpu_count - 1) — stays serial on single-core
     hosts, where threads only add overhead.
     """
-    if numReadWorkers is None:
-        import os
-        numReadWorkers = min(4, max(0, (os.cpu_count() or 1) - 1))
+    numReadWorkers = _defaultReadWorkers(numReadWorkers)
     timings = timinghooks.Timers()
 
     segds, segband, imgds, imgband = doImageAlignmentChecks(
@@ -540,62 +610,13 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
     tileSize = tiling.TILESIZE
     (nlines, npix) = (segband.YSize, segband.XSize)
 
-    windows = [(min(tileSize, npix - leftPix), min(tileSize,
-                                                   nlines - topLine),
-                leftPix, topLine)
-               for topLine in range(0, nlines, tileSize)
-               for leftPix in range(0, npix, tileSize)]
-
-    def readAndCompact(window, bands):
-        (xsize, ysize, leftPix, topLine) = window
-        (segb, imgb) = bands
-        tileSegments = segb.ReadAsArray(leftPix, topLine, xsize, ysize)
-        tileImageData = imgb.ReadAsArray(leftPix, topLine, xsize, ysize)
+    def compactFn(tileSegments, tileImageData, window):
         return compactTile(tileSegments, tileImageData, imgNullVal, numSeg)
 
-    if numReadWorkers > 0:
-        import threading
-        from concurrent import futures
-        tlocal = threading.local()
-
-        def worker(window):
-            # per-thread dataset handles (GDAL handles are not
-            # thread-safe; the reference uses per-worker handles too).
-            # Keep the Dataset objects alive alongside their bands —
-            # GDAL Band handles dangle if the parent Dataset is
-            # garbage-collected.
-            bands = getattr(tlocal, 'bands', None)
-            if bands is None:
-                segdsW = rio.open(segfile)
-                imgdsW = rio.open(imgfile)
-                tlocal.datasets = (segdsW, imgdsW)
-                tlocal.bands = bands = (
-                    segdsW.GetRasterBand(1),
-                    imgdsW.GetRasterBand(imgbandnum))
-            return readAndCompact(window, bands)
-
-        pool = futures.ThreadPoolExecutor(max_workers=numReadWorkers)
-        lookahead = numReadWorkers + 2
-        pending = [pool.submit(worker, w) for w in windows[:lookahead]]
-    else:
-        pool = None
-        pending = []
-
-    for i, window in enumerate(windows):
-        if pool is not None:
-            with timings.interval('reading'):
-                compacted = pending[i].result()
-            # drop the Future so its retained result (a whole tile's
-            # runs) can be freed — otherwise memory grows with the
-            # raster instead of staying bounded
-            pending[i] = None
-            nxt = i + lookahead
-            if nxt < len(windows):
-                pending.append(pool.submit(worker, windows[nxt]))
-        else:
-            with timings.interval('reading'):
-                compacted = readAndCompact(window, (segband, imgband))
-
+    stream = _compactedTileStream(
+        nlines, npix, tileSize, segfile, imgfile, imgbandnum,
+        (segband, imgband), compactFn, numReadWorkers, timings)
+    for compacted in stream:
         with timings.interval('accumulation'):
             acc.merge(compacted)
 
@@ -606,9 +627,6 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
 
         with timings.interval('writing'):
             writeCompletePages(pagedRat, attrTbl, statsSelection_fast)
-
-    if pool is not None:
-        pool.shutdown(wait=False)
 
     with timings.interval('writing'):
         segds.FlushCache()
@@ -755,6 +773,49 @@ def convertPtsInto2DMaskArray(pts, imgNullVal):
     return mask
 
 
+def compactTileSpatial(tileSegments, tileImageData, leftPix, topLine,
+                       imgNullVal, numSeg):
+    """
+    Group one tile's pixels by segment for the spatial accumulator:
+    returns (seenCounts, noDataCounts-or-None,
+    [(segId, xs, ys, vals), ...] in ascending segment order with pixels
+    in scan order), or None for an all-null tile. Pure function of the
+    tile — safe to run on worker threads.
+    """
+    seg = tileSegments.ravel().astype(numpy.int64)
+    val = tileImageData.ravel().astype(imageValueType)
+    h, w = tileSegments.shape
+    yy, xx = numpy.divmod(numpy.arange(seg.size), w)
+    xx = (xx + leftPix).astype(numpy.uint32)
+    yy = (yy + topLine).astype(numpy.uint32)
+
+    keep = seg != shepseg.SEGNULLVAL
+    seg, val, xx, yy = seg[keep], val[keep], xx[keep], yy[keep]
+    if seg.size == 0:
+        return None
+    seen = numpy.bincount(seg, minlength=numSeg
+                          ).astype(numpy.int64)[:numSeg]
+    noData = None
+    if imgNullVal is not None:
+        isNull = val == imageValueType(imgNullVal)
+        if isNull.any():
+            noData = numpy.bincount(
+                seg[isNull], minlength=numSeg
+            ).astype(numpy.int64)[:numSeg]
+        seg, val, xx, yy = (seg[~isNull], val[~isNull], xx[~isNull],
+                            yy[~isNull])
+    groups = []
+    if seg.size:
+        order = numpy.argsort(seg, kind='stable')
+        seg, val, xx, yy = seg[order], val[order], xx[order], yy[order]
+        boundary = numpy.concatenate([[True], seg[1:] != seg[:-1]])
+        starts = numpy.nonzero(boundary)[0]
+        ends = numpy.append(starts[1:], len(seg))
+        for s, e in zip(starts, ends):
+            groups.append((int(seg[s]), xx[s:e], yy[s:e], val[s:e]))
+    return (seen, noData, groups)
+
+
 class SegmentPointAccumulator:
     """
     Streaming per-segment pixel-coordinate accumulator for spatial stats
@@ -773,38 +834,23 @@ class SegmentPointAccumulator:
         self.done = numpy.zeros(numSeg, dtype=bool)
 
     def accumulate(self, tileSegments, tileImageData, leftPix, topLine):
-        seg = tileSegments.ravel().astype(numpy.int64)
-        val = tileImageData.ravel().astype(imageValueType)
-        h, w = tileSegments.shape
-        yy, xx = numpy.divmod(numpy.arange(seg.size), w)
-        xx = (xx + leftPix).astype(numpy.uint32)
-        yy = (yy + topLine).astype(numpy.uint32)
+        self.merge(compactTileSpatial(tileSegments, tileImageData,
+                                      leftPix, topLine, self.imgNullVal,
+                                      self.numSeg))
 
-        keep = seg != shepseg.SEGNULLVAL
-        seg, val, xx, yy = seg[keep], val[keep], xx[keep], yy[keep]
-        if seg.size == 0:
+    def merge(self, compacted):
+        """Merge one tile's pre-grouped points (from
+        :func:`compactTileSpatial`); appending in row-major tile order
+        preserves the reference's per-segment scan-order point lists."""
+        if compacted is None:
             return
-        self.touched[seg] = True
-        self.seen += numpy.bincount(seg, minlength=self.numSeg
-                                    ).astype(numpy.int64)[:self.numSeg]
-        if self.imgNullVal is not None:
-            isNull = val == imageValueType(self.imgNullVal)
-            if isNull.any():
-                self.noData += numpy.bincount(
-                    seg[isNull], minlength=self.numSeg
-                ).astype(numpy.int64)[:self.numSeg]
-            seg, val, xx, yy = (seg[~isNull], val[~isNull], xx[~isNull],
-                                yy[~isNull])
-        if seg.size == 0:
-            return
-        order = numpy.argsort(seg, kind='stable')
-        seg, val, xx, yy = seg[order], val[order], xx[order], yy[order]
-        boundary = numpy.concatenate([[True], seg[1:] != seg[:-1]])
-        starts = numpy.nonzero(boundary)[0]
-        ends = numpy.append(starts[1:], len(seg))
-        for s, e in zip(starts, ends):
-            self.chunks.setdefault(int(seg[s]), []).append(
-                (xx[s:e], yy[s:e], val[s:e]))
+        seen, noData, groups = compacted
+        self.touched |= seen > 0
+        self.seen += seen
+        if noData is not None:
+            self.noData += noData
+        for (segId, xs, ys, vs) in groups:
+            self.chunks.setdefault(segId, []).append((xs, ys, vs))
 
     def completedSegments(self, segSize):
         complete = (self.touched & ~self.done &
@@ -860,7 +906,8 @@ def createUserColumnsSpatial(colNamesAndTypes, attrTbl, existingColNames):
 
 
 def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
-        colNamesAndTypes, userFunc, userParam, missingStatsValue=-9999):
+        colNamesAndTypes, userFunc, userParam, missingStatsValue=-9999,
+        numReadWorkers=None):
     """
     Spatial per-segment statistics: accumulate every segment's pixel
     coordinates (whole-image space), and when a segment completes, call
@@ -870,7 +917,10 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
     ``pts`` is a recarray with fields x, y, val. ``colNamesAndTypes`` is a
     list of (columnName, gdal column type) tuples. The imagery must have a
     nodata value set (matching the reference's requirement).
+
+    ``numReadWorkers`` works as in :func:`calcPerSegmentStatsTiled`.
     """
+    numReadWorkers = _defaultReadWorkers(numReadWorkers)
     timings = timinghooks.Timers()
 
     segds, segband, imgds, imgband = doImageAlignmentChecks(
@@ -897,20 +947,17 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
     tileSize = tiling.TILESIZE
     (nlines, npix) = (segband.YSize, segband.XSize)
 
-    for topLine in range(0, nlines, tileSize):
-        for leftPix in range(0, npix, tileSize):
-            xsize = min(tileSize, npix - leftPix)
-            ysize = min(tileSize, nlines - topLine)
+    def compactFn(tileSegments, tileImageData, window):
+        (xsize, ysize, leftPix, topLine) = window
+        return compactTileSpatial(tileSegments, tileImageData, leftPix,
+                                  topLine, imgNullVal, numSeg)
 
-            with timings.interval('reading'):
-                tileSegments = segband.ReadAsArray(leftPix, topLine,
-                                                   xsize, ysize)
-                tileImageData = imgband.ReadAsArray(leftPix, topLine,
-                                                    xsize, ysize)
-
+    stream = _compactedTileStream(
+        nlines, npix, tileSize, segfile, imgfile, imgbandnum,
+        (segband, imgband), compactFn, numReadWorkers, timings)
+    for compacted in stream:
             with timings.interval('accumulation'):
-                acc.accumulate(tileSegments, tileImageData, leftPix,
-                               topLine)
+                acc.merge(compacted)
 
             with timings.interval('statscompletion'):
                 for segId in acc.completedSegments(segSize):

@@ -307,3 +307,26 @@ def test_wide_value_range_falls_back_to_lexsort(tmp_path, rng):
     got = list(zip(zip(rs.tolist(), rv.tolist()), rc.tolist()))
     assert got == [((s, v), c) for (s, v), c in want]
     assert seen.sum() == seg.size
+
+
+def test_spatial_threaded_read_workers_match_serial(tmp_path, rng):
+    """Spatial stats with threaded read workers must be identical to
+    serial (including per-segment point order feeding user funcs)."""
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+    transform = (0.0, 10.0, 0.0, 0.0, 0.0, -10.0)
+    for path in (segpath, imgpath):
+        ds = rio.open(path, rio.GA_Update)
+        ds.SetGeoTransform(transform)
+        ds.FlushCache()
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, [("x0", rio.GFT_Real), ("y0", rio.GFT_Real)],
+        tilingstats.userFuncMeanCoord, transform, numReadWorkers=0)
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, [("x3", rio.GFT_Real), ("y3", rio.GFT_Real)],
+        tilingstats.userFuncMeanCoord, transform, numReadWorkers=3)
+    rat = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    for a, b in (("x0", "x3"), ("y0", "y3")):
+        va = rat.ReadAsArray(names.index(a))
+        vb = rat.ReadAsArray(names.index(b))
+        assert (va == vb).all()
