@@ -94,3 +94,84 @@ class Timers:
         self.lock = threading.Lock()
         with self.lock:
             self.__dict__.update(state)
+
+
+# ---------------------------------------------------------------------
+# Embedded self-tests, runnable without any test framework installed
+# (reference: timinghooks.py:163-200 ships an AllTests unittest class
+# with a mainCmd runner in the same module).
+
+
+import unittest
+
+
+class AllTests(unittest.TestCase):
+    """Self-tests for the Timers class."""
+
+    def test_interval_records_pair(self):
+        t = Timers()
+        with t.interval('phase'):
+            time.sleep(0.01)
+        durations = t.getDurationsForName('phase')
+        self.assertEqual(len(durations), 1)
+        self.assertGreaterEqual(durations[0], 0.01)
+        self.assertIsNone(t.getDurationsForName('absent'))
+
+    def test_merge(self):
+        a = Timers()
+        b = Timers()
+        with a.interval('x'):
+            pass
+        with b.interval('x'):
+            pass
+        with b.interval('y'):
+            pass
+        a.merge(b)
+        self.assertEqual(len(a.getDurationsForName('x')), 2)
+        self.assertEqual(len(a.getDurationsForName('y')), 1)
+
+    def test_summary_dict(self):
+        t = Timers()
+        for _ in range(4):
+            with t.interval('p'):
+                pass
+        summary = t.makeSummaryDict()
+        self.assertEqual(summary['p']['count'], 4)
+        for key in ('total', 'min', 'max', 'lowerq', 'median', 'upperq',
+                    'mean'):
+            self.assertIn(key, summary['p'])
+        self.assertGreaterEqual(summary['p']['max'], summary['p']['min'])
+
+    def test_pickle_roundtrip(self):
+        import pickle
+        t = Timers()
+        with t.interval('p'):
+            pass
+        t2 = pickle.loads(pickle.dumps(t))
+        self.assertEqual(len(t2.getDurationsForName('p')), 1)
+        # the restored object has a working lock
+        with t2.interval('q'):
+            pass
+
+    def test_thread_safety(self):
+        t = Timers()
+
+        def work():
+            for _ in range(50):
+                with t.interval('p'):
+                    pass
+
+        threads = [threading.Thread(target=work) for _ in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        self.assertEqual(len(t.getDurationsForName('p')), 200)
+
+
+def mainCmd():
+    unittest.main(module=__name__, argv=['timinghooks'])
+
+
+if __name__ == "__main__":
+    mainCmd()

@@ -148,3 +148,14 @@ def test_worker_error_record():
     s = str(pickle.loads(pickle.dumps(rec)))
     assert "Error in thread worker" in s
     assert "boom" in s
+
+
+def test_timinghooks_embedded_selftests():
+    """The module's embedded AllTests (reference parity: the reference
+    ships unittest self-tests inside timinghooks.py) must pass."""
+    import unittest
+    from pyshepseg_tpu import timinghooks
+    suite = unittest.defaultTestLoader.loadTestsFromTestCase(
+        timinghooks.AllTests)
+    result = unittest.TextTestRunner(verbosity=0).run(suite)
+    assert result.wasSuccessful()
