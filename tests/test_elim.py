@@ -2,6 +2,7 @@
 reference-semantics oracle."""
 
 import numpy as np
+import pytest
 
 from pyshepseg_tpu.ops.clump import clump
 from pyshepseg_tpu.ops.segreduce import makeSegSize
@@ -127,3 +128,33 @@ def test_small_elim_edge_overflow_flag(rng):
     ref = seg.copy()
     eliminateSmallSegments(ref, img, nxt - 1, 5, 1e9, True)
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_single_pixel_elim_many_seeds(seed):
+    """Multi-seed differential sweep over the mask-carried fixpoint
+    rewrite (single + multi-pass chains, nulls, both connectivities)."""
+    rng = np.random.default_rng(1000 + seed)
+    fourConnected = bool(seed % 2)
+    img, seg, maxSegId = _make_case(rng, shape=(28, 30),
+                                    null_frac=0.08 if seed % 3 else 0.0)
+    segSize = makeSegSize(seg)
+
+    ref_seg = seg.copy()
+    ref_n = oracle_eliminate_single_pixels(
+        img, ref_seg, oracle_seg_size(ref_seg), 1, fourConnected)
+    got_seg = seg.copy()
+    got_n = eliminateSinglePixels(img, got_seg, segSize, 1, maxSegId,
+                                  fourConnected)
+    assert got_n == ref_n
+    np.testing.assert_array_equal(got_seg, ref_seg)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_small_elim_many_seeds(seed):
+    """Multi-seed differential sweep over the graph-space elimination
+    with the measured edge-capacity bucketing."""
+    rng = np.random.default_rng(2000 + seed)
+    _run_small_elim_case(rng, (26, 29), minSegSize=4 + seed,
+                         maxSpectralDiff=(80.0 if seed % 2 else 1e9),
+                         fourConnected=bool(seed % 2))
