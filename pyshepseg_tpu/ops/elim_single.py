@@ -45,10 +45,12 @@ def _one_pass(d2s, offsets, seg, single, nbr_ok):
       sizes only grow, and an eliminated pixel joins a size>1 segment,
       so ``nbr_ok' = nbr_ok | elim``.
 
-    ``d2s`` are the per-offset spectral distance fields, hoisted out of
-    the fixpoint loop entirely (pixel values never change). Each is a
-    RUNNING strict-< minimum (keeping the FIRST minimum in the
-    reference's 3x3 scan order) over a few (H, W) buffers.
+    ``d2s`` are the per-offset spectral distance fields (pixel values
+    never change, so the caller may hoist them out of the fixpoint loop
+    — done for 4-connectivity; recomputed per pass for 8-connectivity
+    to cap HBM residency). The neighbour choice is a RUNNING strict-<
+    minimum (keeping the FIRST minimum in the reference's 3x3 scan
+    order) over a few (H, W) buffers.
     """
     inf = jnp.float32(jnp.inf)
 
@@ -75,11 +77,13 @@ def _distance_fields(planes, offsets):
     """Per-offset squared spectral distance to the shifted neighbour.
 
     These depend only on pixel values, never on the evolving labels, so
-    the fixpoint loop reuses them across passes. Built from 2D (H, W)
-    planes, NOT a (nBands, H, W) array: with the 3D form XLA's layout
-    assignment can materialise a copy with the nBands dim as the padded
-    lane dimension (4 -> 128 lanes = 32x memory), which OOM'd large
-    grown edge tiles.
+    callers MAY reuse them across fixpoint passes (done for
+    4-connectivity; 8-connectivity recomputes per pass — 8 persistent
+    full-image buffers would strain HBM on large grown edge tiles).
+    Built from 2D (H, W) planes, NOT a (nBands, H, W) array: with the
+    3D form XLA's layout assignment can materialise a copy with the
+    nBands dim as the padded lane dimension (4 -> 128 lanes = 32x
+    memory), which OOM'd large grown edge tiles.
     """
     d2s = []
     for dy, dx in offsets:

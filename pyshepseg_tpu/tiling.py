@@ -389,7 +389,8 @@ def _modeMatch(overlapA, overlapB, crossingIds):
 def _perSegBBoxTopLeft(tileData):
     """
     Per-segment-ID (minRow, minCol) over the tile. Returns
-    (ids ascending, minRow, minCol) for IDs present.
+    (ids ascending, minRow, minCol, tileMax) for IDs present (tileMax
+    saves the caller a second full-tile max reduction).
 
     Implemented as reverse row/column sweeps with fancy assignment —
     within one assignment every written value is identical (the
@@ -407,7 +408,7 @@ def _perSegBBoxTopLeft(tileData):
     for c in range(w - 1, -1, -1):
         minCol[tileData[:, c]] = c
     ids = numpy.nonzero(minRow < h)[0].astype(tileData.dtype)
-    return ids, minRow[ids], minCol[ids]
+    return ids, minRow[ids], minCol[ids], tileMax
 
 
 class SegmentationConcurrencyMgr:
@@ -741,11 +742,10 @@ class SegmentationConcurrencyMgr:
         tiling.py:1205-1269, vectorized). Unowned, un-recoded segments
         become SEGNULLVAL (they belong to a neighbouring tile).
         """
-        ids, minRow, minCol = _perSegBBoxTopLeft(tileData)
+        ids, minRow, minCol, tileMax = _perSegBBoxTopLeft(tileData)
         present = ids != shepseg.SEGNULLVAL
         ids, minRow, minCol = ids[present], minRow[present], minCol[present]
 
-        tileMax = int(tileData.max())
         mapping = numpy.zeros(tileMax + 1, dtype=shepseg.SegIdType)
 
         recoded = numpy.zeros(tileMax + 1, dtype=bool)

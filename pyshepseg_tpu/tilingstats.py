@@ -504,6 +504,13 @@ def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
                for topLine in range(0, nlines, tileSize)
                for leftPix in range(0, npix, tileSize)]
 
+    # Worker threads need their OWN dataset handles; rio.open passes an
+    # already-open Dataset object straight through, so when the caller
+    # gave us objects rather than paths the threads would all share one
+    # non-thread-safe handle — fall back to serial in that case.
+    if not (isinstance(segfile, str) and isinstance(imgfile, str)):
+        numReadWorkers = 0
+
     def readAndCompact(window, bands):
         (xsize, ysize, leftPix, topLine) = window
         (segb, imgb) = bands
@@ -548,7 +555,9 @@ def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
                 pending.append(pool.submit(worker, windows[nxt]))
             yield compacted
     finally:
-        pool.shutdown(wait=False)
+        # cancel queued reads too: if the consumer aborts mid-stream the
+        # raster may be closed/deleted right after
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 def _defaultReadWorkers(numReadWorkers):
@@ -784,7 +793,7 @@ def compactTileSpatial(tileSegments, tileImageData, leftPix, topLine,
     """
     seg = tileSegments.ravel().astype(numpy.int64)
     val = tileImageData.ravel().astype(imageValueType)
-    h, w = tileSegments.shape
+    w = tileSegments.shape[1]
     yy, xx = numpy.divmod(numpy.arange(seg.size), w)
     xx = (xx + leftPix).astype(numpy.uint32)
     yy = (yy + topLine).astype(numpy.uint32)
