@@ -81,6 +81,9 @@ def getCmdargs():
         help="Statistic to include in the RAT, may be repeated. Options: "
              "'mean', 'stddev', 'min', 'max', 'median', 'mode', "
              "'percentile,p'")
+    statsGroup.add_argument("--statsreadworkers", type=int, default=None,
+        help="Read+compact worker threads for the stats pass "
+             "(default: min(4, cpu_count - 1))")
     statsGroup.add_argument("--colortablebands",
         help="Comma-separated list of 3 band numbers (red,green,blue) "
              "whose per-segment means colour the segments")
@@ -210,7 +213,8 @@ def doPerSegmentStats(cmdargs):
             statsSelection.append(selection)
 
         rtn = tilingstats.calcPerSegmentStatsTiled(
-            cmdargs.infile, statsBand, cmdargs.outfile, statsSelection)
+            cmdargs.infile, statsBand, cmdargs.outfile, statsSelection,
+            numReadWorkers=cmdargs.statsreadworkers)
 
         if cmdargs.verbose:
             print(utils.formatTimingRpt(rtn.timings.makeSummaryDict())
