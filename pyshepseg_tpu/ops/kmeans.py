@@ -20,12 +20,18 @@ reference statistically, not bitwise (the reference itself offers
 """
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .constants import SEGNULLVAL, MINSEGID
+
+# Serialises TPUKMeans.fit's temporary flip of the process-global
+# compilation-cache config (see fit): concurrent fits would race on the
+# global and could leave the cache disabled for unrelated compiles.
+_cache_flip_lock = threading.Lock()
 
 
 def _assign_scores(x, centers):
@@ -97,6 +103,14 @@ def _lloyd(x, w, centers, tol_scaled, max_iter: int):
             # squared distance)
             _, donor_idx = jax.lax.top_k(jnp.where(w > 0, mind_r, -1.0), k)
             donors = x[donor_idx]            # (k, B) distinct points
+            # Distinct indices can still carry bitwise-identical VALUES; a
+            # per-rank nudge keeps re-seeded centres distinct so argmin
+            # can't collapse two repairs back onto one cluster (which
+            # would force a re-repair every iteration until max_iter on
+            # degenerate data). The nudge is far below any data scale
+            # that matters and only touches re-seeded clusters.
+            j = jnp.arange(k, dtype=jnp.float32)
+            donors = donors + (1e-4 * j)[:, None]
             rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
             return jnp.where(empty[:, None], donors[rank], nc)
 
@@ -219,14 +233,19 @@ class TPUKMeans:
         # compiles there. See utils.setupCompilationCache.
         import jax as _jax
         from ..utils import onAxonBackend
-        cache_dir = _jax.config.jax_compilation_cache_dir
-        bypass = cache_dir is not None and onAxonBackend()
-        if bypass:
-            _jax.config.update("jax_compilation_cache_dir", None)
-        try:
+        bypass = (_jax.config.jax_compilation_cache_dir is not None and
+                  onAxonBackend())
+        if not bypass:
             return self._fit(X)
-        finally:
-            if bypass:
+        # The cache flag is process-global: hold a lock across the flip so
+        # a concurrent fit (or any compile racing with it) never observes
+        # the cache unexpectedly disabled or re-enabled mid-fit.
+        with _cache_flip_lock:
+            cache_dir = _jax.config.jax_compilation_cache_dir
+            _jax.config.update("jax_compilation_cache_dir", None)
+            try:
+                return self._fit(X)
+            finally:
                 _jax.config.update("jax_compilation_cache_dir", cache_dir)
 
     def _fit(self, X):

@@ -280,12 +280,17 @@ def _getRatPage(pagedRat, segId, numIntCols, numFloatCols, segSizeLen):
 # ------------------------------------------------- streaming accumulator
 
 
-def compactTile(tileSegments, tileImageData, imgNullVal, numSeg):
+def compactTile(tileSegments, tileImageData, imgNullVal, numSeg,
+                nbinsBudget=(1 << 25)):
     """
     RLE-compact one tile of (segment, value) pixels: returns
     (seenCounts, noDataCounts-or-None, runSegIds, runValues, runCounts)
     with runs sorted by (segId, value), or None for an all-null tile.
     Pure function of the tile — safe to run on worker threads.
+
+    ``nbinsBudget`` caps the dense fast path's transient bincount array
+    (int64 bins); callers running several compactions concurrently should
+    divide the default by the worker count to bound total memory.
     """
     seg = tileSegments.ravel().astype(numpy.int64)
     val = tileImageData.ravel().astype(imageValueType)
@@ -318,7 +323,7 @@ def compactTile(tileSegments, tileImageData, imgNullVal, numSeg):
     vrange = vmax - vmin + 1
     localSegs = numpy.nonzero(seen)[0]          # ascending segment IDs
     nbins = len(localSegs) * vrange
-    if 0 < nbins <= (1 << 25):
+    if 0 < nbins <= nbinsBudget:
         lut = numpy.zeros(numSeg, dtype=numpy.int64)
         lut[localSegs] = numpy.arange(len(localSegs), dtype=numpy.int64)
         key = lut[seg] * vrange + (val.astype(numpy.int64) - vmin)
@@ -444,48 +449,85 @@ def _segmentStatsFromRuns(vals, counts, start, end, statID, param,
     One statistic for each segment whose (value, count) runs occupy
     vals/counts[start:end]. Matches the reference SegmentStats semantics
     (tilingstats.py:906-1008) including the percentile walk and its
-    p<=0 quirk, float32 mean/stddev, and first-max mode.
+    p<=0 quirk, float32 mean/stddev, and first-max mode — but computed
+    for all segments at once with grouped vector reductions instead of
+    a per-segment Python loop (which scales badly past ~1e5 segments).
     """
     n = len(start)
-    out = numpy.empty(n, dtype=numpy.float64)
-    pixCount = numpy.zeros(n, dtype=numpy.int64)
-    for i in range(n):  # per completed segment; runs are short
-        v = vals[start[i]:end[i]]
-        c = counts[start[i]:end[i]]
-        pc = int(c.sum())
-        pixCount[i] = pc
-        if statID == STATID_PIXCOUNT:
-            out[i] = pc
-            continue
-        if pc == 0:
-            out[i] = missingStatsValue
-            continue
-        if statID == STATID_MIN:
-            out[i] = v[0]
-        elif statID == STATID_MAX:
-            out[i] = v[-1]
-        elif statID == STATID_MEAN:
-            out[i] = numpy.float32((v * c).sum() / pc)
-        elif statID == STATID_STDDEV:
-            mean32 = numpy.float32((v * c).sum() / pc)
-            var = (c * (v - mean32) ** 2).sum() / pc
-            out[i] = numpy.float32(numpy.sqrt(var))
-        elif statID == STATID_MODE:
-            out[i] = v[numpy.argmax(c)]
-        elif statID in (STATID_MEDIAN, STATID_PERCENTILE):
-            p = 50 if statID == STATID_MEDIAN else param
-            target = pc * (p / 100)
-            cum = numpy.cumsum(c)
-            if target <= 0:
-                # reference quirk: the walk exits immediately and indexes
-                # pixVals[-1] (tilingstats.py:983-993)
-                out[i] = v[-1]
-            else:
-                k = int(numpy.searchsorted(cum, target, side='left'))
-                out[i] = v[min(k, len(v) - 1)]
+    lengths = (end - start).astype(numpy.int64)
+    groupIdx = numpy.repeat(numpy.arange(n, dtype=numpy.int64), lengths)
+    gvals = _concatRuns(vals, start, end, lengths)
+    gcounts = _concatRuns(counts, start, end, lengths)
+
+    pixCount = numpy.bincount(groupIdx, weights=gcounts,
+                              minlength=n).astype(numpy.int64)
+    if statID == STATID_PIXCOUNT:
+        return pixCount.astype(numpy.float64)
+
+    out = numpy.full(n, missingStatsValue, dtype=numpy.float64)
+    nonEmpty = pixCount > 0
+    # first/last run index per group (runs are sorted by value)
+    gstart = numpy.zeros(n, dtype=numpy.int64)
+    gstart[1:] = numpy.cumsum(lengths)[:-1]
+    gend = gstart + lengths  # indices into gvals/gcounts
+
+    if statID == STATID_MIN:
+        out[nonEmpty] = gvals[gstart[nonEmpty]]
+    elif statID == STATID_MAX:
+        out[nonEmpty] = gvals[gend[nonEmpty] - 1]
+    elif statID in (STATID_MEAN, STATID_STDDEV):
+        sums = numpy.bincount(groupIdx, weights=gvals * gcounts,
+                              minlength=n)
+        mean32 = numpy.float32(
+            sums[nonEmpty] / pixCount[nonEmpty]).astype(numpy.float64)
+        if statID == STATID_MEAN:
+            out[nonEmpty] = mean32
         else:
-            raise PyShepSegStatsError(f"Unknown statID {statID}")
+            meanPerRun = numpy.zeros(n, dtype=numpy.float64)
+            meanPerRun[nonEmpty] = mean32
+            sq = gcounts * (gvals - meanPerRun[groupIdx]) ** 2
+            var = numpy.bincount(groupIdx, weights=sq,
+                                 minlength=n)[nonEmpty] / pixCount[nonEmpty]
+            out[nonEmpty] = numpy.float32(numpy.sqrt(var))
+    elif statID == STATID_MODE:
+        # first run achieving the group's max count (first-max tie-break)
+        cmax = numpy.full(n, -1, dtype=numpy.int64)
+        numpy.maximum.at(cmax, groupIdx, gcounts)
+        isMax = gcounts == cmax[groupIdx]
+        cand = numpy.where(isMax, numpy.arange(len(gcounts)),
+                           len(gcounts))
+        firstMax = numpy.full(n, len(gcounts), dtype=numpy.int64)
+        numpy.minimum.at(firstMax, groupIdx, cand)
+        out[nonEmpty] = gvals[firstMax[nonEmpty]]
+    elif statID in (STATID_MEDIAN, STATID_PERCENTILE):
+        p = 50 if statID == STATID_MEDIAN else param
+        target = pixCount * (p / 100)
+        # global cumsum is strictly increasing (counts >= 1), so one
+        # global searchsorted does every group's cumulative-count walk
+        cum = numpy.cumsum(gcounts)
+        cumBefore = numpy.where(gstart > 0, cum[gstart - 1], 0)
+        k = numpy.searchsorted(cum, target + cumBefore, side='left')
+        k = numpy.minimum(k, gend - 1)
+        # reference quirk: a p<=0 target exits the walk immediately and
+        # indexes pixVals[-1] (tilingstats.py:983-993)
+        k = numpy.where(target <= 0, gend - 1, k)
+        out[nonEmpty] = gvals[k[nonEmpty]]
+    else:
+        raise PyShepSegStatsError(f"Unknown statID {statID}")
     return out
+
+
+def _concatRuns(arr, start, end, lengths):
+    """arr's [start:end) slices concatenated (the groups are usually
+    already contiguous and in order, making this a cheap view-copy)."""
+    if len(start) == 0:
+        return arr[:0]
+    if (start[0] == 0 and (start[1:] == end[:-1]).all()):
+        return arr[:end[-1]]
+    idx = numpy.repeat(start - numpy.concatenate(
+        [[0], numpy.cumsum(lengths)[:-1]]), lengths)
+    idx += numpy.arange(int(lengths.sum()), dtype=numpy.int64)
+    return arr[idx]
 
 
 def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
@@ -555,9 +597,11 @@ def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
                 pending.append(pool.submit(worker, windows[nxt]))
             yield compacted
     finally:
-        # cancel queued reads too: if the consumer aborts mid-stream the
-        # raster may be closed/deleted right after
-        pool.shutdown(wait=False, cancel_futures=True)
+        # Cancel queued reads and WAIT for in-flight ones (reads are
+        # tile-sized, so short): if the consumer aborts mid-stream the
+        # rasters may be closed or deleted right after this returns, and
+        # a still-running worker read would race on the files.
+        pool.shutdown(wait=True, cancel_futures=True)
 
 
 def _defaultReadWorkers(numReadWorkers):
@@ -619,8 +663,14 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
     tileSize = tiling.TILESIZE
     (nlines, npix) = (segband.YSize, segband.XSize)
 
+    # Several compactions run concurrently with read workers; split the
+    # dense-bincount memory budget between them so transient memory stays
+    # bounded on multi-core hosts.
+    nbinsBudget = (1 << 25) // max(1, numReadWorkers)
+
     def compactFn(tileSegments, tileImageData, window):
-        return compactTile(tileSegments, tileImageData, imgNullVal, numSeg)
+        return compactTile(tileSegments, tileImageData, imgNullVal, numSeg,
+                           nbinsBudget)
 
     stream = _compactedTileStream(
         nlines, npix, tileSize, segfile, imgfile, imgbandnum,
@@ -965,34 +1015,34 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
         nlines, npix, tileSize, segfile, imgfile, imgbandnum,
         (segband, imgband), compactFn, numReadWorkers, timings)
     for compacted in stream:
-            with timings.interval('accumulation'):
-                acc.merge(compacted)
+        with timings.interval('accumulation'):
+            acc.merge(compacted)
 
-            with timings.interval('statscompletion'):
-                for segId in acc.completedSegments(segSize):
-                    pts = acc.extractSegment(segId)
-                    intArr = numpy.full(numIntCols, missingStatsValue,
-                                        dtype=numpy.int64)
-                    floatArr = numpy.full(numFloatCols, missingStatsValue,
-                                          dtype=numpy.float64)
-                    if len(pts) > 0:
-                        userFunc(pts, imgNullVal, intArr, floatArr,
-                                 userParam)
-                    ratPage = _getRatPage(pagedRat, int(segId),
-                                          numIntCols, numFloatCols, numSeg)
-                    for (colNdx, statType, arrayNdx) in userColFast:
-                        if statType == STAT_DTYPE_INT:
-                            ratPage.setRatVal(int(segId), STAT_DTYPE_INT,
-                                              int(arrayNdx),
-                                              intArr[int(arrayNdx)])
-                        else:
-                            ratPage.setRatVal(int(segId), STAT_DTYPE_FLOAT,
-                                              int(arrayNdx),
-                                              floatArr[int(arrayNdx)])
-                    ratPage.setSegmentComplete(int(segId))
+        with timings.interval('statscompletion'):
+            for segId in acc.completedSegments(segSize):
+                pts = acc.extractSegment(segId)
+                intArr = numpy.full(numIntCols, missingStatsValue,
+                                    dtype=numpy.int64)
+                floatArr = numpy.full(numFloatCols, missingStatsValue,
+                                      dtype=numpy.float64)
+                if len(pts) > 0:
+                    userFunc(pts, imgNullVal, intArr, floatArr,
+                             userParam)
+                ratPage = _getRatPage(pagedRat, int(segId),
+                                      numIntCols, numFloatCols, numSeg)
+                for (colNdx, statType, arrayNdx) in userColFast:
+                    if statType == STAT_DTYPE_INT:
+                        ratPage.setRatVal(int(segId), STAT_DTYPE_INT,
+                                          int(arrayNdx),
+                                          intArr[int(arrayNdx)])
+                    else:
+                        ratPage.setRatVal(int(segId), STAT_DTYPE_FLOAT,
+                                          int(arrayNdx),
+                                          floatArr[int(arrayNdx)])
+                ratPage.setSegmentComplete(int(segId))
 
-            with timings.interval('writing'):
-                _writeCompletePagesSpatial(pagedRat, attrTbl, userColFast)
+        with timings.interval('writing'):
+            _writeCompletePagesSpatial(pagedRat, attrTbl, userColFast)
 
     with timings.interval('writing'):
         segds.FlushCache()
