@@ -190,46 +190,92 @@ class TileInfo(object):
     def getTile(self, col, row):
         return self.tiles[(col, row)]
 
+    def pairOverlap(self, col, row, edge):
+        """
+        Width (in pixels) of the region this tile shares with its 'left'
+        or 'top' neighbour. With the reference's grown-edge grid this is
+        the constant overlapSize everywhere; with the uniform grid the
+        final tile of each axis shares a wider strip with its neighbour.
+        The stitcher derives all trim/strip geometry from this, so both
+        grid styles stitch through one code path.
+        """
+        (xpos, ypos, xsize, ysize) = self.getTile(col, row)
+        if edge == 'left':
+            (pxpos, _, pxsize, _) = self.getTile(col - 1, row)
+            return pxpos + pxsize - xpos
+        elif edge == 'top':
+            (_, pypos, _, pysize) = self.getTile(col, row - 1)
+            return pypos + pysize - ypos
+        raise ValueError(f"Unknown edge '{edge}'")
 
-def getTilesForFile(ds, tileSize, overlapSize):
+
+def _axisTilePositions(totalSize, tileSize, overlapSize, grow):
     """
-    Tile grid for the given raster; step is tileSize - overlapSize, and
-    edge tiles grow (up to just under 2x) so no sliver tiles remain
+    (start, size) of each tile along one axis.
+
+    grow=True reproduces the reference's rule: tiles step by
+    tileSize - overlapSize and the final tile absorbs the remainder,
+    growing to just under 2x tileSize so no sliver tiles remain
     (reference: tiling.py:376-443).
+
+    grow=False is the TPU-native uniform grid: every tile is exactly
+    tileSize; instead of growing, the final tile SHIFTS back so it ends
+    at the raster edge, sharing a wider strip with its neighbour. All
+    tiles then have one shape, so the whole scene segments with a single
+    compiled device program regardless of how the raster size divides
+    (XLA compiles per shape; grown edge tiles each cost a fresh
+    multi-minute compile at large tile sizes — see BASELINE.md).
     """
+    step = tileSize - overlapSize
+    if grow:
+        positions = []
+        pos = 0
+        while True:
+            size = tileSize
+            isLast = (pos + 2 * tileSize) > totalSize
+            if isLast:
+                size = totalSize - pos
+                if size == 0:
+                    break
+            positions.append((pos, size))
+            if isLast:
+                break
+            pos += step
+        return positions
+    if totalSize <= tileSize:
+        return [(0, totalSize)]
+    starts = [0]
+    while starts[-1] + tileSize < totalSize:
+        starts.append(min(starts[-1] + step, totalSize - tileSize))
+    return [(pos, tileSize) for pos in starts]
+
+
+def getTilesForFile(ds, tileSize, overlapSize, tileGrid='uniform'):
+    """
+    Tile grid for the given raster. ``tileGrid='uniform'`` (default) makes
+    every tile exactly tileSize x tileSize, shifting the last tile of each
+    axis back to the raster edge — one static shape, one compiled device
+    program per scene. ``tileGrid='grow'`` reproduces the reference's
+    grid, where edge tiles grow up to just under 2x to absorb slivers
+    (reference: tiling.py:376-443); use it when the exact reference tile
+    decomposition matters more than compile time.
+    """
+    if tileGrid not in ('uniform', 'grow'):
+        raise PyShepSegTilingError(
+            f"tileGrid must be 'uniform' or 'grow', got '{tileGrid}'")
     tileSize = int(tileSize)
     overlapSize = int(overlapSize)
+    if overlapSize >= tileSize:
+        raise PyShepSegTilingError("overlapSize must be less than tileSize")
     tileInfo = TileInfo()
-
-    yDone = False
-    ypos = 0
-    xtile = 0
-    ytile = 0
-    while not yDone:
-        xDone = False
-        xpos = 0
-        xtile = 0
-        ysize = tileSize
-        if (ypos + ysize * 2) > ds.RasterYSize:
-            ysize = ds.RasterYSize - ypos
-            yDone = True
-            if ysize == 0:
-                break
-        while not xDone:
-            xsize = tileSize
-            if (xpos + xsize * 2) > ds.RasterXSize:
-                xsize = ds.RasterXSize - xpos
-                xDone = True
-                if xsize == 0:
-                    break
-            tileInfo.addTile(xpos, ypos, xsize, ysize, xtile, ytile)
-            xpos += (tileSize - overlapSize)
-            xtile += 1
-        ypos += (tileSize - overlapSize)
-        ytile += 1
-
-    tileInfo.ncols = xtile
-    tileInfo.nrows = ytile
+    grow = (tileGrid == 'grow')
+    xTiles = _axisTilePositions(ds.RasterXSize, tileSize, overlapSize, grow)
+    yTiles = _axisTilePositions(ds.RasterYSize, tileSize, overlapSize, grow)
+    for row, (ypos, ysize) in enumerate(yTiles):
+        for col, (xpos, xsize) in enumerate(xTiles):
+            tileInfo.addTile(xpos, ypos, xsize, ysize, col, row)
+    tileInfo.ncols = len(xTiles)
+    tileInfo.nrows = len(yTiles)
     return tileInfo
 
 
@@ -241,11 +287,16 @@ def doTiledShepherdSegmentation(infile, outfile, tileSize=DFLT_TILESIZE,
         creationOptions=[], spectDistPcntile=50, kmeansObj=None,
         tempfilesDriver=DFLT_TEMPFILES_DRIVER, tempfilesExt=DFLT_TEMPFILES_EXT,
         tempfilesCreationOptions=[], writeHistogram=True, returnGDALDS=False,
-        concurrencyCfg=None):
+        concurrencyCfg=None, tileGrid='uniform'):
     """
     Run tiled Shepherd segmentation on a large raster and write the stitched
     segment raster to outfile (reference: tiling.py:446-571 — same
     parameters and semantics; per-tile compute runs on TPU).
+
+    ``tileGrid`` selects the tile decomposition: 'uniform' (default) keeps
+    every tile exactly tileSize — one compiled device program per scene —
+    while 'grow' reproduces the reference's grown-edge-tile grid (see
+    getTilesForFile).
 
     Returns a TiledSegmentationResult.
     """
@@ -260,6 +311,7 @@ def doTiledShepherdSegmentation(infile, outfile, tileSize=DFLT_TILESIZE,
         simpleTileRecode, outputDriver, creationOptions, spectDistPcntile,
         kmeansObj, tempfilesDriver, tempfilesCreationOptions, writeHistogram,
         returnGDALDS, concurrencyCfg)
+    concurrencyMgr.tileGrid = tileGrid
 
     with concurrencyMgr.timings.interval('walltime'):
         try:
@@ -453,6 +505,7 @@ class SegmentationConcurrencyMgr:
         self.overlapCache = {}
         self.timings = timinghooks.Timers()
         self.workerBarrier = None
+        self.tileGrid = 'uniform'
 
         if (self.overlapSize % 2) != 0:
             raise PyShepSegTilingError("Overlap size must be an even number")
@@ -492,7 +545,8 @@ class SegmentationConcurrencyMgr:
         elif self.imgNullVal is None:
             self.imgNullVal = getImgNullValue(inDs, self.bandNumbers)
 
-        self.tileInfo = getTilesForFile(inDs, self.tileSize, self.overlapSize)
+        self.tileInfo = getTilesForFile(inDs, self.tileSize,
+                                        self.overlapSize, self.tileGrid)
         if self.verbose:
             print("Found {} tiles, with {} rows and {} cols".format(
                 self.tileInfo.getNumTiles(), self.tileInfo.nrows,
@@ -594,16 +648,41 @@ class SegmentationConcurrencyMgr:
     def overlapCacheKey(col, row, edge):
         return '{}_{}_{}'.format(edge, col, row)
 
-    def stitchTiles(self):
+    def tileStitchGeometry(self, col, row):
         """
-        Recombine tiles into the output raster with globally unique,
-        contiguous segment IDs (reference: tiling.py:950-1064). Consumes
-        tiles in strict row-major order; caches each tile's right/bottom
-        overlap strips for its neighbours; accumulates the histogram and
-        writes overview pyramids incrementally.
-        """
-        marginSize = int(self.overlapSize / 2)
+        Stitch geometry of one tile, derived entirely from the tile grid's
+        per-pair shared-strip widths (TileInfo.pairOverlap), so the grown
+        and uniform grids stitch through the same path.
 
+        Returns (top, bottom, left, right, xout, yout, rightWidth,
+        bottomWidth): the tile-local trim window [top:bottom, left:right)
+        that this tile contributes to the mosaic, the output position of
+        that window, and the widths of the right/bottom strips to cache
+        for the following tiles (0 on the raster edge). Between two tiles
+        sharing a strip of width w, the earlier tile contributes w - w//2
+        of it and the later one starts w//2 in, so contributions abut
+        exactly for odd w too.
+        """
+        ti = self.tileInfo
+        (xpos, ypos, xsize, ysize) = ti.getTile(col, row)
+
+        topOv = ti.pairOverlap(col, row, 'top') if row > 0 else 0
+        leftOv = ti.pairOverlap(col, row, 'left') if col > 0 else 0
+        bottomOv = (ti.pairOverlap(col, row + 1, 'top')
+                    if row < ti.nrows - 1 else 0)
+        rightOv = (ti.pairOverlap(col + 1, row, 'left')
+                   if col < ti.ncols - 1 else 0)
+
+        top = topOv // 2
+        left = leftOv // 2
+        bottom = ysize - (bottomOv - bottomOv // 2)
+        right = xsize - (rightOv - rightOv // 2)
+        return (top, bottom, left, right, xpos + left, ypos + top,
+                rightOv, bottomOv)
+
+    def _createStitchOutput(self):
+        """Create the output raster with geo metadata, overviews, and the
+        thematic/nodata band settings; returns (outDs, outBand)."""
         outDs = rio.create(self.outfile, self.inXsize, self.inYsize, 1,
                            shepseg.SegIdType, self.outputDriver,
                            self.creationOptions)
@@ -615,7 +694,17 @@ class SegmentationConcurrencyMgr:
         outBand = outDs.GetRasterBand(1)
         outBand.SetMetadataItem('LAYER_TYPE', 'thematic')
         outBand.SetNoDataValue(int(shepseg.SEGNULLVAL))
+        return outDs, outBand
 
+    def stitchTiles(self):
+        """
+        Recombine tiles into the output raster with globally unique,
+        contiguous segment IDs (reference: tiling.py:950-1064). Consumes
+        tiles in strict row-major order; caches each tile's right/bottom
+        shared strips for its neighbours; accumulates the histogram and
+        writes overview pyramids incrementally.
+        """
+        outDs, outBand = self._createStitchOutput()
         colRowList = sorted(self.tileInfo.tiles.keys(),
                             key=lambda x: (x[1], x[0]))
         maxSegId = 0
@@ -624,64 +713,47 @@ class SegmentationConcurrencyMgr:
         if self.verbose:
             print("Stitching tiles together")
         reportedRow = -1
-        i = 0
-        while i < len(colRowList):
-            (col, row) = colRowList[i]
+        for (col, row) in colRowList:
             if self.verbose and row != reportedRow:
                 print("Stitching tile row {}".format(row))
-            reportedRow = row
+                reportedRow = row
 
-            (xpos, ypos, xsize, ysize) = self.tileInfo.getTile(col, row)
             tileData = self.getTileSegmentation(col, row)
-
             if tileData is None:
                 self.checkWorkerExceptions()
-                timeout = self.concurrencyCfg.tileCompletionTimeout
                 raise PyShepSegTilingError(
-                    ("Timeout ({} seconds) waiting for completed tile. "
-                     "Try increasing tileCompletionTimeout, or track other "
-                     "errors in segmentation workers").format(timeout))
+                    "Gave up waiting for tile ({}, {}) after {} seconds "
+                    "with no worker error reported; raise "
+                    "tileCompletionTimeout if workers are just slow".format(
+                        col, row,
+                        self.concurrencyCfg.tileCompletionTimeout))
 
-            top, bottom = marginSize, ysize - marginSize
-            left, right = marginSize, xsize - marginSize
-            xout, yout = xpos + marginSize, ypos + marginSize
-
-            rightName = self.overlapCacheKey(col, row, RIGHT_OVERLAP)
-            bottomName = self.overlapCacheKey(col, row, BOTTOM_OVERLAP)
-
-            if row == 0:
-                top = 0
-                yout = ypos
-            if row == (self.tileInfo.nrows - 1):
-                bottom = ysize
-                bottomName = None
-            if col == 0:
-                left = 0
-                xout = xpos
-            if col == (self.tileInfo.ncols - 1):
-                right = xsize
-                rightName = None
+            (top, bottom, left, right, xout, yout, rightOv, bottomOv) = (
+                self.tileStitchGeometry(col, row))
 
             if self.simpleTileRecode:
                 nullmask = (tileData == shepseg.SEGNULLVAL)
                 tileData = tileData + shepseg.SegIdType(maxSegId)
                 tileData[nullmask] = shepseg.SEGNULLVAL
             else:
-                tileData = self.recodeTile(tileData, maxSegId, row, col,
-                                           top, bottom, left, right)
+                (tileData, maxSegId) = self.recodeTile(
+                    tileData, maxSegId, row, col, top, bottom, left, right)
 
             tileDataTrimmed = tileData[top:bottom, left:right]
             outBand.WriteArray(tileDataTrimmed, xout, yout)
             self.writeOverviews(outBand, tileDataTrimmed, xout, yout)
             histAccum.doHistAccum(tileDataTrimmed)
 
-            if rightName is not None:
-                self.saveOverlap(rightName, tileData[:, -self.overlapSize:])
-            if bottomName is not None:
-                self.saveOverlap(bottomName, tileData[-self.overlapSize:, :])
+            if rightOv > 0:
+                self.saveOverlap(
+                    self.overlapCacheKey(col, row, RIGHT_OVERLAP),
+                    tileData[:, -rightOv:])
+            if bottomOv > 0:
+                self.saveOverlap(
+                    self.overlapCacheKey(col, row, BOTTOM_OVERLAP),
+                    tileData[-bottomOv:, :])
 
             maxSegId = max(maxSegId, int(tileDataTrimmed.max()))
-            i += 1
 
         self.writeHistogramToFile(outBand, histAccum)
         self.hasEmptySegments = self.checkForEmptySegments(
@@ -700,26 +772,35 @@ class SegmentationConcurrencyMgr:
         Make tile segment IDs globally unique: segments shared with the
         tiles above/left keep those tiles' IDs; the rest get fresh
         sequential IDs if this tile owns them (reference: tiling.py:
-        1066-1126).
-        """
-        topOverlapA = tileData[:self.overlapSize, :]
-        leftOverlapA = tileData[:, :self.overlapSize]
+        1066-1126). The shared-strip widths come from the tile grid
+        (TileInfo.pairOverlap) so they match what the neighbour cached.
 
+        Returns (newTileData, newMaxSegId). The caller must advance its
+        running maxSegId to newMaxSegId (the assignment counter), NOT to
+        the maximum of the trimmed output: a tile can own a segment whose
+        bounding-box corner is inside the trim window while every actual
+        pixel is outside it (the corner is not necessarily a pixel), and
+        taking the max of the trimmed data — as the reference does,
+        tiling.py:1042-1043 — then reissues that segment's ID to the next
+        tile, silently merging two unrelated segments.
+        """
         recodeDict = {}
         if tileRow > 0:
+            topOv = self.tileInfo.pairOverlap(tileCol, tileRow, 'top')
             topOverlapB = self.loadOverlap(
                 self.overlapCacheKey(tileCol, tileRow - 1, BOTTOM_OVERLAP))
-            self.recodeSharedSegments(tileData, topOverlapA, topOverlapB,
-                                      HORIZONTAL, recodeDict)
+            self.recodeSharedSegments(tileData, tileData[:topOv, :],
+                                      topOverlapB, HORIZONTAL, recodeDict)
         if tileCol > 0:
+            leftOv = self.tileInfo.pairOverlap(tileCol, tileRow, 'left')
             leftOverlapB = self.loadOverlap(
                 self.overlapCacheKey(tileCol - 1, tileRow, RIGHT_OVERLAP))
-            self.recodeSharedSegments(tileData, leftOverlapA, leftOverlapB,
-                                      VERTICAL, recodeDict)
+            self.recodeSharedSegments(tileData, tileData[:, :leftOv],
+                                      leftOverlapB, VERTICAL, recodeDict)
 
         (newTileData, newMaxSegId) = self.relabelSegments(
             tileData, recodeDict, maxSegId, top, bottom, left, right)
-        return newTileData
+        return (newTileData, newMaxSegId)
 
     @staticmethod
     def recodeSharedSegments(tileData, overlapA, overlapB, orientation,
@@ -1273,9 +1354,10 @@ class SegmentationResultCache:
 def doTiledShepherdSegmentation_prepare(infile, tileSize=DFLT_TILESIZE,
         overlapSize=DFLT_OVERLAPSIZE, numClusters=60, bandNumbers=None,
         subsamplePcnt=None, imgNullVal=None, fixedKMeansInit=False,
-        kmeansObj=None, verbose=False):
+        kmeansObj=None, verbose=False, tileGrid='uniform'):
     """
-    Phase 1: fit the whole-file k-means model and build the tile grid.
+    Phase 1: fit the whole-file k-means model and build the tile grid
+    (``tileGrid`` as in getTilesForFile).
 
     Returns (inDs, bandNumbers, kmeansObj, subsamplePcnt, imgNullVal,
     tileInfo).

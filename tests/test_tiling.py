@@ -182,12 +182,68 @@ def test_tile_grid_sliver_growth():
         RasterXSize = 100
         RasterYSize = 70
 
-    ti = tiling.getTilesForFile(FakeDs(), 40, 10)
+    ti = tiling.getTilesForFile(FakeDs(), 40, 10, tileGrid='grow')
     # y: 0+80 > 70, so the single row grows to the full 70 rows
     # x: tile at 0 (40 wide); next at 30: 30+80 > 100 -> grows to 70 wide
     assert ti.ncols == 2 and ti.nrows == 1
     assert ti.getTile(0, 0) == (0, 0, 40, 70)
     assert ti.getTile(1, 0) == (30, 0, 70, 70)
+
+
+def test_tile_grid_uniform():
+    """The default grid keeps every tile exactly tileSize, shifting the
+    last tile of each axis back to the raster edge, so any scene size
+    compiles exactly one per-tile device program."""
+    class FakeDs:
+        RasterXSize = 100
+        RasterYSize = 70
+
+    ti = tiling.getTilesForFile(FakeDs(), 40, 10)
+    # x: starts 0, 30, 60 (=100-40); y: 0, 30 (=70-40)
+    assert ti.ncols == 3 and ti.nrows == 2
+    shapes = {(xs, ys) for (_, _, xs, ys) in ti.tiles.values()}
+    assert shapes == {(40, 40)}
+    assert ti.getTile(2, 0) == (60, 0, 40, 40)
+    assert ti.getTile(0, 1) == (0, 30, 40, 40)
+    # the shifted last pair shares a wider strip than overlapSize
+    assert ti.pairOverlap(2, 0, 'left') == 10
+    assert ti.pairOverlap(1, 1, 'top') == 10
+
+    # non-dividing axis: last pair overlap grows, never a sliver
+    class FakeDs2:
+        RasterXSize = 95
+        RasterYSize = 40
+
+    ti2 = tiling.getTilesForFile(FakeDs2(), 40, 10)
+    assert ti2.ncols == 3 and ti2.nrows == 1
+    assert ti2.getTile(2, 0) == (55, 0, 40, 40)
+    assert ti2.pairOverlap(2, 0, 'left') == 30 + 40 - 55  # == 15, odd ok
+
+    # scene smaller than a tile: single tile of the scene size
+    class FakeDs3:
+        RasterXSize = 25
+        RasterYSize = 30
+
+    ti3 = tiling.getTilesForFile(FakeDs3(), 40, 10)
+    assert ti3.getNumTiles() == 1
+    assert ti3.getTile(0, 0) == (0, 0, 25, 30)
+
+
+def test_tiled_uniform_vs_grow_grid(paths, rng, tmp_path):
+    """Both grid styles must produce a valid stitched mosaic; the uniform
+    grid (default) must use a single tile shape."""
+    inpath, outpath = paths
+    img, true_seg = make_voronoi_raster(inpath, rng, shape=(150, 170))
+    res_u = run_tiled(inpath, outpath)
+    shapes = {(xs, ys) for (_, _, xs, ys)
+              in tiling.getTilesForFile(rio.open(inpath), 64, 16
+                                        ).tiles.values()}
+    assert shapes == {(64, 64)}
+    check_output(outpath, res_u, img, true_seg)
+
+    out_g = str(tmp_path / "out_grow.npseg")
+    res_g = run_tiled(inpath, out_g, tileGrid='grow')
+    check_output(out_g, res_g, img, true_seg)
 
 
 def test_histogram_accumulator():
