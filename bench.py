@@ -1,15 +1,23 @@
 """
-Benchmark: BASELINE.md config #1 — doShepherdSegmentation on one in-memory
-1024x1024 4-band uint16 tile (numClusters=60, minSegmentSize=50,
-fourConnected), on the available accelerator.
+Benchmark: all five BASELINE.md configs on the available accelerator.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": Mpix/s, "unit": "Mpix/s", "vs_baseline": ratio}
+Prints ONE JSON line. The top-level keys keep the original driver
+contract — metric/value/unit/vs_baseline describe the headline config
+(#1, doShepherdSegmentation on one in-memory 1024x1024 4-band uint16
+tile) — and the "configs" key carries every measured config so each axis
+(in-memory, large-tile, tiled, stats, subset) is tracked round-over-round:
+
+  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N,
+   "configs": [{"name": ..., "value": N, "unit": ..., "vs_baseline": N},
+               ...],
+   "pallas_compiled_check": "ok"|"FAILED"|"skipped (not tpu)"}
 
 vs_baseline is measured against REF_BASELINE_MPIX_S, an estimate of the
-reference's numba-on-CPU throughput for the same configuration (the
-reference publishes no numbers — see BASELINE.md). The driver records the
-result per round for the judge.
+reference's numba-on-CPU throughput (the reference publishes no numbers —
+see BASELINE.md); configs with no meaningful reference estimate report
+vs_baseline = null.
+
+Env knobs: BENCH_CONFIGS="1,3" runs a subset (default: all).
 """
 
 import os
@@ -20,7 +28,7 @@ os.environ.setdefault("XLA_FLAGS", "")
 
 import numpy as np  # noqa: E402
 
-import jax  # noqa: E402, F401
+import jax  # noqa: E402
 
 from pyshepseg_tpu import shepseg, utils  # noqa: E402
 
@@ -30,27 +38,21 @@ from pyshepseg_tpu import shepseg, utils  # noqa: E402
 utils.setupCompilationCache(
     os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
-# Estimated reference (numba CPU) throughput for config #1, in Mpix/s.
-# The reference repo publishes no benchmark numbers (BASELINE.md); this
-# figure is a generous estimate for numba-parallel CPU on this workload.
+# Estimated reference (numba CPU) throughput for the segmentation
+# configs, in Mpix/s. The reference repo publishes no benchmark numbers
+# (BASELINE.md); this figure is a generous estimate for numba-parallel
+# CPU on this workload.
 REF_BASELINE_MPIX_S = 0.7
 
-H = W = 1024
-NBANDS = 4
-NCLUSTERS = 60
-MINSEGSIZE = 50
 
-
-def make_image(seed=7):
+def make_image(h, w, nbands, ncells=400, seed=7):
     """Synthetic Landsat-like tile: Voronoi patches + noise, uint16."""
     rng = np.random.default_rng(seed)
-    ncells = 400
-    centres = rng.uniform(0, [H, W], size=(ncells, 2)).astype(np.float32)
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    # nearest centre in chunks to bound memory
-    cells = np.zeros((H, W), dtype=np.int32)
-    best = np.full((H, W), np.inf, dtype=np.float32)
-    for start in range(0, ncells, 50):
+    centres = rng.uniform(0, [h, w], size=(ncells, 2)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cells = np.zeros((h, w), dtype=np.int32)
+    best = np.full((h, w), np.inf, dtype=np.float32)
+    for start in range(0, ncells, 50):  # nearest centre, bounded memory
         c = centres[start:start + 50]
         d = ((yy[..., None] - c[:, 0]) ** 2 +
              (xx[..., None] - c[:, 1]) ** 2)
@@ -59,23 +61,25 @@ def make_image(seed=7):
         upd = val < best
         cells[upd] = idx[upd] + start
         best[upd] = val[upd]
-    palette = rng.integers(100, 4000, size=(ncells, NBANDS))
+    palette = rng.integers(100, 4000, size=(ncells, nbands))
     img = palette[cells].transpose(2, 0, 1)
     img = img + rng.normal(0, 8.0, img.shape)
     return np.clip(img, 0, 65535).astype(np.uint16)
 
 
-def main():
-    img = make_image()
+def _run_config1(results):
+    """Config 1: 1024^2 4-band in-memory, plus a compute-only figure
+    (device-resident, transfers and k-means fit excluded)."""
+    H = W = 1024
+    img = make_image(H, W, 4)
 
     def run():
         return shepseg.doShepherdSegmentation(
-            img, numClusters=NCLUSTERS, clusterSubsamplePcnt=1,
-            minSegmentSize=MINSEGSIZE, maxSpectralDiff='auto',
+            img, numClusters=60, clusterSubsamplePcnt=1,
+            minSegmentSize=50, maxSpectralDiff='auto',
             fourConnected=True, fixedKMeansInit=True)
 
-    # warm-up (compiles)
-    res = run()
+    res = run()  # warm-up (compiles)
     assert res.segimg.max() > 0
 
     times = []
@@ -83,16 +87,198 @@ def main():
         t0 = time.time()
         res = run()
         times.append(time.time() - t0)
-    best = min(times)
-    mpix_s = (H * W / 1e6) / best
+    mpix_s = (H * W / 1e6) / min(times)
+    results.append({
+        "name": ("config1: doShepherdSegmentation 1024x1024 4-band uint16 "
+                 "(numClusters=60, minSegmentSize=50, 4-connected)"),
+        "value": round(mpix_s, 3), "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / REF_BASELINE_MPIX_S, 2)})
 
-    print(json.dumps({
+    # Compute-only: image already on device, k-means already fitted; time
+    # the three fused dispatches + the two capacity-picking scalar syncs,
+    # excluding host<->device image transfers (the tunnel's ~40 MB/s is
+    # not representative of a directly-attached TPU VM).
+    co = shepseg.deviceResidentThroughput(img, res.kmeans,
+                                          res.maxSpectralDiff,
+                                          minSegmentSize=50, repeats=3)
+    results.append({
+        "name": "config1-compute-only: device-resident pipeline, "
+                "transfers and k-means fit excluded",
+        "value": round(co, 3), "unit": "Mpix/s",
+        "vs_baseline": round(co / REF_BASELINE_MPIX_S, 2)})
+    return mpix_s
+
+
+def _run_config2(results):
+    """Config 2: 2048^2 6-band, 8-connected, auto maxSpectralDiff."""
+    H = W = 2048
+    img = make_image(H, W, 6, ncells=1200, seed=11)
+
+    def run():
+        return shepseg.doShepherdSegmentation(
+            img, numClusters=60, clusterSubsamplePcnt=1,
+            minSegmentSize=50, maxSpectralDiff='auto',
+            fourConnected=False, fixedKMeansInit=True)
+
+    run()  # warm-up
+    t0 = time.time()
+    run()
+    mpix_s = (H * W / 1e6) / (time.time() - t0)
+    results.append({
+        "name": "config2: doShepherdSegmentation 2048x2048 6-band, "
+                "8-connected, auto maxSpectralDiff",
+        "value": round(mpix_s, 3), "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / REF_BASELINE_MPIX_S, 2)})
+
+
+def _make_scene(tempDir, size=6400, nbands=4):
+    """A size^2 nbands scene on disk: a 1600^2 Voronoi base image tiled
+    out (periodic content — throughput-representative, cheap to build)."""
+    from pyshepseg_tpu import io as rio
+    base = make_image(1600, 1600, nbands, ncells=900, seed=23)
+    reps = size // 1600
+    imgfile = os.path.join(tempDir, "scene.npseg")
+    ds = rio.create(imgfile, size, size, nbands, np.uint16)
+    ds.SetGeoTransform((0, 1, 0, 0, 0, -1))
+    for b in range(nbands):
+        big = np.tile(base[b], (reps, reps))
+        bandobj = ds.GetRasterBand(b + 1)
+        bandobj.SetNoDataValue(0)
+        bandobj.WriteArray(big)
+    ds.FlushCache()
+    del ds
+    return imgfile
+
+
+def _run_config3(results, tempDir):
+    """Config 3: tiled 6400^2 4-band, tileSize 1024 / overlap 256,
+    CONC_THREADS overlapping reads with device compute."""
+    from pyshepseg_tpu import tiling
+
+    imgfile = _make_scene(tempDir)
+    segfile = os.path.join(tempDir, "seg.npseg")
+    cfg = tiling.SegmentationConcurrencyConfig(
+        concurrencyType=tiling.CONC_THREADS, numWorkers=3)
+    t0 = time.time()
+    res = tiling.doTiledShepherdSegmentation(
+        imgfile, segfile, tileSize=1024, overlapSize=256,
+        numClusters=60, minSegmentSize=50, fixedKMeansInit=True,
+        fourConnected=True, concurrencyCfg=cfg)
+    elapsed = time.time() - t0
+    mpix_s = (6400 * 6400 / 1e6) / elapsed
+    results.append({
+        "name": "config3: doTiledShepherdSegmentation 6400x6400 4-band "
+                "(tileSize=1024, overlap=256, CONC_THREADS x3); includes "
+                "first-run compiles unless cached",
+        "value": round(mpix_s, 3), "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / REF_BASELINE_MPIX_S, 2)})
+    return imgfile, segfile, res
+
+
+def _run_config4(results, imgfile, segfile):
+    """Config 4: per-segment stats + spatial stats over the scene."""
+    from pyshepseg_tpu import tilingstats
+    from pyshepseg_tpu import io as rio
+
+    npix = 6400 * 6400 / 1e6
+    t0 = time.time()
+    tilingstats.calcPerSegmentStatsTiled(
+        imgfile, 1, segfile,
+        [("b1_mean", "mean"), ("b1_stddev", "stddev"),
+         ("b1_p75", "percentile", 75)])
+    stats_rate = npix / (time.time() - t0)
+    results.append({
+        "name": "config4: calcPerSegmentStatsTiled mean/stddev/p75 over "
+                "41 Mpix scene",
+        "value": round(stats_rate, 3), "unit": "Mpix/s",
+        "vs_baseline": None})
+
+    transform = np.array([0, 1, 0, 0, 0, -1], dtype=np.float64)
+    t0 = time.time()
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgfile, 1, segfile,
+        [("b1_easting", rio.GFT_Real), ("b1_northing", rio.GFT_Real)],
+        tilingstats.userFuncMeanCoord, transform)
+    sp_rate = npix / (time.time() - t0)
+    results.append({
+        "name": "config4b: calcPerSegmentSpatialStatsTiled mean coords "
+                "over 41 Mpix scene",
+        "value": round(sp_rate, 3), "unit": "Mpix/s",
+        "vs_baseline": None})
+
+
+def _run_config5(results, segfile, tempDir):
+    """Config 5: subsetImage + RAT compaction of a 1600^2 window."""
+    from pyshepseg_tpu import subset
+
+    subfile = os.path.join(tempDir, "sub.npseg")
+    t0 = time.time()
+    subset.subsetImage(segfile, subfile, 1600, 1600, 1600, 1600, None,
+                       origSegIdColName="orig_segid")
+    elapsed = time.time() - t0
+    results.append({
+        "name": "config5: subsetImage 1600x1600 window + RAT compaction",
+        "value": round(elapsed, 3), "unit": "seconds",
+        "vs_baseline": None})
+
+
+def _pallas_compiled_check():
+    """Validate Mosaic-compiled lowering of the Pallas block-local CCL
+    kernel against the pure-XLA path (CI runs it interpreted only)."""
+    if jax.devices()[0].platform != "tpu":
+        return "skipped (not tpu)"
+    from pyshepseg_tpu.ops.clump import clump_labels
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 6, size=(1024, 1024)).astype(np.int32)
+    f = jax.jit(clump_labels, static_argnames=("four_connected",
+                                               "use_pallas"))
+    seg_p, n_p = f(img, 0, four_connected=True, use_pallas=True)
+    seg_x, n_x = f(img, 0, four_connected=True, use_pallas=False)
+    ok = (int(n_p) == int(n_x) and
+          np.array_equal(np.asarray(seg_p), np.asarray(seg_x)))
+    return "ok" if ok else "FAILED"
+
+
+def main():
+    import tempfile
+    import shutil
+
+    which = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5")
+    which = {int(x) for x in which.split(",") if x.strip()}
+    results = []
+    headline = None
+
+    if 1 in which:
+        headline = _run_config1(results)
+    if 2 in which:
+        _run_config2(results)
+
+    tempDir = None
+    try:
+        if which & {3, 4, 5}:
+            tempDir = tempfile.mkdtemp(prefix="pyshepseg_bench_")
+            imgfile, segfile, _ = _run_config3(results, tempDir)
+            if 4 in which:
+                _run_config4(results, imgfile, segfile)
+            if 5 in which:
+                _run_config5(results, segfile, tempDir)
+    finally:
+        if tempDir is not None:
+            shutil.rmtree(tempDir, ignore_errors=True)
+
+    pallas_check = _pallas_compiled_check()
+
+    out = {
         "metric": ("doShepherdSegmentation 1024x1024 4-band uint16 "
                    "(numClusters=60, minSegmentSize=50, 4-connected)"),
-        "value": round(mpix_s, 3),
+        "value": results[0]["value"] if headline is not None else None,
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / REF_BASELINE_MPIX_S, 2),
-    }))
+        "vs_baseline": (results[0]["vs_baseline"]
+                        if headline is not None else None),
+        "configs": results,
+        "pallas_compiled_check": pallas_check,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -217,6 +217,53 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     return segResult
 
 
+def deviceResidentThroughput(img, kmeansObj, maxSpectralDiff,
+                             minSegmentSize=50, fourConnected=True,
+                             imgNullVal=None, repeats=3):
+    """
+    Measure compute-only throughput (Mpix/s) of the segmentation pipeline:
+    the image is pre-placed on the device and the k-means model pre-fitted,
+    so the measurement covers the three fused dispatches and their two
+    capacity-picking scalar syncs but excludes host<->device image
+    transfers and the clustering fit. This is the figure a directly-
+    attached TPU VM (no tunnel) approaches end-to-end.
+    """
+    img = np.ascontiguousarray(img)
+    h, w = img.shape[1:]
+    centers = jnp.asarray(np.asarray(kmeansObj.cluster_centers_,
+                                     dtype=np.float32))
+    hasNull = imgNullVal is not None
+    nullVal = jnp.float32(imgNullVal if hasNull else 0)
+    maxDiff = jnp.float32(maxSpectralDiff)
+    img_dev = jax.device_put(img)
+    # settle the transfer before timing starts (a plain device_put is
+    # async; a value fetch forces real completion on the tunnel)
+    np.asarray(img_dev[0, 0, 0])
+
+    def run():
+        planes, seg, num = _cluster_and_clump_device(
+            img_dev, centers, nullVal, has_null=hasNull,
+            four_connected=bool(fourConnected))
+        capacity = round_capacity(int(num) + 1)
+        seg, size, spect, ea, eb, first, sc1 = _elim_single_and_edges_device(
+            planes, seg, four_connected=bool(fourConnected),
+            capacity=capacity)
+        eCap = round_capacity(int(np.asarray(sc1)[1]) + 1)
+        seg, sc2 = _elim_small_finish_device(
+            seg, size, spect, ea, eb, first, maxDiff,
+            min_seg_size=int(minSegmentSize), e_cap=eCap, capacity=capacity)
+        # force a value fetch: block_until_ready can report early on axon
+        return int(np.asarray(sc2)[1])
+
+    run()  # warm-up (compiles are cached from the end-to-end run)
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    return (h * w / 1e6) / min(times)
+
+
 def fitSpectralClusters(img, numClusters, subsamplePcnt, imgNullVal,
         fixedKMeansInit):
     """
