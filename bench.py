@@ -185,12 +185,25 @@ def _run_config4(results, imgfile, segfile):
     tilingstats.calcPerSegmentStatsTiled(
         imgfile, 1, segfile,
         [("b1_mean", "mean"), ("b1_stddev", "stddev"),
-         ("b1_p75", "percentile", 75)])
+         ("b1_p75", "percentile", 75)], engine='host')
     stats_rate = npix / (time.time() - t0)
     results.append({
         "name": "config4: calcPerSegmentStatsTiled mean/stddev/p75 over "
-                "41 Mpix scene",
+                "41 Mpix scene (host engine)",
         "value": round(stats_rate, 3), "unit": "Mpix/s",
+        "vs_baseline": None})
+
+    # device engine: same columns bit-for-bit, compaction on the TPU
+    # (exercises the Mosaic-compiled sort path every round)
+    t0 = time.time()
+    tilingstats.calcPerSegmentStatsTiled(
+        imgfile, 1, segfile,
+        [("b1_mean_d", "mean"), ("b1_stddev_d", "stddev"),
+         ("b1_p75_d", "percentile", 75)], engine='device')
+    dev_rate = npix / (time.time() - t0)
+    results.append({
+        "name": "config4-device: same stats, TPU sort-based compaction",
+        "value": round(dev_rate, 3), "unit": "Mpix/s",
         "vs_baseline": None})
 
     transform = np.array([0, 1, 0, 0, 0, -1], dtype=np.float64)

@@ -1,0 +1,127 @@
+"""
+Device kernels for the per-segment statistics engine.
+
+The stats pass's dominant per-tile cost is compacting (segment, value)
+pixel pairs into sorted run-length histograms
+(reference accumulateSegDict, pyshepseg/tilingstats.py:466-515 — a numba
+dict-of-dicts). Here the compaction runs on TPU as a two-key sort plus a
+run-length scatter: sort the tile's pixel pairs by (segId, value), flag
+run boundaries, and scatter the runs into fixed-capacity arrays. The
+output runs are identical — same order, same counts — to the host
+compactTile, so the streaming accumulator, completeness accounting, and
+every statistic downstream are bit-for-bit unchanged whichever engine
+produced the runs.
+
+Shapes are static via two buckets: tiles are flattened and padded with
+null pixels to a power-of-two pixel bucket, and the run arrays use a
+power-of-two run bucket picked from the measured run count (one scalar
+sync per tile, the same pattern as the elimination kernels). NoData
+pixels are kept as ordinary runs on device and split out on the host, so
+no per-segment-capacity arrays ever cross the link.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import SEGNULLVAL
+from .elim_small import round_capacity
+
+
+# imagery dtypes whose values always fit the device's int32 compute type
+_DEVICE_OK_DTYPES = (np.int8, np.uint8, np.int16, np.uint16, np.int32)
+
+
+def deviceCompactSupported(dtype):
+    """Can tiles of this imagery dtype be compacted on device? (int64 /
+    uint32 rasters may hold values outside int32 — use the host path)."""
+    return any(np.issubdtype(dtype, d) for d in _DEVICE_OK_DTYPES)
+
+
+@jax.jit
+def _sort_pairs(seg_flat, val_flat):
+    """
+    Device dispatch #1: lexicographic sort of non-null (segId, value)
+    pixel pairs (null pixels sort to the end), run-boundary flags, and
+    the run count. Returns device-resident intermediates for dispatch #2
+    plus the scalar run count that picks its static bucket.
+    """
+    valid = seg_flat != SEGNULLVAL
+    big = jnp.uint32(0xFFFFFFFF)
+    s = jnp.where(valid, seg_flat, big)
+    v = jnp.where(valid, val_flat, jnp.int32(0x7FFFFFFF))
+    s, v = jax.lax.sort((s, v), num_keys=2)
+    valid_s = s != big
+    n = s.shape[0]
+    first = valid_s & ((jnp.arange(n) == 0) |
+                       (s != jnp.roll(s, 1)) | (v != jnp.roll(v, 1)))
+    runpos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_runs = jnp.sum(first.astype(jnp.uint32))
+    return s, v, valid_s, first, runpos, n_runs
+
+
+def _compact_runs(s, v, valid_s, first, runpos, r_cap: int):
+    """
+    Device dispatch #2 (static r_cap bucketed from the measured run
+    count): scatter run keys and accumulate run counts into (r_cap,)
+    arrays. Runs come out in sorted (segId, value) order.
+    """
+    pos = jnp.where(first, runpos, r_cap)
+    run_seg = jnp.zeros(r_cap + 1, jnp.uint32).at[pos].set(
+        s, mode="drop")[:r_cap]
+    run_val = jnp.zeros(r_cap + 1, jnp.int32).at[pos].set(
+        v, mode="drop")[:r_cap]
+    cnt_pos = jnp.where(valid_s, runpos, r_cap)
+    run_cnt = jax.ops.segment_sum(
+        valid_s.astype(jnp.int32), cnt_pos,
+        num_segments=r_cap + 1)[:r_cap]
+    return run_seg, run_val, run_cnt
+
+
+_compact_runs_jit = jax.jit(_compact_runs, static_argnames=("r_cap",))
+
+
+def compactTileDevice(tileSegments, tileImageData, imgNullVal, numSeg,
+                      imageValueType=np.int64):
+    """
+    Device equivalent of tilingstats.compactTile: returns
+    (seenCounts, noDataCounts-or-None, runSegIds, runValues, runCounts)
+    with runs sorted by (segId, value), or None for an all-null tile —
+    identical output to the host path for any imagery whose dtype passes
+    deviceCompactSupported.
+    """
+    seg_flat = np.ascontiguousarray(tileSegments).ravel().astype(np.uint32)
+    val_flat = np.ascontiguousarray(tileImageData).ravel().astype(np.int32)
+    # pad to a power-of-two pixel bucket with null pixels, so every tile
+    # shape in the stats grid shares a handful of compiled programs
+    n = seg_flat.size
+    bucket = round_capacity(n)
+    if bucket > n:
+        seg_flat = np.pad(seg_flat, (0, bucket - n))
+        val_flat = np.pad(val_flat, (0, bucket - n))
+
+    s, v, valid_s, first, runpos, n_runs = _sort_pairs(
+        jnp.asarray(seg_flat), jnp.asarray(val_flat))
+    nRuns = int(n_runs)  # scalar sync picks the run bucket
+    if nRuns == 0:
+        return None
+    rCap = round_capacity(nRuns)
+    run_seg, run_val, run_cnt = _compact_runs_jit(
+        s, v, valid_s, first, runpos, r_cap=rCap)
+
+    runSeg = np.asarray(run_seg)[:nRuns].astype(np.int64)
+    runVal = np.asarray(run_val)[:nRuns].astype(imageValueType)
+    runCnt = np.asarray(run_cnt)[:nRuns].astype(np.int64)
+
+    seen = np.bincount(runSeg, weights=runCnt,
+                       minlength=numSeg).astype(np.int64)[:numSeg]
+    noData = None
+    if imgNullVal is not None:
+        isNull = runVal == imageValueType(imgNullVal)
+        if isNull.any():
+            noData = np.bincount(
+                runSeg[isNull], weights=runCnt[isNull],
+                minlength=numSeg).astype(np.int64)[:numSeg]
+        keep = ~isNull
+        runSeg, runVal, runCnt = runSeg[keep], runVal[keep], runCnt[keep]
+    return (seen, noData, runSeg, runVal, runCnt)

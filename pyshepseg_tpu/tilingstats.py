@@ -613,8 +613,37 @@ def _defaultReadWorkers(numReadWorkers):
     return numReadWorkers
 
 
+def _resolveStatsEngine(engine, imgband):
+    """
+    Resolve the stats compaction engine: 'host' (vectorized numpy),
+    'device' (TPU sort-based run compaction, ops/segstats.py), or 'auto'
+    (device on a directly-attached TPU for dtypes whose values fit the
+    device compute type; host otherwise — on the tunnelled dev backend
+    per-tile transfers cost more than the host compaction saves).
+    """
+    if engine not in ('auto', 'host', 'device'):
+        raise PyShepSegStatsError(
+            f"engine must be 'auto', 'host' or 'device', got '{engine}'")
+    if engine == 'host':
+        return False
+    from .ops.segstats import deviceCompactSupported
+    sampleDtype = imgband.ReadAsArray(0, 0, 1, 1).dtype
+    supported = deviceCompactSupported(sampleDtype)
+    if engine == 'device':
+        if not supported:
+            raise PyShepSegStatsError(
+                "engine='device' does not support imagery dtype "
+                f"{sampleDtype} (values may not fit int32)")
+        return True
+    import jax
+    from .utils import onAxonBackend
+    return (supported and jax.default_backend() == 'tpu' and
+            not onAxonBackend())
+
+
 def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
-        statsSelection, missingStatsValue=-9999, numReadWorkers=None):
+        statsSelection, missingStatsValue=-9999, numReadWorkers=None,
+        engine='auto'):
     """
     Calculate selected per-segment statistics of one image band against a
     segmentation raster, writing results into the segmentation file's RAT
@@ -633,6 +662,10 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
     sort that dominates this pass. Results are identical to serial.
     Default (None): min(4, cpu_count - 1) — stays serial on single-core
     hosts, where threads only add overhead.
+
+    ``engine`` selects where tiles are compacted into per-segment value
+    runs: 'host', 'device' (TPU two-key sort + run scatter — identical
+    runs, so identical statistics), or 'auto' (see _resolveStatsEngine).
     """
     numReadWorkers = _defaultReadWorkers(numReadWorkers)
     timings = timinghooks.Timers()
@@ -663,14 +696,21 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
     tileSize = tiling.TILESIZE
     (nlines, npix) = (segband.YSize, segband.XSize)
 
-    # Several compactions run concurrently with read workers; split the
-    # dense-bincount memory budget between them so transient memory stays
-    # bounded on multi-core hosts.
-    nbinsBudget = (1 << 25) // max(1, numReadWorkers)
+    if _resolveStatsEngine(engine, imgband):
+        from .ops.segstats import compactTileDevice
 
-    def compactFn(tileSegments, tileImageData, window):
-        return compactTile(tileSegments, tileImageData, imgNullVal, numSeg,
-                           nbinsBudget)
+        def compactFn(tileSegments, tileImageData, window):
+            return compactTileDevice(tileSegments, tileImageData,
+                                     imgNullVal, numSeg)
+    else:
+        # Several compactions run concurrently with read workers; split
+        # the dense-bincount memory budget between them so transient
+        # memory stays bounded on multi-core hosts.
+        nbinsBudget = (1 << 25) // max(1, numReadWorkers)
+
+        def compactFn(tileSegments, tileImageData, window):
+            return compactTile(tileSegments, tileImageData, imgNullVal,
+                               numSeg, nbinsBudget)
 
     stream = _compactedTileStream(
         nlines, npix, tileSize, segfile, imgfile, imgbandnum,

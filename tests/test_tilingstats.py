@@ -330,3 +330,122 @@ def test_spatial_threaded_read_workers_match_serial(tmp_path, rng):
         va = rat.ReadAsArray(names.index(a))
         vb = rat.ReadAsArray(names.index(b))
         assert (va == vb).all()
+
+
+def test_vectorized_stats_from_runs_matches_reference_loop(rng):
+    """Differential check: the grouped-vector _segmentStatsFromRuns must
+    reproduce the reference SegmentStats walk (tilingstats.py:906-1008)
+    per segment, including ties, empty groups, and the p<=0 quirk."""
+    nseg = 200
+    vals_l, counts_l, start, end = [], [], [], []
+    pos = 0
+    for i in range(nseg):
+        nruns = int(rng.integers(0, 12))
+        v = np.unique(rng.integers(-50, 50, size=nruns))
+        c = rng.integers(1, 9, size=len(v))
+        vals_l.append(v.astype(np.int64))
+        counts_l.append(c.astype(np.int64))
+        start.append(pos)
+        pos += len(v)
+        end.append(pos)
+    vals = np.concatenate(vals_l) if vals_l else np.empty(0, np.int64)
+    counts = np.concatenate(counts_l) if counts_l else np.empty(0, np.int64)
+    start = np.array(start, dtype=np.int64)
+    end = np.array(end, dtype=np.int64)
+
+    def ref_loop(statID, param):
+        out = np.empty(nseg, dtype=np.float64)
+        for i in range(nseg):
+            v = vals[start[i]:end[i]]
+            c = counts[start[i]:end[i]]
+            pc = int(c.sum())
+            if statID == tilingstats.STATID_PIXCOUNT:
+                out[i] = pc
+                continue
+            if pc == 0:
+                out[i] = -9999
+                continue
+            if statID == tilingstats.STATID_MIN:
+                out[i] = v[0]
+            elif statID == tilingstats.STATID_MAX:
+                out[i] = v[-1]
+            elif statID == tilingstats.STATID_MEAN:
+                out[i] = np.float32((v * c).sum() / pc)
+            elif statID == tilingstats.STATID_STDDEV:
+                m = np.float32((v * c).sum() / pc)
+                out[i] = np.float32(np.sqrt((c * (v - m) ** 2).sum() / pc))
+            elif statID == tilingstats.STATID_MODE:
+                out[i] = v[np.argmax(c)]
+            else:
+                p = 50 if statID == tilingstats.STATID_MEDIAN else param
+                target = pc * (p / 100)
+                cum = np.cumsum(c)
+                if target <= 0:
+                    out[i] = v[-1]
+                else:
+                    k = int(np.searchsorted(cum, target, side='left'))
+                    out[i] = v[min(k, len(v) - 1)]
+        return out
+
+    cases = [(tilingstats.STATID_MIN, 0), (tilingstats.STATID_MAX, 0),
+             (tilingstats.STATID_MEAN, 0), (tilingstats.STATID_STDDEV, 0),
+             (tilingstats.STATID_MODE, 0), (tilingstats.STATID_MEDIAN, 0),
+             (tilingstats.STATID_PERCENTILE, 0),
+             (tilingstats.STATID_PERCENTILE, 25),
+             (tilingstats.STATID_PERCENTILE, 100),
+             (tilingstats.STATID_PIXCOUNT, 0)]
+    for statID, param in cases:
+        got = tilingstats._segmentStatsFromRuns(
+            vals, counts, start, end, statID, param, -9999)
+        want = ref_loop(statID, param)
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"statID={statID} p={param}")
+
+
+def test_device_compaction_matches_host(rng):
+    """compactTileDevice must emit exactly the runs compactTile does —
+    same (segId, value) order, same counts, same seen/nodata tallies."""
+    from pyshepseg_tpu.ops import segstats
+
+    h, w = 100, 90
+    seg = rng.integers(0, 30, size=(h, w)).astype(np.uint32)
+    img = rng.integers(0, 60, size=(h, w)).astype(np.uint16)
+    img[rng.random((h, w)) < 0.05] = NODATA
+    numSeg = 30
+    for nullVal in (NODATA, None):
+        host = tilingstats.compactTile(seg, img, nullVal, numSeg)
+        dev = segstats.compactTileDevice(seg, img, nullVal, numSeg)
+        for a, b in zip(host, dev):
+            if a is None:
+                assert b is None
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # all-null tile
+    assert segstats.compactTileDevice(
+        np.zeros((8, 8), np.uint32), img[:8, :8], NODATA, numSeg) is None
+    # dtype gate
+    assert not segstats.deviceCompactSupported(np.uint32)
+    assert segstats.deviceCompactSupported(np.uint16)
+
+
+def test_stats_device_engine_matches_host(tmp_path, rng, small_tiles):
+    """engine='device' must write bit-identical RAT columns."""
+    import shutil
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+    segpath2 = str(tmp_path / "seg2.npseg")
+    shutil.copytree(segpath, segpath2)  # .npseg datasets are directories
+    sel = [("b1_mean", "mean"), ("b1_std", "stddev"),
+           ("b1_med", "median"), ("b1_p75", "percentile", 75)]
+    tilingstats.calcPerSegmentStatsTiled(imgpath, 1, segpath, sel,
+                                         engine='host')
+    tilingstats.calcPerSegmentStatsTiled(imgpath, 1, segpath2, sel,
+                                         engine='device')
+    ratH = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    ratD = rio.open(segpath2).GetRasterBand(1).GetDefaultRAT()
+    namesH = [ratH.GetNameOfCol(i) for i in range(ratH.GetColumnCount())]
+    namesD = [ratD.GetNameOfCol(i) for i in range(ratD.GetColumnCount())]
+    for (col, _, *_p) in sel:
+        a = ratH.ReadAsArray(namesH.index(col))
+        b = ratD.ReadAsArray(namesD.index(col))
+        np.testing.assert_array_equal(a, b)
