@@ -10,6 +10,9 @@ CONC_* managers). This package adds the TPU-native axis:
 - :mod:`.mesh` — SPMD tile batches over a ``jax.sharding.Mesh`` with
   ``shard_map`` (one tile per chip per step, no host round-trips between
   stages), registered as the CONC_MESH concurrency backend
+- :mod:`.dcn` — multi-host (TPU pod) execution via multi-controller JAX:
+  control plane over the distributed coordination service, per-host tile
+  shards on local chips, stitch on process 0
 """
 
 from .mesh import SegMeshMgr  # noqa: F401  (registers CONC_MESH subclass)

@@ -1,0 +1,319 @@
+"""
+Multi-host (DCN) tiled segmentation on TPU pods via multi-controller JAX.
+
+This is the TPU-pod-native replacement for the reference's
+NetworkDataChannel scale-out (reference: pyshepseg/tiling.py:1799-1912,
+1616-1770): instead of a pickled-object TCP server, the control plane
+rides the JAX distributed coordination service (the same service that
+coordinates a pod over DCN) — barriers, a key-value store for broadcast
+(fitted k-means model, tile grid) and for shipping worker status/error
+records and timing merges. The data plane is per-host: every process
+segments its round-robin shard of tiles on its own local chips (batched
+across them with the fused mesh pipeline when there is more than one) and
+writes the results to shared storage (a pod NFS mount, or any
+path-addressable object store); process 0 stitches.
+
+Launch the SAME program on every host (the standard multi-controller
+pattern), each with its process id, e.g. through
+``pyshepseg_tpu_dcnworkercmd`` or by calling
+:func:`doTiledShepherdSegmentationDistributed` from an SPMD script. A
+CI-testable fake runs N local CPU processes through the identical code
+path (tests/test_dcn.py), mirroring the role of the reference's
+CONC_SUBPROC test bed (reference: tiling.py:1773-1796).
+"""
+
+import os
+import base64
+import pickle
+import hashlib
+import traceback
+
+import numpy as np
+
+from .. import tiling as _tiling
+from .. import shepseg
+from .. import timinghooks
+
+
+class PyShepSegDCNError(Exception):
+    pass
+
+
+_STATUS_OK = "ok"
+
+
+class DistributedContext:
+    """
+    Thin wrapper over the JAX distributed runtime: initialization,
+    named barriers, and a pickled-object key-value store. If
+    jax.distributed was already initialized by the launcher (the usual
+    case on a pod), the existing runtime is used and left running.
+    """
+
+    def __init__(self, coordinatorAddress=None, numProcesses=None,
+                 processId=None, timeoutMs=300000):
+        import jax
+        from jax._src import distributed
+
+        self.timeoutMs = int(timeoutMs)
+        self._ownsInit = False
+        if distributed.global_state.client is None:
+            jax.distributed.initialize(
+                coordinator_address=coordinatorAddress,
+                num_processes=numProcesses, process_id=processId)
+            self._ownsInit = True
+        self.client = distributed.global_state.client
+        self.jobTag = "job"
+        self.processId = jax.process_index()
+        self.numProcesses = jax.process_count()
+
+    def barrier(self, name):
+        self.client.wait_at_barrier(name, self.timeoutMs)
+
+    def putObj(self, key, obj):
+        payload = base64.b64encode(pickle.dumps(obj)).decode("ascii")
+        self.client.key_value_set(key, payload)
+
+    def getObj(self, key):
+        payload = self.client.blocking_key_value_get(key, self.timeoutMs)
+        return pickle.loads(base64.b64decode(payload))
+
+    def shutdown(self):
+        if self._ownsInit:
+            import jax
+            jax.distributed.shutdown()
+
+
+def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
+                      imgNullVal, kmeansObj, minSegmentSize,
+                      maxSpectralDiff, fourConnected, spectDistPcntile,
+                      workDir, verbose, timings):
+    """
+    Segment this process's tiles on its local devices and write each as
+    workDir/tile_<col>_<row>.npy. With more than one local chip, tiles
+    are batched across them with the fused mesh pipeline (one tile per
+    chip per step); otherwise the host-orchestrated per-tile path runs.
+    Returns {(col, row): filename}.
+    """
+    import jax
+
+    filenames = {}
+    localDevices = jax.local_devices()
+
+    def writeTile(colRow, seg):
+        fn = os.path.join(workDir,
+                          "tile_{}_{}.npy".format(colRow[0], colRow[1]))
+        np.save(fn, np.asarray(seg).astype(shepseg.SegIdType))
+        filenames[colRow] = fn
+
+    if len(localDevices) <= 1 or len(myTiles) <= 1:
+        for colRow in myTiles:
+            (col, row) = colRow
+            (xpos, ypos, xsize, ysize) = tileInfo.getTile(col, row)
+            with timings.interval('reading'):
+                img = np.array([
+                    inDs.GetRasterBand(b).ReadAsArray(xpos, ypos,
+                                                      xsize, ysize)
+                    for b in bandNumbers])
+            with timings.interval('segmentation', sync=True):
+                segResult = shepseg.doShepherdSegmentation(
+                    img, minSegmentSize=minSegmentSize,
+                    maxSpectralDiff=maxSpectralDiff,
+                    imgNullVal=imgNullVal, fourConnected=fourConnected,
+                    kmeansObj=kmeansObj, verbose=verbose,
+                    spectDistPcntile=spectDistPcntile)
+            writeTile(colRow, segResult.segimg)
+        return filenames
+
+    # batch tiles over the local chips with the fused pipeline
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from .pipeline import (cluster_clump_tiles, eliminate_tiles_phase1,
+                           eliminate_tiles_phase2)
+    from ..ops.elim_small import round_capacity
+
+    mesh = Mesh(np.array(localDevices), ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+    nDev = len(localDevices)
+    hasNull = imgNullVal is not None
+    nullVal = jnp.float32(imgNullVal if hasNull else 0)
+    maxDiff = jnp.float32(shepseg.autoMaxSpectralDiff(
+        kmeansObj, maxSpectralDiff, spectDistPcntile))
+    centers = jnp.asarray(np.asarray(kmeansObj.cluster_centers_,
+                                     dtype=np.float32))
+
+    groups = {}
+    for colRow in myTiles:
+        (_, _, xsize, ysize) = tileInfo.getTile(*colRow)
+        groups.setdefault((ysize, xsize), []).append(colRow)
+
+    for members in groups.values():
+        for startNdx in range(0, len(members), nDev):
+            chunk = members[startNdx:startNdx + nDev]
+            with timings.interval('reading'):
+                imgs = []
+                for (col, row) in chunk:
+                    (xpos, ypos, xs, ys) = tileInfo.getTile(col, row)
+                    imgs.append(np.array([
+                        inDs.GetRasterBand(b).ReadAsArray(xpos, ypos,
+                                                          xs, ys)
+                        for b in bandNumbers]))
+                while len(imgs) < nDev:
+                    imgs.append(imgs[-1])
+                batch = np.stack(imgs)
+            with timings.interval('segmentation', sync=True):
+                batch_j = jax.device_put(batch, sharding)
+                segs, counts, _ = cluster_clump_tiles(
+                    batch_j, centers, nullVal,
+                    four_connected=fourConnected, has_null=hasNull)
+                capacity = round_capacity(
+                    int(np.asarray(counts).max()) + 1)
+                segs, sizes, spects, ea, eb, first, sc1 = (
+                    eliminate_tiles_phase1(
+                        batch_j, segs, four_connected=fourConnected,
+                        capacity=capacity))
+                eCap = round_capacity(int(np.asarray(sc1)[:, 1].max()) + 1)
+                segs, _ = eliminate_tiles_phase2(
+                    segs, sizes, spects, ea, eb, first, maxDiff,
+                    min_seg_size=minSegmentSize, e_cap=eCap)
+                segs = np.asarray(segs)
+            for i, colRow in enumerate(chunk):
+                writeTile(colRow, segs[i])
+    return filenames
+
+
+def doTiledShepherdSegmentationDistributed(infile, outfile, workDir,
+        tileSize=_tiling.DFLT_TILESIZE,
+        overlapSize=_tiling.DFLT_OVERLAPSIZE, minSegmentSize=50,
+        numClusters=60, bandNumbers=None, subsamplePcnt=None,
+        maxSpectralDiff='auto', imgNullVal=None, fixedKMeansInit=False,
+        fourConnected=True, verbose=False, simpleTileRecode=False,
+        outputDriver='KEA', creationOptions=[], spectDistPcntile=50,
+        kmeansObj=None, writeHistogram=True, tileGrid='uniform',
+        coordinatorAddress=None, numProcesses=None, processId=None,
+        barrierTimeout=600):
+    """
+    Multi-controller tiled segmentation across TPU-pod hosts. Run this
+    function in every process of the job (one per host). ``workDir``
+    must be shared storage visible to all hosts; temp tiles are written
+    there and stitched by process 0.
+
+    Control plane: JAX distributed coordination service (barriers + KV
+    broadcast of the fitted k-means model and tile grid, worker status
+    and error records, timing merge) — the reference protocol's queue /
+    barrier / exception semantics mapped onto the pod runtime
+    (reference: pyshepseg/tiling.py:1799-1912). Compute: each host's
+    local chips.
+
+    Returns a TiledSegmentationResult on process 0; None elsewhere.
+    """
+    ctx = DistributedContext(coordinatorAddress, numProcesses, processId,
+                             timeoutMs=barrierTimeout * 1000)
+    # Distinct KV/barrier names per job, so several segmentations can run
+    # through one long-lived coordination service without key collisions
+    # (re-running the IDENTICAL job in one service lifetime still
+    # collides — use a fresh workDir per run).
+    ctx.jobTag = hashlib.md5(
+        f"{infile}|{outfile}|{workDir}".encode()).hexdigest()[:12]
+    timings = timinghooks.Timers()
+    try:
+        with timings.interval('walltime'):
+            return _runDistributed(
+                ctx, infile, outfile, workDir, tileSize, overlapSize,
+                minSegmentSize, numClusters, bandNumbers, subsamplePcnt,
+                maxSpectralDiff, imgNullVal, fixedKMeansInit,
+                fourConnected, verbose, simpleTileRecode, outputDriver,
+                creationOptions, spectDistPcntile, kmeansObj,
+                writeHistogram, tileGrid, timings)
+    finally:
+        ctx.shutdown()
+
+
+def _runDistributed(ctx, infile, outfile, workDir, tileSize, overlapSize,
+                    minSegmentSize, numClusters, bandNumbers,
+                    subsamplePcnt, maxSpectralDiff, imgNullVal,
+                    fixedKMeansInit, fourConnected, verbose,
+                    simpleTileRecode, outputDriver, creationOptions,
+                    spectDistPcntile, kmeansObj, writeHistogram, tileGrid,
+                    timings):
+    from .. import io as rio
+
+    pid = ctx.processId
+    nproc = ctx.numProcesses
+
+    # ---- prepare phase on process 0, broadcast over the KV store ----
+    if pid == 0:
+        with timings.interval('spectralclusters'):
+            (inDs, bandNumbers, kmeansObj, subsamplePcnt, imgNullVal,
+             tileInfo) = _tiling.doTiledShepherdSegmentation_prepare(
+                infile, tileSize, overlapSize, numClusters, bandNumbers,
+                subsamplePcnt, imgNullVal, fixedKMeansInit, kmeansObj,
+                verbose, tileGrid)
+        ctx.putObj(f"pyshepseg/{ctx.jobTag}/prepare", {
+            'bandNumbers': list(bandNumbers), 'kmeansObj': kmeansObj,
+            'imgNullVal': imgNullVal, 'tileInfo': tileInfo,
+            'maxSpectralDiff': maxSpectralDiff})
+    ctx.barrier(f"pyshepseg_{ctx.jobTag}_prepared")
+    if pid != 0:
+        prep = ctx.getObj(f"pyshepseg/{ctx.jobTag}/prepare")
+        bandNumbers = prep['bandNumbers']
+        kmeansObj = prep['kmeansObj']
+        imgNullVal = prep['imgNullVal']
+        tileInfo = prep['tileInfo']
+        maxSpectralDiff = prep['maxSpectralDiff']
+        inDs = rio.open(infile)
+
+    # ---- segment this process's round-robin tile shard ----
+    colRowList = sorted(tileInfo.tiles.keys(), key=lambda x: (x[1], x[0]))
+    myTiles = [cr for i, cr in enumerate(colRowList) if i % nproc == pid]
+    status = _STATUS_OK
+    filenames = {}
+    try:
+        filenames = _segmentTileShard(
+            ctx, inDs, tileInfo, myTiles, bandNumbers, imgNullVal,
+            kmeansObj, minSegmentSize, maxSpectralDiff, fourConnected,
+            spectDistPcntile, workDir, verbose, timings)
+    except Exception:
+        status = "error:" + traceback.format_exc()
+    ctx.putObj(f"pyshepseg/{ctx.jobTag}/worker_{pid}", {
+        'status': status, 'filenames': filenames, 'timings': timings})
+    ctx.barrier(f"pyshepseg_{ctx.jobTag}_segmented")
+
+    if pid != 0:
+        # hold workers until the stitch completes, so a pod launcher
+        # that tears down shared storage on job exit cannot race it
+        ctx.barrier(f"pyshepseg_{ctx.jobTag}_done")
+        return None
+
+    # ---- stitch on process 0 ----
+    tileFilenames = {}
+    for i in range(nproc):
+        record = ctx.getObj(f"pyshepseg/{ctx.jobTag}/worker_{i}")
+        if record['status'] != _STATUS_OK:
+            ctx.barrier(f"pyshepseg_{ctx.jobTag}_done")
+            raise PyShepSegDCNError(
+                "Worker process {} failed:\n{}".format(
+                    i, record['status'][len('error:'):]))
+        tileFilenames.update(record['filenames'])
+        if i != 0:
+            timings.merge(record['timings'])
+
+    with timings.interval('stitchtiles'):
+        (maxSegId, hasEmptySegments, outDs) = (
+            _tiling.doTiledShepherdSegmentation_finalize(
+                inDs, outfile, tileFilenames, tileInfo, overlapSize,
+                workDir, simpleTileRecode, outputDriver, creationOptions,
+                verbose, writeHistogram))
+    ctx.barrier(f"pyshepseg_{ctx.jobTag}_done")
+
+    result = _tiling.TiledSegmentationResult()
+    result.maxSegId = maxSegId
+    result.numTileRows = tileInfo.nrows
+    result.numTileCols = tileInfo.ncols
+    result.subsamplePcnt = subsamplePcnt
+    result.maxSpectralDiff = maxSpectralDiff
+    result.kmeans = kmeansObj
+    result.hasEmptySegments = hasEmptySegments
+    result.timings = timings
+    result.outDs = outDs
+    return result
