@@ -1059,27 +1059,10 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
             acc.merge(compacted)
 
         with timings.interval('statscompletion'):
-            for segId in acc.completedSegments(segSize):
-                pts = acc.extractSegment(segId)
-                intArr = numpy.full(numIntCols, missingStatsValue,
-                                    dtype=numpy.int64)
-                floatArr = numpy.full(numFloatCols, missingStatsValue,
-                                      dtype=numpy.float64)
-                if len(pts) > 0:
-                    userFunc(pts, imgNullVal, intArr, floatArr,
-                             userParam)
-                ratPage = _getRatPage(pagedRat, int(segId),
-                                      numIntCols, numFloatCols, numSeg)
-                for (colNdx, statType, arrayNdx) in userColFast:
-                    if statType == STAT_DTYPE_INT:
-                        ratPage.setRatVal(int(segId), STAT_DTYPE_INT,
-                                          int(arrayNdx),
-                                          intArr[int(arrayNdx)])
-                    else:
-                        ratPage.setRatVal(int(segId), STAT_DTYPE_FLOAT,
-                                          int(arrayNdx),
-                                          floatArr[int(arrayNdx)])
-                ratPage.setSegmentComplete(int(segId))
+            _spatialFinalizeCompleted(acc, segSize, userFunc, userParam,
+                                      missingStatsValue, pagedRat,
+                                      userColFast, numIntCols,
+                                      numFloatCols)
 
         with timings.interval('writing'):
             _writeCompletePagesSpatial(pagedRat, attrTbl, userColFast)
@@ -1093,6 +1076,33 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
     rtn = TiledStatsResult()
     rtn.timings = timings
     return rtn
+
+
+def _spatialFinalizeCompleted(acc, segSize, userFunc, userParam,
+                              missingStatsValue, pagedRat, userColFast,
+                              numIntCols, numFloatCols):
+    """Invoke the user callback for every segment that just completed and
+    write its values into the paged RAT
+    (reference: tilingstats.py:1846-1932)."""
+    numSeg = acc.numSeg
+    for segId in acc.completedSegments(segSize):
+        pts = acc.extractSegment(segId)
+        intArr = numpy.full(numIntCols, missingStatsValue,
+                            dtype=numpy.int64)
+        floatArr = numpy.full(numFloatCols, missingStatsValue,
+                              dtype=numpy.float64)
+        if len(pts) > 0:
+            userFunc(pts, acc.imgNullVal, intArr, floatArr, userParam)
+        ratPage = _getRatPage(pagedRat, int(segId), numIntCols,
+                              numFloatCols, numSeg)
+        for (colNdx, statType, arrayNdx) in userColFast:
+            if statType == STAT_DTYPE_INT:
+                ratPage.setRatVal(int(segId), STAT_DTYPE_INT,
+                                  int(arrayNdx), intArr[int(arrayNdx)])
+            else:
+                ratPage.setRatVal(int(segId), STAT_DTYPE_FLOAT,
+                                  int(arrayNdx), floatArr[int(arrayNdx)])
+        ratPage.setSegmentComplete(int(segId))
 
 
 def _writeCompletePagesSpatial(pagedRat, attrTbl, userColFast):
@@ -1118,36 +1128,215 @@ def _writeCompletePagesSpatial(pagedRat, attrTbl, userColFast):
 # ------------------------------------------------------------- RIOS glue
 
 
-def calcPerSegmentStatsRIOS(imgfile, imgbandnum, segfile,
-        statsSelection, missingStatsValue=-9999):
-    """
-    RIOS-driven variant of calcPerSegmentStatsTiled with read-worker
-    concurrency (reference: tilingstats.py:219-407). Requires RIOS.
-    """
+def _importRIOS():
     try:
-        from rios import applier  # noqa: F401
+        from rios import applier, ratapplier
     except ImportError:
         raise PyShepSegStatsError(
-            "calcPerSegmentStatsRIOS requires the rios package; use "
-            "calcPerSegmentStatsTiled instead")
-    # With RIOS present, the tiled implementation is driven identically;
-    # read concurrency comes from the io layer.
-    return calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
-                                    statsSelection, missingStatsValue)
+            "This function requires the rios package; use the *Tiled "
+            "variant instead")
+    return applier, ratapplier
+
+
+def _riosCheckConcurrency(applier, concurrencyStyle, controls):
+    """Only read-worker concurrency is supported: the accumulator state
+    must stay in one process (reference: tilingstats.py:373-380)."""
+    if concurrencyStyle is not None:
+        if getattr(concurrencyStyle, 'numComputeWorkers', 0) > 0:
+            raise PyShepSegStatsError('numComputeWorkers must be zero')
+        if (getattr(concurrencyStyle, 'computeWorkerKind', applier.CW_NONE)
+                != applier.CW_NONE):
+            raise PyShepSegStatsError('computeWorkerKind must be CW_NONE')
+        controls.setConcurrencyStyle(concurrencyStyle)
+
+
+def _riosTempRatTarget(applier, controls, outFile, numRows):
+    """
+    Create the separate raster whose RAT receives the new columns (RAT
+    writes go to a temp file while RIOS holds the inputs open, then get
+    copied back — reference: tilingstats.py:345-359, 392-407). Returns
+    (path, dataset, attrTbl).
+    """
+    import os as _os
+    if outFile is None:
+        tempFileMgr = applier.TempfileManager(
+            getattr(controls, 'tempdir', '.'))
+        tempPath = tempFileMgr.mktempfile(prefix='pyshepseg_tilingstats_',
+                                          suffix='.kea')
+    else:
+        tempPath = outFile
+        if _os.path.exists(tempPath):
+            import shutil as _shutil
+            if _os.path.isdir(tempPath):
+                _shutil.rmtree(tempPath)
+            else:
+                _os.remove(tempPath)
+    driverName = 'KEA' if rio.HAVE_GDAL else None
+    ds = rio.create(tempPath, 10, 10, 1, numpy.uint32, driverName)
+    band = ds.GetRasterBand(1)
+    band.SetMetadataItem('LAYER_TYPE', 'thematic')
+    attrTbl = band.GetDefaultRAT()
+    attrTbl.SetRowCount(int(numRows))
+    return tempPath, ds, attrTbl
+
+
+def _statsRIOSFunc(info, inputs, outputs, otherArgs):
+    """RIOS block callback: accumulate, finalize completed segments,
+    flush complete RAT pages (reference: tilingstats.py:219-233)."""
+    otherArgs.acc.merge(compactTile(
+        inputs.segfile[0], inputs.imgfile[0], otherArgs.acc.imgNullVal,
+        otherArgs.acc.numSeg))
+    _calcStatsForCompletedSegs(
+        otherArgs.acc, otherArgs.segSize, otherArgs.missingStatsValue,
+        otherArgs.pagedRat, otherArgs.statsSelection_fast,
+        otherArgs.numIntCols, otherArgs.numFloatCols)
+    writeCompletePages(otherArgs.pagedRat, otherArgs.attrTbl,
+                       otherArgs.statsSelection_fast)
+
+
+def calcPerSegmentStatsRIOS(imgfile, imgbandnum, segfile,
+        statsSelection, concurrencyStyle=None, missingStatsValue=-9999,
+        outFile=None):
+    """
+    RIOS-driven variant of calcPerSegmentStatsTiled: RIOS performs the
+    (optionally read-worker-concurrent) block reading, statistics
+    accumulate through the same streaming run accumulator, new columns
+    are written to a separate temp RAT while RIOS holds the inputs open,
+    and copied back into segfile with ratapplier.copyRAT
+    (reference: tilingstats.py:219-407 — same structure and semantics).
+    Only read workers are supported (computeWorkerKind CW_NONE).
+    """
+    applier, ratapplier = _importRIOS()
+
+    segds, segband, imgds, imgband = doImageAlignmentChecks(
+        segfile, imgfile, imgbandnum, update=False)
+    attrTbl = segband.GetDefaultRAT()
+    existingColNames = [attrTbl.GetNameOfCol(i)
+                        for i in range(attrTbl.GetColumnCount())]
+    imgNullVal = imgband.GetNoDataValue()
+    if imgNullVal is not None:
+        imgNullVal = imageValueType(imgNullVal)
+    histColNdx = checkHistColumn(existingColNames)
+    segSize = attrTbl.ReadAsArray(histColNdx).astype(numpy.int64)
+    # close our handles so RIOS can open the files its own way
+    del attrTbl, segband, segds, imgband, imgds
+
+    controls = applier.ApplierControls()
+    controls.selectInputImageLayers([imgbandnum], 'imgfile')
+    # the RIOS default 256x256 window leaves too many incomplete
+    # segments alive at once and inflates memory (reference:
+    # tilingstats.py:338-341)
+    controls.setWindowSize(tiling.TILESIZE, tiling.TILESIZE)
+    _riosCheckConcurrency(applier, concurrencyStyle, controls)
+
+    tempPath, tempDs, tempAttrTbl = _riosTempRatTarget(
+        applier, controls, outFile, segSize.size)
+    colIndexList = createStatColumns(statsSelection, tempAttrTbl, [])
+    (statsSelection_fast, numIntCols, numFloatCols) = (
+        makeFastStatsSelection(colIndexList, statsSelection))
+
+    inputs = applier.FilenameAssociations()
+    inputs.segfile = segfile
+    inputs.imgfile = imgfile
+    outputs = applier.FilenameAssociations()  # no raster outputs
+
+    otherArgs = applier.OtherInputs()
+    otherArgs.acc = SegmentHistAccumulator(len(segSize), imgNullVal)
+    otherArgs.pagedRat = createPagedRat()
+    otherArgs.attrTbl = tempAttrTbl
+    otherArgs.missingStatsValue = missingStatsValue
+    otherArgs.statsSelection_fast = statsSelection_fast
+    otherArgs.segSize = segSize
+    otherArgs.numIntCols = numIntCols
+    otherArgs.numFloatCols = numFloatCols
+
+    applier.apply(_statsRIOSFunc, inputs, outputs, controls=controls,
+                  otherArgs=otherArgs)
+
+    if len(otherArgs.pagedRat) > 0:
+        raise PyShepSegStatsError('Not all pixels found during processing')
+
+    tempDs.FlushCache()
+    del tempAttrTbl, tempDs
+    if outFile is None:
+        ratapplier.copyRAT(tempPath, segfile)
+
+
+def _spatialStatsRIOSFunc(info, inputs, outputs, otherArgs):
+    """RIOS block callback for the spatial variant
+    (reference: tilingstats.py:1393-1411)."""
+    (leftPix, topLine) = info.getPixColRow(0, 0)
+    otherArgs.acc.accumulate(inputs.segfile[0], inputs.imgfile[0],
+                             leftPix, topLine)
+    _spatialFinalizeCompleted(
+        otherArgs.acc, otherArgs.segSize, otherArgs.userFunc,
+        otherArgs.userParam, otherArgs.missingStatsValue,
+        otherArgs.pagedRat, otherArgs.userColFast, otherArgs.numIntCols,
+        otherArgs.numFloatCols)
+    _writeCompletePagesSpatial(otherArgs.pagedRat, otherArgs.attrTbl,
+                               otherArgs.userColFast)
 
 
 def calcPerSegmentSpatialStatsRIOS(imgfile, imgbandnum, segfile,
-        colNamesAndTypes, userFunc, userParam, missingStatsValue=-9999):
+        colNamesAndTypes, userFunc, userParam=None, concurrencyStyle=None,
+        missingStatsValue=-9999, outFile=None):
     """
-    RIOS-driven variant of calcPerSegmentSpatialStatsTiled
-    (reference: tilingstats.py:1393-1584). Requires RIOS.
+    RIOS-driven variant of calcPerSegmentSpatialStatsTiled: RIOS reads
+    the blocks, per-segment coordinate lists accumulate through the same
+    streaming point accumulator, the user callback fills the requested
+    columns of a temp RAT, and the columns are copied back into segfile
+    (reference: tilingstats.py:1393-1584). Only read workers are
+    supported (computeWorkerKind CW_NONE).
     """
-    try:
-        from rios import applier  # noqa: F401
-    except ImportError:
-        raise PyShepSegStatsError(
-            "calcPerSegmentSpatialStatsRIOS requires the rios package; "
-            "use calcPerSegmentSpatialStatsTiled instead")
-    return calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
-                                           colNamesAndTypes, userFunc,
-                                           userParam, missingStatsValue)
+    applier, ratapplier = _importRIOS()
+
+    segds, segband, imgds, imgband = doImageAlignmentChecks(
+        segfile, imgfile, imgbandnum, update=False)
+    imgNullVal = imgband.GetNoDataValue()
+    if imgNullVal is None:
+        raise PyShepSegStatsError("imgfile must have a nodata value set")
+    imgNullVal = imageValueType(imgNullVal)
+    attrTbl = segband.GetDefaultRAT()
+    existingColNames = [attrTbl.GetNameOfCol(i)
+                        for i in range(attrTbl.GetColumnCount())]
+    histColNdx = checkHistColumn(existingColNames)
+    segSize = attrTbl.ReadAsArray(histColNdx).astype(numpy.int64)
+    del attrTbl, segband, segds, imgband, imgds
+
+    controls = applier.ApplierControls()
+    controls.selectInputImageLayers([imgbandnum], 'imgfile')
+    controls.setWindowSize(tiling.TILESIZE, tiling.TILESIZE)
+    _riosCheckConcurrency(applier, concurrencyStyle, controls)
+
+    tempPath, tempDs, tempAttrTbl = _riosTempRatTarget(
+        applier, controls, outFile, segSize.size)
+    (numIntCols, numFloatCols, userColFast) = createUserColumnsSpatial(
+        colNamesAndTypes, tempAttrTbl, [])
+
+    inputs = applier.FilenameAssociations()
+    inputs.segfile = segfile
+    inputs.imgfile = imgfile
+    outputs = applier.FilenameAssociations()
+
+    otherArgs = applier.OtherInputs()
+    otherArgs.acc = SegmentPointAccumulator(len(segSize), imgNullVal)
+    otherArgs.pagedRat = createPagedRat()
+    otherArgs.attrTbl = tempAttrTbl
+    otherArgs.missingStatsValue = missingStatsValue
+    otherArgs.userFunc = userFunc
+    otherArgs.userParam = userParam
+    otherArgs.userColFast = userColFast
+    otherArgs.segSize = segSize
+    otherArgs.numIntCols = numIntCols
+    otherArgs.numFloatCols = numFloatCols
+
+    applier.apply(_spatialStatsRIOSFunc, inputs, outputs,
+                  controls=controls, otherArgs=otherArgs)
+
+    if len(otherArgs.pagedRat) > 0:
+        raise PyShepSegStatsError('Not all pixels found during processing')
+
+    tempDs.FlushCache()
+    del tempAttrTbl, tempDs
+    if outFile is None:
+        ratapplier.copyRAT(tempPath, segfile)

@@ -449,3 +449,87 @@ def test_stats_device_engine_matches_host(tmp_path, rng, small_tiles):
         a = ratH.ReadAsArray(namesH.index(col))
         b = ratD.ReadAsArray(namesD.index(col))
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.fixture
+def fake_rios(monkeypatch):
+    """Put the in-repo fake rios package on sys.path so the real RIOS
+    applier drivers run without RIOS installed."""
+    import os
+    import sys
+    import importlib
+    fakedir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "fakerios")
+    monkeypatch.syspath_prepend(fakedir)
+    for mod in list(sys.modules):
+        if mod == "rios" or mod.startswith("rios."):
+            del sys.modules[mod]
+    yield
+    for mod in list(sys.modules):
+        if mod == "rios" or mod.startswith("rios."):
+            del sys.modules[mod]
+    importlib.invalidate_caches()
+
+
+def test_rios_stats_driver_matches_tiled(tmp_path, rng, small_tiles,
+                                         fake_rios):
+    """The real RIOS applier driver (temp-RAT + copyRAT write-back) must
+    produce the same columns as the tiled path."""
+    import shutil
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+    segpath2 = str(tmp_path / "seg_rios.npseg")
+    shutil.copytree(segpath, segpath2)
+    sel = [("b1_mean", "mean"), ("b1_med", "median"),
+           ("b1_p75", "percentile", 75)]
+    tilingstats.calcPerSegmentStatsTiled(imgpath, 1, segpath, sel,
+                                         engine='host')
+    from rios import applier
+    style = applier.ConcurrencyStyle(numReadWorkers=2)
+    tilingstats.calcPerSegmentStatsRIOS(imgpath, 1, segpath2, sel,
+                                        concurrencyStyle=style)
+    ratT = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    ratR = rio.open(segpath2).GetRasterBand(1).GetDefaultRAT()
+    namesT = [ratT.GetNameOfCol(i) for i in range(ratT.GetColumnCount())]
+    namesR = [ratR.GetNameOfCol(i) for i in range(ratR.GetColumnCount())]
+    for (col, *_rest) in sel:
+        np.testing.assert_array_equal(
+            ratT.ReadAsArray(namesT.index(col)),
+            ratR.ReadAsArray(namesR.index(col)))
+
+    # compute workers are forbidden, matching the reference
+    bad = applier.ConcurrencyStyle(numComputeWorkers=2,
+                                   computeWorkerKind="CW_THREADS")
+    with pytest.raises(tilingstats.PyShepSegStatsError):
+        tilingstats.calcPerSegmentStatsRIOS(imgpath, 1, segpath2, sel,
+                                            concurrencyStyle=bad)
+
+
+def test_rios_spatial_driver_matches_tiled(tmp_path, rng, small_tiles,
+                                           fake_rios):
+    import shutil
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+    segpath2 = str(tmp_path / "seg_rios.npseg")
+    shutil.copytree(segpath, segpath2)
+    transform = np.array([0, 1, 0, 0, 0, -1], dtype=np.float64)
+    cols = [("east", rio.GFT_Real), ("north", rio.GFT_Real)]
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, cols, tilingstats.userFuncMeanCoord,
+        transform)
+    tilingstats.calcPerSegmentSpatialStatsRIOS(
+        imgpath, 1, segpath2, cols, tilingstats.userFuncMeanCoord,
+        transform)
+    ratT = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    ratR = rio.open(segpath2).GetRasterBand(1).GetDefaultRAT()
+    namesT = [ratT.GetNameOfCol(i) for i in range(ratT.GetColumnCount())]
+    namesR = [ratR.GetNameOfCol(i) for i in range(ratR.GetColumnCount())]
+    for (col, _t) in cols:
+        np.testing.assert_array_equal(
+            ratT.ReadAsArray(namesT.index(col)),
+            ratR.ReadAsArray(namesR.index(col)))
+
+
+def test_rios_missing_package_raises(tmp_path, rng):
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+    with pytest.raises(tilingstats.PyShepSegStatsError):
+        tilingstats.calcPerSegmentStatsRIOS(imgpath, 1, segpath,
+                                            [("m", "mean")])
