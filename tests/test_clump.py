@@ -83,3 +83,40 @@ def test_clump_snake():
     seg, _ = clump(img, 0, fourConnected=True)
     ref, _ = oracle_clump(img, 0, fourConnected=True)
     np.testing.assert_array_equal(seg, ref)
+
+
+def test_clump_matches_oracle_large(rng):
+    """Scan-order ID parity at a scale where block boundaries (Pallas
+    seeds), long runs, and null speckle all interact: 160x160, both
+    connectivities."""
+    img = _random_cluster_img(rng, shape=(160, 160), nvals=3,
+                              null_frac=0.15)
+    for fourConnected in (True, False):
+        seg, nxt = clump(img, 0, fourConnected=fourConnected, clumpId=1)
+        ref, ref_nxt = oracle_clump(img, 0, fourConnected=fourConnected,
+                                    clumpId=1)
+        np.testing.assert_array_equal(seg, ref)
+        assert nxt == ref_nxt
+
+
+def test_clump_capped_matches_oracle_on_large_uniform_region(rng):
+    """The reference ALWAYS caps flood-fill growth at MAX_CLUMP_SIZE=10000
+    pixels (reference shepseg.py:481 — not optional), splitting any
+    uniform region larger than that in flood-fill stack order. Our
+    default is the exact un-capped CCL (documented deviation,
+    ops/clump.py); the maxClumpSize= path must reproduce the reference's
+    split geometry exactly on a region well past the cap."""
+    img = _random_cluster_img(rng, shape=(160, 160), nvals=2,
+                              null_frac=0.05)
+    img[20:130, 20:130] = 7   # 110x110 = 12100 px > 10000 cap
+    seg, nxt = clump(img, 0, fourConnected=True, maxClumpSize=10000)
+    ref, ref_nxt = oracle_clump(img, 0, fourConnected=True,
+                                maxClumpSize=10000)
+    np.testing.assert_array_equal(seg, ref)
+    assert nxt == ref_nxt
+    # the uniform region really did split
+    ids_in_region = np.unique(seg[20:130, 20:130])
+    assert len(ids_in_region) >= 2
+    # and the exact kernel would NOT have split it
+    seg_exact, _ = clump(img, 0, fourConnected=True)
+    assert len(np.unique(seg_exact[25:125, 25:125])) == 1
