@@ -16,7 +16,9 @@ import tempfile as _tempfile
 # see that helper's docstring).
 _CACHE_DIR = _os.environ.get(
     "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_tempfile.gettempdir(), "pyshepseg_tpu_jax_cache"))
+    _os.environ.get(
+        "PYSHEPSEG_TPU_CACHEDIR",
+        _os.path.join(_tempfile.gettempdir(), "pyshepseg_tpu_jax_cache")))
 
 import argparse
 import os

@@ -3,12 +3,15 @@ Minimal object-store abstraction for the decoupled batch pipeline
 (the data plane the reference implements directly against S3 in
 parallel_examples/awsbatch/do_prepare.py / do_tile.py / do_stitch.py).
 
-Two backends:
+Three backends:
 
 - ``file://<dir>`` — a shared filesystem directory (NFS/Filestore on a
   TPU-VM pool; a tempdir in CI). Always available.
 - ``s3://<bucket>/<prefix>`` — S3 via boto3 when installed (the
   reference's data plane); gated, never imported unless used.
+- ``gs://<bucket>/<prefix>`` — GCS via google-cloud-storage when
+  installed (the natural data plane for Cloud TPU-VM pools; see
+  template/main.tf); gated, never imported unless used.
 
 Objects are addressed by simple relative keys.
 """
@@ -18,7 +21,7 @@ import shutil
 
 
 class ObjectStore:
-    """file:// or s3:// key-value blob store."""
+    """file://, s3:// or gs:// key-value blob store."""
 
     def __init__(self, url):
         self.url = url.rstrip("/")
@@ -28,6 +31,12 @@ class ObjectStore:
             self.bucket, _, self.prefix = rest.partition("/")
             self.s3 = boto3.client("s3")
             self.kind = "s3"
+        elif url.startswith("gs://"):
+            from google.cloud import storage  # gated optional dependency
+            rest = url[len("gs://"):]
+            bucketName, _, self.prefix = rest.partition("/")
+            self.gcs = storage.Client().bucket(bucketName)
+            self.kind = "gs"
         elif url.startswith("file://") or "://" not in url:
             path = url[len("file://"):] if url.startswith("file://") else url
             self.root = os.path.abspath(path)
@@ -37,12 +46,15 @@ class ObjectStore:
             raise ValueError("unsupported object store url: " + url)
 
     def _key(self, key):
-        return (self.prefix + "/" + key).lstrip("/") if self.kind == "s3" \
-            else os.path.join(self.root, key)
+        if self.kind in ("s3", "gs"):
+            return (self.prefix + "/" + key).lstrip("/")
+        return os.path.join(self.root, key)
 
     def upload(self, localPath, key):
         if self.kind == "s3":
             self.s3.upload_file(localPath, self.bucket, self._key(key))
+        elif self.kind == "gs":
+            self.gcs.blob(self._key(key)).upload_from_filename(localPath)
         else:
             # Atomic: copy into a temp name first, then rename, so a job
             # killed mid-upload never leaves a partial object that a
@@ -61,6 +73,8 @@ class ObjectStore:
     def download(self, key, localPath):
         if self.kind == "s3":
             self.s3.download_file(self.bucket, self._key(key), localPath)
+        elif self.kind == "gs":
+            self.gcs.blob(self._key(key)).download_to_filename(localPath)
         else:
             src = self._key(key)
             if os.path.isdir(src):
@@ -74,6 +88,8 @@ class ObjectStore:
     def delete(self, key):
         if self.kind == "s3":
             self.s3.delete_object(Bucket=self.bucket, Key=self._key(key))
+        elif self.kind == "gs":
+            self.gcs.blob(self._key(key)).delete()
         else:
             p = self._key(key)
             if os.path.isdir(p):
