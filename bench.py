@@ -92,7 +92,9 @@ def _run_config1(results):
         "name": ("config1: doShepherdSegmentation 1024x1024 4-band uint16 "
                  "(numClusters=60, minSegmentSize=50, 4-connected)"),
         "value": round(mpix_s, 3), "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / REF_BASELINE_MPIX_S, 2)})
+        "vs_baseline": round(mpix_s / REF_BASELINE_MPIX_S, 2),
+        "clump_sweeps": res.clumpSweeps,
+        "elim_graph_passes": res.elimPasses})
 
     # Compute-only: image already on device, k-means already fitted; time
     # the three fused dispatches + the two capacity-picking scalar syncs,
@@ -245,8 +247,8 @@ def _pallas_compiled_check():
     img = rng.integers(0, 6, size=(1024, 1024)).astype(np.int32)
     f = jax.jit(clump_labels, static_argnames=("four_connected",
                                                "use_pallas"))
-    seg_p, n_p = f(img, 0, four_connected=True, use_pallas=True)
-    seg_x, n_x = f(img, 0, four_connected=True, use_pallas=False)
+    seg_p, n_p, _ = f(img, 0, four_connected=True, use_pallas=True)
+    seg_x, n_x, _ = f(img, 0, four_connected=True, use_pallas=False)
     ok = (int(n_p) == int(n_x) and
           np.array_equal(np.asarray(seg_p), np.asarray(seg_x)))
     return "ok" if ok else "FAILED"

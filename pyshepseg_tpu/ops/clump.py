@@ -112,6 +112,10 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None):
         Scan-order component labels starting at 1; null pixels are 0.
     num_clumps : uint32 scalar
         Number of components found.
+    num_sweeps : int32 scalar
+        Global propagation sweeps until the fixpoint (each sweep streams
+        the whole image ~40x through the run scans — the dominant
+        memory-bound cost, see BASELINE.md's roofline notes).
     """
     h, w = img.shape
     n = h * w
@@ -169,7 +173,7 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None):
         changed = jnp.any(new != labels)
         return new, changed, sweep + 1
 
-    labels, _, _ = jax.lax.while_loop(
+    labels, _, num_sweeps = jax.lax.while_loop(
         lambda c: c[1], body, (labels0, jnp.bool_(True), jnp.int32(0)))
 
     # Scan-order relabel: component root = min flat index = first pixel the
@@ -180,7 +184,7 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None):
     rank_ext = jnp.concatenate([rank, jnp.zeros(1, jnp.uint32)])
     seg = jnp.where(valid.ravel(), rank_ext[flat], SEGNULLVAL)
     num_clumps = rank[-1] if n > 0 else jnp.uint32(0)
-    return seg.reshape(h, w).astype(jnp.uint32), num_clumps
+    return seg.reshape(h, w).astype(jnp.uint32), num_clumps, num_sweeps
 
 
 _clump_jit = jax.jit(clump_labels,
@@ -207,7 +211,8 @@ def clump(img, ignoreVal, fourConnected=True, clumpId=1, maxClumpSize=None):
         return flood_fill_clump(img, ignoreVal, fourConnected,
                                 maxClumpSize, clumpId)
     img = jnp.asarray(np.ascontiguousarray(img))
-    seg, num = _clump_jit(img, int(ignoreVal), four_connected=bool(fourConnected))
+    seg, num, _ = _clump_jit(img, int(ignoreVal),
+                             four_connected=bool(fourConnected))
     seg = np.asarray(seg)
     num = int(num)
     if clumpId != 1:

@@ -187,7 +187,10 @@ def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
     sizes with no candidates short-circuit (a candidate-free pass is the
     identity, so the fixpoint is unchanged).
 
-    Returns (remap original->current id, seg_size, numEliminated).
+    Returns (remap original->current id, seg_size, numEliminated,
+    totalPasses) — totalPasses counts every executed find+apply pass
+    across all target sizes (each pass streams the edge arrays ~10x;
+    the perf-relevant loop count, reported by bench).
     """
     capacity = seg_size.shape[0]
     max_diff_sqr = (jnp.float32(max_spectral_diff) ** 2)
@@ -197,7 +200,7 @@ def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
         return jnp.count_nonzero(seg_size == target).astype(jnp.int32)
 
     def per_target(target, carry):
-        remap, seg_size, spect_sum, num_elim = carry
+        remap, seg_size, spect_sum, num_elim, total_passes = carry
         target_u = target.astype(jnp.uint32)
 
         def cond(c):
@@ -213,14 +216,14 @@ def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
 
         init = (remap, seg_size, spect_sum, count_at(seg_size, target_u),
                 jnp.int32(-1), jnp.int32(0), num_elim)
-        remap, seg_size, spect_sum, _, _, _, num_elim = jax.lax.while_loop(
-            cond, body, init)
-        return remap, seg_size, spect_sum, num_elim
+        (remap, seg_size, spect_sum, _, _, passes,
+         num_elim) = jax.lax.while_loop(cond, body, init)
+        return remap, seg_size, spect_sum, num_elim, total_passes + passes
 
-    remap, seg_size, spect_sum, num_elim = jax.lax.fori_loop(
+    remap, seg_size, spect_sum, num_elim, total_passes = jax.lax.fori_loop(
         1, min_seg_size, per_target,
-        (remap0, seg_size, spect_sum, jnp.uint32(0)))
-    return remap, seg_size, num_elim
+        (remap0, seg_size, spect_sum, jnp.uint32(0), jnp.int32(0)))
+    return remap, seg_size, num_elim, total_passes
 
 
 def _remap_and_relabel(seg, remap, seg_size_out):
@@ -262,7 +265,7 @@ def eliminate_small_segments_device(seg, seg_size, spect_sum,
     a, b, first, n_unique = edge_sort_keys(seg, four_connected)
     overflow = n_unique > jnp.uint32(e_cap)
     ea, eb = compact_edges(a, b, first, e_cap)
-    remap, seg_size_out, num_elim = eliminate_small_segments_graph(
+    remap, seg_size_out, num_elim, _ = eliminate_small_segments_graph(
         ea, eb, seg_size, spect_sum, min_seg_size, max_spectral_diff)
     seg = _remap_and_relabel(seg, remap, seg_size_out)
     return seg, num_elim, overflow
@@ -282,7 +285,7 @@ def _elim_small_from_sorted(seg, a, b, first, seg_size, spect_sum,
     its output avoids paying the dominant full-image sort twice.
     """
     ea, eb = compact_edges(a, b, first, e_cap)
-    remap, seg_size_out, num_elim = eliminate_small_segments_graph(
+    remap, seg_size_out, num_elim, _ = eliminate_small_segments_graph(
         ea, eb, seg_size, spect_sum, min_seg_size, max_spectral_diff)
     seg = _remap_and_relabel(seg, remap, seg_size_out)
     return seg, num_elim

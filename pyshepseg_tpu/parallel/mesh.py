@@ -102,7 +102,7 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
                     # the segment / edge capacities from the data instead
                     # of padding every per-segment array to H*W (~500x).
                     batch_j = jax.device_put(batch, sharding)
-                    segs, counts = cluster_clump_tiles(
+                    segs, counts, _ = cluster_clump_tiles(
                         batch_j, centers, nullVal,
                         four_connected=self.fourConnected,
                         has_null=hasNull)

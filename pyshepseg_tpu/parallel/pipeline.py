@@ -49,8 +49,8 @@ def segment_tile(img_f, centers, img_null_val, max_spectral_diff,
     """
     nbands, h, w = img_f.shape
     clusters = assign_clusters(img_f, centers, img_null_val, has_null)
-    seg, _ = clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
-                          four_connected=four_connected)
+    seg, _, _ = clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
+                             four_connected=four_connected)
     # per-band planes: avoids band-minor layout copies on large tiles
     planes = band_planes(img_f.astype(jnp.float32))
     size = seg_sizes(seg, capacity)
@@ -178,7 +178,7 @@ def eliminate_tiles_phase2(segs, sizes, spects, a, b, first,
 
     def one(seg, size, spect, aa, bb, ff):
         ea, eb = compact_edges(aa, bb, ff, e_cap)
-        remap, size_out, _ = eliminate_small_segments_graph(
+        remap, size_out, _, _ = eliminate_small_segments_graph(
             ea, eb, size, spect, min_seg_size, max_spectral_diff)
         seg = _remap_and_relabel(seg, remap, size_out)
         return seg, jnp.max(seg)

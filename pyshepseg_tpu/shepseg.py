@@ -73,17 +73,18 @@ def _cluster_and_clump_device(img_dev, centers, img_null_val,
 
     img_f = img_dev.astype(jnp.float32)
     clusters = assign_clusters(img_dev, centers, img_null_val, has_null)
-    seg, num_clumps = clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
-                                   four_connected=four_connected)
+    seg, num_clumps, sweeps = clump_labels(
+        clusters.astype(jnp.int32), SEGNULLVAL,
+        four_connected=four_connected)
     # Per-band 2D planes, NOT the 3D array (see segreduce.band_planes
     # for the lane-padding OOM this avoids)
-    return band_planes_fn(img_f), seg, num_clumps
+    return band_planes_fn(img_f), seg, num_clumps, sweeps
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("four_connected", "capacity"))
-def _elim_single_and_edges_device(band_planes, seg,
+def _elim_single_and_edges_device(band_planes, seg, clump_sweeps,
                                   four_connected: bool, capacity: int):
     """
     Device dispatch #2 (static capacity bucketed from the clump count):
@@ -105,7 +106,10 @@ def _elim_single_and_edges_device(band_planes, seg,
     n_after_single = jnp.count_nonzero(size[MINSEGID:]).astype(jnp.uint32)
     spect = seg_spectral_sums_planes(seg, band_planes, capacity)
     a, b, first, n_unique = edge_sort_keys(seg, four_connected)
-    scalars = jnp.stack([n_after_single, n_unique.astype(jnp.uint32)])
+    # clump_sweeps rides along so the host reads all three diagnostics in
+    # the one packed fetch (an extra scalar fetch costs a full tunnel RTT)
+    scalars = jnp.stack([n_after_single, n_unique.astype(jnp.uint32),
+                         clump_sweeps.astype(jnp.uint32)])
     return seg, size, spect, a, b, first, scalars
 
 
@@ -127,13 +131,14 @@ def _elim_small_finish_device(seg, size, spect, a, b, first,
                                  _remap_and_relabel)
 
     ea, eb = compact_edges(a, b, first, e_cap)
-    remap, size_out, n_small = eliminate_small_segments_graph(
+    remap, size_out, n_small, passes = eliminate_small_segments_graph(
         ea, eb, size, spect, min_seg_size, max_spectral_diff)
     seg = _remap_and_relabel(seg, remap, size_out)
     # One packed scalar vector -> one host round trip instead of two
     # (each blocking scalar fetch costs a full tunnel/PCIe round trip)
     scalars = jnp.stack([n_small.astype(jnp.uint32),
-                         jnp.max(seg).astype(jnp.uint32)])
+                         jnp.max(seg).astype(jnp.uint32),
+                         passes.astype(jnp.uint32)])
     # Downloading uint16 halves the transfer when IDs fit (capacity is
     # the static bound on the largest ID)
     if capacity <= 0xFFFF + 1:
@@ -173,13 +178,14 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     centers = jnp.asarray(np.asarray(km.cluster_centers_, dtype=np.float32))
     hasNull = imgNullVal is not None
     nullVal = jnp.float32(imgNullVal if hasNull else 0)
-    planes_dev, seg_dev, numClumps = _cluster_and_clump_device(
+    planes_dev, seg_dev, numClumps, sweeps_dev = _cluster_and_clump_device(
         img_dev, centers, nullVal,
         has_null=hasNull, four_connected=bool(fourConnected))
     maxSegId = int(numClumps)  # scalar sync; picks the capacity bucket
     if verbose:
         print("Kmeans plus clump found", maxSegId, "clumps, in",
-              round(time.time() - t0, 1), "seconds")
+              round(time.time() - t0, 1), "seconds,",
+              int(sweeps_dev), "propagation sweeps")
 
     maxSpectralDiff = autoMaxSpectralDiff(km, maxSpectralDiff,
                                           spectDistPcntile)
@@ -188,24 +194,25 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     capacity = round_capacity(maxSegId + 1)
     (seg_dev, size_dev, spect_dev, ea_dev, eb_dev, first_dev,
      scalars1_dev) = _elim_single_and_edges_device(
-        planes_dev, seg_dev,
+        planes_dev, seg_dev, sweeps_dev,
         four_connected=bool(fourConnected), capacity=capacity)
     # One scalar sync picks the static edge-capacity bucket; merges only
     # ever contract the adjacency graph, so the measured unique count is
     # a true bound for the whole elimination loop (no overflow possible).
-    nAfterSingle, nUniqueEdges = np.asarray(scalars1_dev).tolist()
+    nAfterSingle, nUniqueEdges, clumpSweeps = np.asarray(
+        scalars1_dev).tolist()
     eCap = round_capacity(int(nUniqueEdges) + 1)
     seg_dev, scalars2_dev = _elim_small_finish_device(
         seg_dev, size_dev, spect_dev, ea_dev, eb_dev, first_dev,
         jnp.float32(maxSpectralDiff), min_seg_size=int(minSegmentSize),
         e_cap=eCap, capacity=capacity)
-    numElimSmall, finalMax = np.asarray(scalars2_dev).tolist()
+    numElimSmall, finalMax, elimPasses = np.asarray(scalars2_dev).tolist()
     seg = np.asarray(seg_dev).astype(SegIdType)
     numElimSinglepix = maxSegId - int(nAfterSingle)
     if verbose:
         print("Eliminated", numElimSinglepix, "single pixels and",
-              numElimSmall, "small segments, in",
-              round(time.time() - t0, 1), "seconds")
+              numElimSmall, "small segments in", int(elimPasses),
+              "graph passes, in", round(time.time() - t0, 1), "seconds")
         print("Final result has", int(finalMax), "segments")
 
     segResult = SegmentationResult()
@@ -214,6 +221,10 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     segResult.maxSpectralDiff = maxSpectralDiff
     segResult.singlePixelsEliminated = numElimSinglepix
     segResult.smallSegmentsEliminated = numElimSmall
+    # perf diagnostics (not in the reference result): loop-iteration
+    # counts of the two on-device fixpoint loops, for roofline accounting
+    segResult.clumpSweeps = int(clumpSweeps)
+    segResult.elimPasses = int(elimPasses)
     return segResult
 
 
@@ -241,12 +252,12 @@ def deviceResidentThroughput(img, kmeansObj, maxSpectralDiff,
     np.asarray(img_dev[0, 0, 0])
 
     def run():
-        planes, seg, num = _cluster_and_clump_device(
+        planes, seg, num, sweeps = _cluster_and_clump_device(
             img_dev, centers, nullVal, has_null=hasNull,
             four_connected=bool(fourConnected))
         capacity = round_capacity(int(num) + 1)
         seg, size, spect, ea, eb, first, sc1 = _elim_single_and_edges_device(
-            planes, seg, four_connected=bool(fourConnected),
+            planes, seg, sweeps, four_connected=bool(fourConnected),
             capacity=capacity)
         eCap = round_capacity(int(np.asarray(sc1)[1]) + 1)
         seg, sc2 = _elim_small_finish_device(

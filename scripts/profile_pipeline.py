@@ -1,0 +1,120 @@
+"""
+On-chip profile of the three segmentation dispatches (BASELINE config 1).
+
+Times each dispatch separately (value-fetch sync, min over repeats),
+reports the clump sweep count and elimination pass count, an achieved-
+bandwidth anchor (big elementwise op), and the transfer-bound fraction
+(end-to-end vs device-resident). Feeds BASELINE.md's roofline notes.
+
+Run on the TPU:  python scripts/profile_pipeline.py
+"""
+
+import os
+import sys
+import time
+import json
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from pyshepseg_tpu import shepseg, utils  # noqa: E402
+from pyshepseg_tpu.ops.elim_small import round_capacity  # noqa: E402
+from bench import make_image  # noqa: E402
+
+utils.setupCompilationCache(
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
+
+
+def timeit(fn, repeats=5):
+    fn()  # warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def main():
+    H = W = 1024
+    img = make_image(H, W, 4)
+    res = shepseg.doShepherdSegmentation(
+        img, numClusters=60, clusterSubsamplePcnt=1, minSegmentSize=50,
+        maxSpectralDiff='auto', fourConnected=True, fixedKMeansInit=True)
+    km = res.kmeans
+    centers = jnp.asarray(np.asarray(km.cluster_centers_, np.float32))
+    nullVal = jnp.float32(0)
+    maxDiff = jnp.float32(res.maxSpectralDiff)
+    img_dev = jax.device_put(img)
+    np.asarray(img_dev[0, 0, 0])
+
+    out = {"clump_sweeps": res.clumpSweeps, "elim_passes": res.elimPasses,
+           "segments": int(res.segimg.max())}
+
+    # bandwidth anchor: stream 256 MB through an elementwise op
+    big = jnp.zeros((8, 1024, 1024), jnp.float32)
+    addone = jax.jit(lambda x: x + 1.0)
+
+    def bw():
+        np.asarray(addone(big)[0, 0, 0])
+    t = timeit(bw)
+    out["elementwise_GBps"] = round(2 * big.nbytes / t / 1e9, 1)
+
+    # dispatch 1: cluster + clump
+    def d1():
+        planes, seg, num, sw = shepseg._cluster_and_clump_device(
+            img_dev, centers, nullVal, has_null=False, four_connected=True)
+        np.asarray(num)
+        return planes, seg, sw
+
+    out["d1_cluster_clump_ms"] = round(timeit(d1) * 1000, 1)
+    planes, seg0, sweeps = d1()
+    capacity = round_capacity(int(np.asarray(seg0).max()) + 1)
+
+    # dispatch 2: single-pixel elim + seg reductions + edge sort
+    def d2():
+        r = shepseg._elim_single_and_edges_device(
+            planes, seg0, sweeps, four_connected=True, capacity=capacity)
+        np.asarray(r[-1])
+        return r
+
+    out["d2_single_edges_ms"] = round(timeit(d2) * 1000, 1)
+    seg1, size, spect, ea, eb, first, sc1 = d2()
+    eCap = round_capacity(int(np.asarray(sc1)[1]) + 1)
+
+    # dispatch 3: graph elimination + relabel
+    def d3():
+        seg2, sc2 = shepseg._elim_small_finish_device(
+            seg1, size, spect, ea, eb, first, maxDiff,
+            min_seg_size=50, e_cap=eCap, capacity=capacity)
+        np.asarray(sc2)
+
+    out["d3_graph_elim_ms"] = round(timeit(d3) * 1000, 1)
+    out["capacity"] = capacity
+    out["e_cap"] = eCap
+
+    # transfer-bound fraction: end-to-end vs compute-only
+    co = shepseg.deviceResidentThroughput(img, km, res.maxSpectralDiff,
+                                          minSegmentSize=50, repeats=3)
+    out["compute_only_mpix_s"] = round(co, 2)
+
+    def e2e():
+        shepseg.doShepherdSegmentation(
+            img, numClusters=60, clusterSubsamplePcnt=1,
+            minSegmentSize=50, maxSpectralDiff='auto', fourConnected=True,
+            kmeansObj=km)
+    t = timeit(e2e, repeats=3)
+    out["end_to_end_mpix_s"] = round((H * W / 1e6) / t, 2)
+    out["transfer_fit_fraction"] = round(
+        1 - out["end_to_end_mpix_s"] / out["compute_only_mpix_s"], 3)
+
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

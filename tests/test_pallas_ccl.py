@@ -29,8 +29,10 @@ def test_pallas_seeded_clump_matches_oracle(rng):
 def test_pallas_vs_plain_xla_path(rng):
     clusters = _random_clusters(rng, (48, 48), nclusters=3)
     img = jnp.asarray(clusters.astype(np.int32))
-    seg_p, n_p = _clump_jit(img, 0, four_connected=True, use_pallas=True)
-    seg_x, n_x = _clump_jit(img, 0, four_connected=True, use_pallas=False)
+    seg_p, n_p, _ = _clump_jit(img, 0, four_connected=True,
+                               use_pallas=True)
+    seg_x, n_x, _ = _clump_jit(img, 0, four_connected=True,
+                               use_pallas=False)
     assert int(n_p) == int(n_x)
     np.testing.assert_array_equal(np.asarray(seg_p), np.asarray(seg_x))
 
