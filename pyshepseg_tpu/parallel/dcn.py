@@ -128,9 +128,7 @@ def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
     # batch tiles over the local chips with the fused pipeline
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from .pipeline import (cluster_clump_tiles, eliminate_tiles_phase1,
-                           eliminate_tiles_phase2)
-    from ..ops.elim_small import round_capacity
+    from .mesh import segment_tile_batch
 
     mesh = Mesh(np.array(localDevices), ("data",))
     sharding = NamedSharding(mesh, P("data"))
@@ -163,20 +161,9 @@ def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
                 batch = np.stack(imgs)
             with timings.interval('segmentation', sync=True):
                 batch_j = jax.device_put(batch, sharding)
-                segs, counts, _ = cluster_clump_tiles(
-                    batch_j, centers, nullVal,
-                    four_connected=fourConnected, has_null=hasNull)
-                capacity = round_capacity(
-                    int(np.asarray(counts).max()) + 1)
-                segs, sizes, spects, ea, eb, first, sc1 = (
-                    eliminate_tiles_phase1(
-                        batch_j, segs, four_connected=fourConnected,
-                        capacity=capacity))
-                eCap = round_capacity(int(np.asarray(sc1)[:, 1].max()) + 1)
-                segs, _ = eliminate_tiles_phase2(
-                    segs, sizes, spects, ea, eb, first, maxDiff,
-                    min_seg_size=minSegmentSize, e_cap=eCap)
-                segs = np.asarray(segs)
+                segs = segment_tile_batch(
+                    batch_j, centers, nullVal, maxDiff, minSegmentSize,
+                    fourConnected, hasNull)
             for i, colRow in enumerate(chunk):
                 writeTile(colRow, segs[i])
     return filenames

@@ -23,9 +23,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import tiling as _tiling
 from .. import shepseg
-from .pipeline import (cluster_clump_tiles, eliminate_tiles_phase1,
-                       eliminate_tiles_phase2)
+from .pipeline import (cluster_clump_tiles, eliminate_tiles_fused,
+                       eliminate_tiles_phase1, eliminate_tiles_phase2)
 from ..ops.elim_small import round_capacity
+
+
+def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
+                       fourConnected, hasNull, segCapacity=None):
+    """
+    Segment one sharded batch of tiles: cluster+clump dispatch, one
+    batch-wide scalar sync to bucket the segment capacity, then the
+    FUSED elimination dispatch (edge capacity from the planarity bound —
+    see shepseg._elim_fused_device). Any tile tripping the edge-overflow
+    flag re-runs the batch through the measured-capacity phase1/phase2
+    pair. Returns the segmented batch as numpy uint32 (B, H, W).
+
+    Shared by the CONC_MESH backend and the per-host shard path of the
+    DCN backend.
+    """
+    segs, counts, _ = cluster_clump_tiles(
+        batch_j, centers, nullVal,
+        four_connected=fourConnected, has_null=hasNull)
+    capacity = segCapacity or round_capacity(
+        int(np.asarray(counts).max()) + 1)
+    from .. import shepseg as _shepseg
+    eCap = round_capacity(
+        max(1, int(_shepseg._E_CAP_FACTOR * capacity)))
+    segsF, scalars = eliminate_tiles_fused(
+        batch_j, segs, maxDiff, min_seg_size=minSegmentSize,
+        four_connected=fourConnected, capacity=capacity, e_cap=eCap)
+    scalars = np.asarray(scalars)
+    if not scalars[:, 2].any():
+        return np.asarray(segsF)
+    # fallback: measured edge capacity (adjacency beyond the planarity
+    # bound — not possible for true grid adjacency, but stay safe)
+    segs2, sizes, spects, ea, eb, first, sc1 = eliminate_tiles_phase1(
+        batch_j, segs, four_connected=fourConnected, capacity=capacity)
+    eCap = round_capacity(int(np.asarray(sc1)[:, 1].max()) + 1)
+    segs2, _ = eliminate_tiles_phase2(
+        segs2, sizes, spects, ea, eb, first, maxDiff,
+        min_seg_size=minSegmentSize, e_cap=eCap)
+    return np.asarray(segs2)
 
 
 class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
@@ -97,28 +135,15 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
                     batch = np.stack(imgs)
 
                 with self.timings.interval('segmentation', sync=True):
-                    # Three dispatches with two batch-wide scalar syncs,
-                    # mirroring doShepherdSegmentation: the syncs bucket
-                    # the segment / edge capacities from the data instead
-                    # of padding every per-segment array to H*W (~500x).
+                    # Two dispatches with ONE batch-wide scalar sync
+                    # (segment capacity from the max clump count; edge
+                    # capacity from the planarity bound) — every sync is
+                    # a full host round trip with the device idle.
                     batch_j = jax.device_put(batch, sharding)
-                    segs, counts, _ = cluster_clump_tiles(
-                        batch_j, centers, nullVal,
-                        four_connected=self.fourConnected,
-                        has_null=hasNull)
-                    capacity = self.segCapacity or round_capacity(
-                        int(np.asarray(counts).max()) + 1)
-                    segs, sizes, spects, ea, eb, first, sc1 = (
-                        eliminate_tiles_phase1(
-                            batch_j, segs,
-                            four_connected=self.fourConnected,
-                            capacity=capacity))
-                    eCap = round_capacity(
-                        int(np.asarray(sc1)[:, 1].max()) + 1)
-                    segs, _ = eliminate_tiles_phase2(
-                        segs, sizes, spects, ea, eb, first, maxDiff,
-                        min_seg_size=self.minSegmentSize, e_cap=eCap)
-                    segs = np.asarray(segs)
+                    segs = segment_tile_batch(
+                        batch_j, centers, nullVal, maxDiff,
+                        self.minSegmentSize, self.fourConnected, hasNull,
+                        self.segCapacity)
 
                 for i, (col, row) in enumerate(chunk):
                     filename = os.path.join(

@@ -163,6 +163,45 @@ def eliminate_tiles_phase1(imgs, segs, four_connected: bool,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("min_seg_size", "four_connected",
+                              "capacity", "e_cap"))
+def eliminate_tiles_fused(imgs, segs, max_spectral_diff,
+                          min_seg_size: int, four_connected: bool,
+                          capacity: int, e_cap: int):
+    """
+    Batched FUSED dispatch #2: everything after clumping in one program
+    per tile batch, with the edge capacity from the planarity bound
+    (see shepseg._elim_fused_device) instead of a measured count — one
+    batch-wide scalar sync total instead of two. Returns
+    (segs uint32 (B, H, W), scalars (B, 3) = [maxSegId, elimPasses,
+    edgeOverflow]); any overflow flag set => re-run that batch through
+    the measured-capacity phase1/phase2 pair.
+    """
+    from ..ops.elim_small import (edge_sort_keys, compact_edges,
+                                  eliminate_small_segments_graph,
+                                  _remap_and_relabel)
+    from ..ops.constants import MINSEGID  # noqa: F401
+
+    def one(img, seg):
+        planes = band_planes(img.astype(jnp.float32))
+        size = seg_sizes(seg, capacity)
+        seg, _, size = eliminate_single_pixels_device(
+            planes, seg, size, four_connected,
+            return_sizes=True, do_relabel=False)
+        spect = seg_spectral_sums_planes(seg, planes, capacity)
+        a, b, first, n_unique = edge_sort_keys(seg, four_connected)
+        overflow = (n_unique > jnp.uint32(e_cap)).astype(jnp.uint32)
+        ea, eb = compact_edges(a, b, first, e_cap)
+        remap, size_out, _, passes = eliminate_small_segments_graph(
+            ea, eb, size, spect, min_seg_size, max_spectral_diff)
+        seg = _remap_and_relabel(seg, remap, size_out)
+        return seg, jnp.stack([jnp.max(seg),
+                               passes.astype(jnp.uint32), overflow])
+
+    return jax.vmap(one)(imgs, segs)
+
+
+@functools.partial(
     jax.jit, static_argnames=("min_seg_size", "e_cap"))
 def eliminate_tiles_phase2(segs, sizes, spects, a, b, first,
                            max_spectral_diff, min_seg_size: int,

@@ -148,6 +148,60 @@ def _elim_small_finish_device(seg, size, spect, a, b, first,
     return seg_out, scalars
 
 
+# Fused-dispatch edge capacity = _E_CAP_FACTOR * segment capacity.
+# Segment-adjacency graphs are planar for 4-connectivity (E <= 3V-6) and
+# 1-planar for 8-connectivity (E <= 4V-8), so 4x the segment capacity can
+# only overflow for inputs violating those bounds (impossible for true
+# grid adjacency); the fused dispatch still checks and the host falls
+# back to the measured-capacity two-dispatch path if it ever trips.
+# (Module-level so tests can force the fallback.)
+_E_CAP_FACTOR = 4
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("four_connected", "min_seg_size", "capacity",
+                     "e_cap"))
+def _elim_fused_device(band_planes, seg, clump_sweeps, max_spectral_diff,
+                       min_seg_size: int, four_connected: bool,
+                       capacity: int, e_cap: int):
+    """
+    Device dispatch #2 FUSED: single-pixel elimination, segment
+    reductions, edge extraction, graph small-segment elimination, and the
+    final relabel in ONE program. The edge capacity comes from the
+    planarity bound (_E_CAP_FACTOR * capacity) instead of a measured
+    count, removing the mid-pipeline scalar sync — on a tunnelled or
+    queued device every blocking sync costs a full round trip (~25 ms
+    measured on the axon link, a third of the whole compute budget).
+
+    Returns (seg_out, scalars = [nAfterSingle, nSmallEliminated,
+    maxSegId, elimPasses, clumpSweeps, edgeOverflow]).
+    """
+    from .ops.elim_small import (edge_sort_keys, compact_edges,
+                                 eliminate_small_segments_graph,
+                                 _remap_and_relabel)
+
+    size = seg_sizes(seg, capacity)
+    seg, _, size = eliminate_single_pixels_device(
+        band_planes, seg, size, four_connected,
+        return_sizes=True, do_relabel=False)
+    n_after_single = jnp.count_nonzero(size[MINSEGID:]).astype(jnp.uint32)
+    spect = seg_spectral_sums_planes(seg, band_planes, capacity)
+    a, b, first, n_unique = edge_sort_keys(seg, four_connected)
+    overflow = (n_unique > jnp.uint32(e_cap)).astype(jnp.uint32)
+    ea, eb = compact_edges(a, b, first, e_cap)
+    remap, size_out, n_small, passes = eliminate_small_segments_graph(
+        ea, eb, size, spect, min_seg_size, max_spectral_diff)
+    seg = _remap_and_relabel(seg, remap, size_out)
+    scalars = jnp.stack([n_after_single, n_small.astype(jnp.uint32),
+                         jnp.max(seg).astype(jnp.uint32),
+                         passes.astype(jnp.uint32),
+                         clump_sweeps.astype(jnp.uint32), overflow])
+    if capacity <= 0xFFFF + 1:
+        seg = seg.astype(jnp.uint16)
+    return seg, scalars
+
+
 def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
         minSegmentSize=50, maxSpectralDiff='auto', imgNullVal=None,
         fourConnected=True, verbose=False, fixedKMeansInit=False,
@@ -192,22 +246,35 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
 
     t0 = time.time()
     capacity = round_capacity(maxSegId + 1)
-    (seg_dev, size_dev, spect_dev, ea_dev, eb_dev, first_dev,
-     scalars1_dev) = _elim_single_and_edges_device(
-        planes_dev, seg_dev, sweeps_dev,
-        four_connected=bool(fourConnected), capacity=capacity)
-    # One scalar sync picks the static edge-capacity bucket; merges only
-    # ever contract the adjacency graph, so the measured unique count is
-    # a true bound for the whole elimination loop (no overflow possible).
-    nAfterSingle, nUniqueEdges, clumpSweeps = np.asarray(
-        scalars1_dev).tolist()
-    eCap = round_capacity(int(nUniqueEdges) + 1)
-    seg_dev, scalars2_dev = _elim_small_finish_device(
-        seg_dev, size_dev, spect_dev, ea_dev, eb_dev, first_dev,
-        jnp.float32(maxSpectralDiff), min_seg_size=int(minSegmentSize),
-        e_cap=eCap, capacity=capacity)
-    numElimSmall, finalMax, elimPasses = np.asarray(scalars2_dev).tolist()
-    seg = np.asarray(seg_dev).astype(SegIdType)
+    # Fused elimination dispatch: edge capacity from the planarity bound,
+    # so the only mid-pipeline sync is the clump count above.
+    eCap = round_capacity(_E_CAP_FACTOR * capacity)
+    seg_out_dev, scalars_dev = _elim_fused_device(
+        planes_dev, seg_dev, sweeps_dev, jnp.float32(maxSpectralDiff),
+        min_seg_size=int(minSegmentSize),
+        four_connected=bool(fourConnected),
+        capacity=capacity, e_cap=eCap)
+    (nAfterSingle, numElimSmall, finalMax, elimPasses, clumpSweeps,
+     overflow) = np.asarray(scalars_dev).tolist()
+    if overflow:
+        # The planarity bound can only trip on inputs that are not true
+        # grid adjacencies; re-run with the measured edge count (one
+        # extra sync) — the original post-clump seg is still live.
+        (seg_dev2, size_dev, spect_dev, ea_dev, eb_dev, first_dev,
+         scalars1_dev) = _elim_single_and_edges_device(
+            planes_dev, seg_dev, sweeps_dev,
+            four_connected=bool(fourConnected), capacity=capacity)
+        nAfterSingle, nUniqueEdges, clumpSweeps = np.asarray(
+            scalars1_dev).tolist()
+        eCap = round_capacity(int(nUniqueEdges) + 1)
+        seg_out_dev, scalars2_dev = _elim_small_finish_device(
+            seg_dev2, size_dev, spect_dev, ea_dev, eb_dev, first_dev,
+            jnp.float32(maxSpectralDiff),
+            min_seg_size=int(minSegmentSize),
+            e_cap=eCap, capacity=capacity)
+        numElimSmall, finalMax, elimPasses = np.asarray(
+            scalars2_dev).tolist()
+    seg = np.asarray(seg_out_dev).astype(SegIdType)
     numElimSinglepix = maxSegId - int(nAfterSingle)
     if verbose:
         print("Eliminated", numElimSinglepix, "single pixels and",
@@ -256,15 +323,13 @@ def deviceResidentThroughput(img, kmeansObj, maxSpectralDiff,
             img_dev, centers, nullVal, has_null=hasNull,
             four_connected=bool(fourConnected))
         capacity = round_capacity(int(num) + 1)
-        seg, size, spect, ea, eb, first, sc1 = _elim_single_and_edges_device(
-            planes, seg, sweeps, four_connected=bool(fourConnected),
-            capacity=capacity)
-        eCap = round_capacity(int(np.asarray(sc1)[1]) + 1)
-        seg, sc2 = _elim_small_finish_device(
-            seg, size, spect, ea, eb, first, maxDiff,
-            min_seg_size=int(minSegmentSize), e_cap=eCap, capacity=capacity)
+        seg, sc = _elim_fused_device(
+            planes, seg, sweeps, maxDiff,
+            min_seg_size=int(minSegmentSize),
+            four_connected=bool(fourConnected), capacity=capacity,
+            e_cap=round_capacity(_E_CAP_FACTOR * capacity))
         # force a value fetch: block_until_ready can report early on axon
-        return int(np.asarray(sc2)[1])
+        return int(np.asarray(sc)[2])
 
     run()  # warm-up (compiles are cached from the end-to-end run)
     times = []

@@ -1006,7 +1006,7 @@ def createUserColumnsSpatial(colNamesAndTypes, attrTbl, existingColNames):
 
 def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
         colNamesAndTypes, userFunc, userParam, missingStatsValue=-9999,
-        numReadWorkers=None):
+        numReadWorkers=None, engine='auto'):
     """
     Spatial per-segment statistics: accumulate every segment's pixel
     coordinates (whole-image space), and when a segment completes, call
@@ -1018,6 +1018,12 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
     nodata value set (matching the reference's requirement).
 
     ``numReadWorkers`` works as in :func:`calcPerSegmentStatsTiled`.
+
+    ``engine='device'`` (or 'auto' on a directly-attached TPU) evaluates
+    the BUILT-IN user functions (userFuncVariogram,
+    userFuncNumEdgePixels) as batched vmapped device kernels over padded
+    per-segment bounding boxes (ops/spatialstats.py); custom callbacks
+    and userFuncMeanCoord always run on the host.
     """
     numReadWorkers = _defaultReadWorkers(numReadWorkers)
     timings = timinghooks.Timers()
@@ -1042,6 +1048,7 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
 
     acc = SegmentPointAccumulator(numSeg, imgNullVal)
     pagedRat = createPagedRat()
+    useDevice = _resolveStatsEngine(engine, imgband)
 
     tileSize = tiling.TILESIZE
     (nlines, npix) = (segband.YSize, segband.XSize)
@@ -1059,10 +1066,14 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
             acc.merge(compacted)
 
         with timings.interval('statscompletion'):
-            _spatialFinalizeCompleted(acc, segSize, userFunc, userParam,
-                                      missingStatsValue, pagedRat,
-                                      userColFast, numIntCols,
-                                      numFloatCols)
+            handled = useDevice and _spatialFinalizeCompletedDevice(
+                acc, segSize, userFunc, userParam, missingStatsValue,
+                pagedRat, userColFast, numIntCols, numFloatCols)
+            if not handled:
+                _spatialFinalizeCompleted(acc, segSize, userFunc,
+                                          userParam, missingStatsValue,
+                                          pagedRat, userColFast,
+                                          numIntCols, numFloatCols)
 
         with timings.interval('writing'):
             _writeCompletePagesSpatial(pagedRat, attrTbl, userColFast)
@@ -1076,6 +1087,108 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
     rtn = TiledStatsResult()
     rtn.timings = timings
     return rtn
+
+
+# Largest padded bounding-box bucket the batched device path will ship;
+# a segment with a bigger box falls back to the host callback (keeps
+# device memory bounded for degenerate scene-spanning segments).
+_SPATIAL_DEVICE_MAX_BOX = 2048
+
+
+def _writeSpatialRow(pagedRat, segId, intArr, floatArr, userColFast,
+                     numIntCols, numFloatCols, numSeg):
+    """Write one segment's intArr/floatArr into the paged RAT and mark
+    it complete."""
+    ratPage = _getRatPage(pagedRat, int(segId), numIntCols, numFloatCols,
+                          numSeg)
+    for (colNdx, statType, arrayNdx) in userColFast:
+        if statType == STAT_DTYPE_INT:
+            ratPage.setRatVal(int(segId), STAT_DTYPE_INT, int(arrayNdx),
+                              intArr[int(arrayNdx)])
+        else:
+            ratPage.setRatVal(int(segId), STAT_DTYPE_FLOAT, int(arrayNdx),
+                              floatArr[int(arrayNdx)])
+    ratPage.setSegmentComplete(int(segId))
+
+
+def _spatialFinalizeCompletedDevice(acc, segSize, userFunc, userParam,
+                                    missingStatsValue, pagedRat,
+                                    userColFast, numIntCols, numFloatCols):
+    """
+    Batched device finalization for the BUILT-IN spatial user functions:
+    segments completing in this round are scattered into padded
+    bounding-box tiles, boxes sharing a padded shape batch into one
+    vmapped device dispatch (SURVEY §2.3 rows 17/22). Segments with
+    boxes past _SPATIAL_DEVICE_MAX_BOX use the host callback. Returns
+    False if ``userFunc`` is not a built-in this path implements (the
+    caller then runs the host loop).
+    """
+    if userFunc is userFuncMeanCoord:
+        # mean coords come straight off the point lists — a device box
+        # would only add transfer; the host computation is one vector op
+        return False
+    if userFunc not in (userFuncNumEdgePixels, userFuncVariogram):
+        return False
+    from .ops import spatialstats as sps
+
+    numSeg = acc.numSeg
+    batches = {}   # padded shape -> [(segId, pts), ...]
+    for segId in acc.completedSegments(segSize):
+        pts = acc.extractSegment(segId)
+        intArr = numpy.full(numIntCols, missingStatsValue,
+                            dtype=numpy.int64)
+        floatArr = numpy.full(numFloatCols, missingStatsValue,
+                              dtype=numpy.float64)
+        if len(pts) == 0:
+            _writeSpatialRow(pagedRat, segId, intArr, floatArr,
+                             userColFast, numIntCols, numFloatCols,
+                             numSeg)
+            continue
+        shape = sps.pad_box_shape(
+            int(pts['y'].max() - pts['y'].min() + 1),
+            int(pts['x'].max() - pts['x'].min() + 1))
+        if max(shape) > _SPATIAL_DEVICE_MAX_BOX:
+            userFunc(pts, acc.imgNullVal, intArr, floatArr, userParam)
+            _writeSpatialRow(pagedRat, segId, intArr, floatArr,
+                             userColFast, numIntCols, numFloatCols,
+                             numSeg)
+            continue
+        batches.setdefault(shape, []).append((segId, pts))
+
+    for shape, members in batches.items():
+        segIds = [m[0] for m in members]
+        ptsList = [m[1] for m in members]
+        intRows = numpy.full((len(members), numIntCols),
+                             missingStatsValue, dtype=numpy.int64)
+        floatRows = numpy.full((len(members), numFloatCols),
+                               missingStatsValue, dtype=numpy.float64)
+        if userFunc is userFuncNumEdgePixels:
+            masks = sps.scatter_boxes(ptsList, 0, numpy.uint8, None)
+            counts = numpy.asarray(sps.edge_pixel_counts(
+                masks, four_connected=bool(userParam)))
+            intRows[:, 0] = counts
+        else:  # variogram
+            maxDist = int(userParam)
+            boxes = sps.scatter_boxes(ptsList, acc.imgNullVal,
+                                      imageValueType,
+                                      lambda p: p['val'])
+            valid = boxes != acc.imgNullVal
+            cnt, sums = sps.variogram_sums(
+                boxes.astype(numpy.float32), valid, max_dist=maxDist)
+            cnt = numpy.asarray(cnt)
+            sums = numpy.asarray(sums, dtype=numpy.float64)
+            nBins = min(maxDist, numFloatCols)
+            vario = numpy.where(
+                cnt[:, :nBins] > 0,
+                numpy.sqrt(sums[:, :nBins] /
+                           numpy.maximum(cnt[:, :nBins], 1)),
+                missingStatsValue)
+            floatRows[:, :nBins] = vario
+        for i, segId in enumerate(segIds):
+            _writeSpatialRow(pagedRat, segId, intRows[i], floatRows[i],
+                             userColFast, numIntCols, numFloatCols,
+                             numSeg)
+    return True
 
 
 def _spatialFinalizeCompleted(acc, segSize, userFunc, userParam,

@@ -70,3 +70,34 @@ def test_kmeans_obj_reuse(rng):
     res2 = shepseg.doShepherdSegmentation(
         img, numClusters=6, minSegmentSize=5, kmeansObj=res1.kmeans)
     np.testing.assert_array_equal(res1.segimg, res2.segimg)
+
+
+def test_fused_edge_overflow_falls_back(rng, monkeypatch):
+    """Force the fused dispatch's planarity-bound edge capacity to be too
+    small: the overflow flag must trip and the measured-capacity fallback
+    must produce the normal result."""
+    from pyshepseg_tpu import shepseg as ss
+    # 128^2 speckle: thousands of unique adjacencies, far above the
+    # 1024-edge floor the shrunken factor produces
+    img = (rng.integers(0, 30, size=(3, 128, 128)) * 8).astype(np.uint16)
+    res1 = ss.doShepherdSegmentation(img, numClusters=8,
+                                     minSegmentSize=5,
+                                     maxSpectralDiff=None,
+                                     fixedKMeansInit=True)
+    # shrink the factor so e_cap < true unique edges
+    monkeypatch.setattr(ss, "_E_CAP_FACTOR", 1.0 / (1 << 20))
+    calls = []
+    orig = ss._elim_single_and_edges_device
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ss, "_elim_single_and_edges_device", spy)
+    res2 = ss.doShepherdSegmentation(img, numClusters=8,
+                                     minSegmentSize=5,
+                                     maxSpectralDiff=None,
+                                     fixedKMeansInit=True)
+    assert len(calls) == 1, "overflow fallback did not run"
+    np.testing.assert_array_equal(res1.segimg, res2.segimg)
+    assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated

@@ -533,3 +533,48 @@ def test_rios_missing_package_raises(tmp_path, rng):
     with pytest.raises(tilingstats.PyShepSegStatsError):
         tilingstats.calcPerSegmentStatsRIOS(imgpath, 1, segpath,
                                             [("m", "mean")])
+
+
+def test_spatial_device_edge_pixels_matches_host(tmp_path, rng,
+                                                 small_tiles):
+    """Batched device edge-pixel counts must equal the host callback's
+    exactly (integer kernel)."""
+    import shutil
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+    segpath2 = str(tmp_path / "seg2.npseg")
+    shutil.copytree(segpath, segpath2)
+    cols = [("edges", rio.GFT_Integer)]
+    for path, engine in ((segpath, 'host'), (segpath2, 'device')):
+        tilingstats.calcPerSegmentSpatialStatsTiled(
+            imgpath, 1, path, cols, tilingstats.userFuncNumEdgePixels,
+            True, engine=engine)
+    ratH = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    ratD = rio.open(segpath2).GetRasterBand(1).GetDefaultRAT()
+    nH = [ratH.GetNameOfCol(i) for i in range(ratH.GetColumnCount())]
+    nD = [ratD.GetNameOfCol(i) for i in range(ratD.GetColumnCount())]
+    np.testing.assert_array_equal(ratH.ReadAsArray(nH.index("edges")),
+                                  ratD.ReadAsArray(nD.index("edges")))
+
+
+def test_spatial_device_variogram_matches_host(tmp_path, rng,
+                                               small_tiles):
+    """Batched device variograms match the host callback to float32
+    accumulation tolerance."""
+    import shutil
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+    segpath2 = str(tmp_path / "seg2.npseg")
+    shutil.copytree(segpath, segpath2)
+    maxDist = 3
+    cols = [(f"vario{d}", rio.GFT_Real) for d in range(1, maxDist + 1)]
+    for path, engine in ((segpath, 'host'), (segpath2, 'device')):
+        tilingstats.calcPerSegmentSpatialStatsTiled(
+            imgpath, 1, path, cols, tilingstats.userFuncVariogram,
+            maxDist, engine=engine)
+    ratH = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    ratD = rio.open(segpath2).GetRasterBand(1).GetDefaultRAT()
+    nH = [ratH.GetNameOfCol(i) for i in range(ratH.GetColumnCount())]
+    nD = [ratD.GetNameOfCol(i) for i in range(ratD.GetColumnCount())]
+    for (c, _t) in cols:
+        a = ratH.ReadAsArray(nH.index(c))
+        b = ratD.ReadAsArray(nD.index(c))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-4)
