@@ -17,7 +17,11 @@ reference's numba-on-CPU throughput (the reference publishes no numbers —
 see BASELINE.md); configs with no meaningful reference estimate report
 vs_baseline = null.
 
-Env knobs: BENCH_CONFIGS="1,3" runs a subset (default: all).
+Env knobs: BENCH_CONFIGS="1,3" runs a subset (default: "1,2,3,4,5").
+Adding "golden" runs the end-to-end oracle at the reference's own
+8000^2 / 101-centre scale (reference runtests.py:27-40) — ~5-10 min
+through the tunnelled chip, so not in the default set; its latest
+measured result is recorded in BASELINE.md.
 """
 
 import os
@@ -237,6 +241,31 @@ def _run_config5(results, segfile, tempDir):
         "vs_baseline": None})
 
 
+def _run_golden8000(results):
+    """Golden end-to-end oracle at the reference's own scale knobs
+    (8000^2 scene, 101 Voronoi centres — reference runtests.py:27-40),
+    run through the real CLI. Opt in with BENCH_CONFIGS=golden (it adds
+    ~5-10 min through the tunnelled chip)."""
+    import subprocess
+    import tempfile
+    import shutil
+    tmp = tempfile.mkdtemp(prefix="pyshepseg_golden_")
+    t0 = time.time()
+    proc = subprocess.run(
+        [os.sys.executable, "-u", "-m", "pyshepseg_tpu.cmdline.runtests",
+         "-d", tmp, "--size", "8000", "--ncentres", "101",
+         "--tilesize", "1024", "--overlapsize", "256"],
+        capture_output=True, universal_newlines=True)
+    elapsed = time.time() - t0
+    ok = proc.returncode == 0 and "All tests passed" in proc.stdout
+    shutil.rmtree(tmp, ignore_errors=True)
+    results.append({
+        "name": "golden8000: full pipeline + stats + subset oracle at "
+                "the reference's 8000^2 / 101-centre scale",
+        "value": round(elapsed, 1), "unit": "seconds",
+        "vs_baseline": None, "passed": ok})
+
+
 def _pallas_compiled_check():
     """Validate Mosaic-compiled lowering of the Pallas block-local CCL
     kernel against the pure-XLA path (CI runs it interpreted only)."""
@@ -258,28 +287,32 @@ def main():
     import tempfile
     import shutil
 
-    which = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5")
-    which = {int(x) for x in which.split(",") if x.strip()}
+    which = {x.strip() for x in
+             os.environ.get("BENCH_CONFIGS", "1,2,3,4,5").split(",")
+             if x.strip()}
     results = []
     headline = None
 
-    if 1 in which:
+    if "1" in which:
         headline = _run_config1(results)
-    if 2 in which:
+    if "2" in which:
         _run_config2(results)
 
     tempDir = None
     try:
-        if which & {3, 4, 5}:
+        if which & {"3", "4", "5"}:
             tempDir = tempfile.mkdtemp(prefix="pyshepseg_bench_")
             imgfile, segfile, _ = _run_config3(results, tempDir)
-            if 4 in which:
+            if "4" in which:
                 _run_config4(results, imgfile, segfile)
-            if 5 in which:
+            if "5" in which:
                 _run_config5(results, segfile, tempDir)
     finally:
         if tempDir is not None:
             shutil.rmtree(tempDir, ignore_errors=True)
+
+    if "golden" in which:
+        _run_golden8000(results)
 
     pallas_check = _pallas_compiled_check()
 

@@ -111,13 +111,19 @@ def compact_edges(a, b, first, e_cap: int):
     return ea, eb
 
 
-def _merge_pass_edges(ea, eb, remap, seg_size, spect_sum, target,
+def _merge_pass_edges(ea, eb, remap, seg_size, spect_bm, target,
                       max_diff_sqr):
     """
     One find+apply pass for segments of exactly ``target`` pixels, on the
     segment-adjacency graph. ea/eb are ORIGINAL ids; remap maps original
     id -> current id. Mirrors reference findMergeSegment + doMerge
     (shepseg.py:1003-1123) semantics on frozen per-pass state.
+
+    ``spect_bm`` is BAND-MAJOR (nBands, capacity): the per-edge mean
+    gathers then read 1D rows with the big dim minor. The band-minor
+    (capacity, nBands) form pads the 4-wide minor dim to 128 lanes, so
+    every row gather streams 32x the bytes — measured ~1 ms/pass extra
+    at 16k edges, dominating the whole elimination loop.
     """
     capacity = seg_size.shape[0]
     inf = jnp.float32(jnp.inf)
@@ -125,8 +131,6 @@ def _merge_pass_edges(ea, eb, remap, seg_size, spect_sum, target,
     ids = jnp.arange(capacity, dtype=jnp.uint32)
 
     is_cand = (seg_size == target) & (ids >= MINSEGID)
-    safe_size = jnp.maximum(seg_size, 1).astype(jnp.float32)
-    mean = spect_sum / safe_size[:, None]            # (capacity, nBands)
 
     # Undirected edges: distances, sizes, and candidacy gathered ONCE per
     # pair, then mirrored into both directions by concatenation (a given
@@ -138,8 +142,14 @@ def _merge_pass_edges(ea, eb, remap, seg_size, spect_sum, target,
     size_b = seg_size[cur_b]
     cand_a = is_cand[cur_a]
     cand_b = is_cand[cur_b]
-    diff = mean[cur_a] - mean[cur_b]                 # (E, nBands)
-    d2u = jnp.sum(diff * diff, axis=-1)
+    # division (not reciprocal-multiply) keeps the arithmetic identical
+    # to the band-minor mean = sum/size formulation
+    fsize_a = jnp.maximum(size_a, 1).astype(jnp.float32)
+    fsize_b = jnp.maximum(size_b, 1).astype(jnp.float32)
+    d2u = jnp.zeros(cur_a.shape, jnp.float32)
+    for band_sum in spect_bm:                        # static nBands loop
+        diff = band_sum[cur_a] / fsize_a - band_sum[cur_b] / fsize_b
+        d2u = d2u + diff * diff
 
     ok_ab = live & cand_a & (size_b > size_a)        # a merges into b
     ok_ba = live & cand_b & (size_a > size_b)        # b merges into a
@@ -169,16 +179,19 @@ def _merge_pass_edges(ea, eb, remap, seg_size, spect_sum, target,
     inc_size = jax.ops.segment_sum(moved_size, tgt, num_segments=capacity)
     seg_size_new = seg_size - moved_size + inc_size
 
-    moved_spect = jnp.where(move[:, None], spect_sum, 0.0)
-    inc_spect = jax.ops.segment_sum(moved_spect, tgt, num_segments=capacity)
-    spect_sum_new = spect_sum - moved_spect + inc_spect
+    spect_bm_new = []
+    for band_sum in spect_bm:
+        moved = jnp.where(move, band_sum, 0.0)
+        inc = jax.ops.segment_sum(moved, tgt, num_segments=capacity)
+        spect_bm_new.append(band_sum - moved + inc)
 
     n_merged = move.sum().astype(jnp.uint32)
-    return remap_new, seg_size_new, spect_sum_new, n_merged
+    return remap_new, seg_size_new, tuple(spect_bm_new), n_merged
 
 
 def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
-                                   min_seg_size: int, max_spectral_diff):
+                                   min_seg_size: int, max_spectral_diff,
+                                   remap_init=None):
     """
     Device: the full targetSize sweep (reference: shepseg.py:918-1000) on
     the adjacency graph. For targetSize = 1 .. min_seg_size-1, run
@@ -194,13 +207,22 @@ def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
     """
     capacity = seg_size.shape[0]
     max_diff_sqr = (jnp.float32(max_spectral_diff) ** 2)
-    remap0 = jnp.arange(capacity, dtype=jnp.uint32)
+    # ``remap_init`` lets the caller run the loop on a PRE-CONTRACTION
+    # edge list: ea/eb may be adjacencies of an earlier labelling (e.g.
+    # the raw clump image) with remap_init mapping those ids to current
+    # ones — contracted duplicate pairs are harmless (the pass min-
+    # reduces per pair). seg_size/spect_sum are indexed by CURRENT ids.
+    remap0 = (jnp.arange(capacity, dtype=jnp.uint32)
+              if remap_init is None else remap_init.astype(jnp.uint32))
+    # band-major tuple of (capacity,) vectors for lane-friendly gathers
+    # in the pass (see _merge_pass_edges)
+    spect_bm = tuple(spect_sum[:, i] for i in range(spect_sum.shape[1]))
 
     def count_at(seg_size, target):
         return jnp.count_nonzero(seg_size == target).astype(jnp.int32)
 
     def per_target(target, carry):
-        remap, seg_size, spect_sum, num_elim, total_passes = carry
+        remap, seg_size, spect_bm, num_elim, total_passes = carry
         target_u = target.astype(jnp.uint32)
 
         def cond(c):
@@ -214,15 +236,15 @@ def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
             return (remap_n, size_n, spect_n, count_at(size_n, target_u),
                     count, passes + 1, elim + n)
 
-        init = (remap, seg_size, spect_sum, count_at(seg_size, target_u),
+        init = (remap, seg_size, spect_bm, count_at(seg_size, target_u),
                 jnp.int32(-1), jnp.int32(0), num_elim)
-        (remap, seg_size, spect_sum, _, _, passes,
+        (remap, seg_size, spect_bm, _, _, passes,
          num_elim) = jax.lax.while_loop(cond, body, init)
-        return remap, seg_size, spect_sum, num_elim, total_passes + passes
+        return remap, seg_size, spect_bm, num_elim, total_passes + passes
 
-    remap, seg_size, spect_sum, num_elim, total_passes = jax.lax.fori_loop(
+    remap, seg_size, spect_bm, num_elim, total_passes = jax.lax.fori_loop(
         1, min_seg_size, per_target,
-        (remap0, seg_size, spect_sum, jnp.uint32(0), jnp.int32(0)))
+        (remap0, seg_size, spect_bm, jnp.uint32(0), jnp.int32(0)))
     return remap, seg_size, num_elim, total_passes
 
 

@@ -31,26 +31,29 @@ from ..ops.elim_small import round_capacity
 def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
                        fourConnected, hasNull, segCapacity=None):
     """
-    Segment one sharded batch of tiles: cluster+clump dispatch, one
-    batch-wide scalar sync to bucket the segment capacity, then the
-    FUSED elimination dispatch (edge capacity from the planarity bound —
-    see shepseg._elim_fused_device). Any tile tripping the edge-overflow
-    flag re-runs the batch through the measured-capacity phase1/phase2
-    pair. Returns the segmented batch as numpy uint32 (B, H, W).
+    Segment one sharded batch of tiles: cluster+clump+edges dispatch,
+    ONE batch-wide scalar sync to bucket the segment capacity (max clump
+    count) and the edge capacity (max measured clump-adjacency count — a
+    contraction bound), then the FUSED elimination dispatch. Any tile
+    tripping the edge-overflow flag re-runs the batch through the
+    measured-post-elimination phase1/phase2 pair. Returns the segmented
+    batch as numpy uint32 (B, H, W).
 
     Shared by the CONC_MESH backend and the per-host shard path of the
     DCN backend.
     """
-    segs, counts, _ = cluster_clump_tiles(
+    from .pipeline import cluster_clump_edges_tiles
+    from .. import shepseg as _shepseg
+
+    segs, a, b, first, sc0 = cluster_clump_edges_tiles(
         batch_j, centers, nullVal,
         four_connected=fourConnected, has_null=hasNull)
-    capacity = segCapacity or round_capacity(
-        int(np.asarray(counts).max()) + 1)
-    from .. import shepseg as _shepseg
-    eCap = round_capacity(
-        max(1, int(_shepseg._E_CAP_FACTOR * capacity)))
+    sc0 = np.asarray(sc0)
+    capacity = segCapacity or round_capacity(int(sc0[:, 0].max()) + 1)
+    eCap = _shepseg._edgeCapForCount(int(sc0[:, 1].max()))
     segsF, scalars = eliminate_tiles_fused(
-        batch_j, segs, maxDiff, min_seg_size=minSegmentSize,
+        batch_j, segs, a, b, first, maxDiff,
+        min_seg_size=minSegmentSize,
         four_connected=fourConnected, capacity=capacity, e_cap=eCap)
     scalars = np.asarray(scalars)
     if not scalars[:, 2].any():

@@ -123,13 +123,38 @@ def cluster_clump_tiles(imgs, centers, img_null_val,
     """
     Batched dispatch #1: cluster assignment + clumping for a batch of
     tiles (B, nBands, H, W). Returns (segs uint32 (B, H, W),
-    clump counts (B,) uint32).
+    clump counts (B,) uint32, sweep counts (B,) int32).
     """
 
     def one(img):
         clusters = assign_clusters(img, centers, img_null_val, has_null)
         return clump_labels(clusters.astype(jnp.int32), SEGNULLVAL,
                             four_connected=four_connected)
+
+    return jax.vmap(one)(imgs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("four_connected", "has_null"))
+def cluster_clump_edges_tiles(imgs, centers, img_null_val,
+                              four_connected: bool, has_null: bool):
+    """
+    Batched dispatch #1 for the fused flow: clustering + clumping + the
+    sorted clump-adjacency edge keys, whose measured unique counts size
+    the fused dispatch's edge bucket (contraction bound — see
+    shepseg._cluster_and_clump_device). Returns (segs, a, b, first,
+    scalars (B, 2) = [clumpCount, nUniqueEdges]).
+    """
+    from ..ops.elim_small import edge_sort_keys
+
+    def one(img):
+        clusters = assign_clusters(img, centers, img_null_val, has_null)
+        seg, count, _ = clump_labels(clusters.astype(jnp.int32),
+                                     SEGNULLVAL,
+                                     four_connected=four_connected)
+        a, b, first, n_unique = edge_sort_keys(seg, four_connected)
+        return seg, a, b, first, jnp.stack(
+            [count, n_unique.astype(jnp.uint32)])
 
     return jax.vmap(one)(imgs)
 
@@ -165,40 +190,44 @@ def eliminate_tiles_phase1(imgs, segs, four_connected: bool,
 @functools.partial(
     jax.jit, static_argnames=("min_seg_size", "four_connected",
                               "capacity", "e_cap"))
-def eliminate_tiles_fused(imgs, segs, max_spectral_diff,
+def eliminate_tiles_fused(imgs, segs, a, b, first, max_spectral_diff,
                           min_seg_size: int, four_connected: bool,
                           capacity: int, e_cap: int):
     """
     Batched FUSED dispatch #2: everything after clumping in one program
-    per tile batch, with the edge capacity from the planarity bound
-    (see shepseg._elim_fused_device) instead of a measured count — one
-    batch-wide scalar sync total instead of two. Returns
-    (segs uint32 (B, H, W), scalars (B, 3) = [maxSegId, elimPasses,
-    edgeOverflow]); any overflow flag set => re-run that batch through
-    the measured-capacity phase1/phase2 pair.
+    per tile batch, running the graph loop on the clump-image edges from
+    cluster_clump_edges_tiles seeded with the singleton-merge remap (no
+    second whole-image sort, no second sync — see
+    shepseg._elim_fused_device). Returns (segs uint32 (B, H, W),
+    scalars (B, 3) = [maxSegId, elimPasses, edgeOverflow]); any overflow
+    flag set => re-run that batch through the measured-capacity
+    phase1/phase2 pair.
     """
-    from ..ops.elim_small import (edge_sort_keys, compact_edges,
+    from ..ops.elim_small import (compact_edges,
                                   eliminate_small_segments_graph,
                                   _remap_and_relabel)
-    from ..ops.constants import MINSEGID  # noqa: F401
 
-    def one(img, seg):
+    def one(img, seg, aa, bb, ff):
         planes = band_planes(img.astype(jnp.float32))
+        seg_clump = seg
         size = seg_sizes(seg, capacity)
         seg, _, size = eliminate_single_pixels_device(
             planes, seg, size, four_connected,
             return_sizes=True, do_relabel=False)
         spect = seg_spectral_sums_planes(seg, planes, capacity)
-        a, b, first, n_unique = edge_sort_keys(seg, four_connected)
+        remap0 = jnp.arange(capacity, dtype=jnp.uint32).at[
+            seg_clump.ravel().astype(jnp.int32)].set(seg.ravel())
+        n_unique = jnp.sum(ff.astype(jnp.uint32))
         overflow = (n_unique > jnp.uint32(e_cap)).astype(jnp.uint32)
-        ea, eb = compact_edges(a, b, first, e_cap)
+        ea, eb = compact_edges(aa, bb, ff, e_cap)
         remap, size_out, _, passes = eliminate_small_segments_graph(
-            ea, eb, size, spect, min_seg_size, max_spectral_diff)
+            ea, eb, size, spect, min_seg_size, max_spectral_diff,
+            remap_init=remap0)
         seg = _remap_and_relabel(seg, remap, size_out)
         return seg, jnp.stack([jnp.max(seg),
                                passes.astype(jnp.uint32), overflow])
 
-    return jax.vmap(one)(imgs, segs)
+    return jax.vmap(one)(imgs, segs, a, b, first)
 
 
 @functools.partial(

@@ -66,19 +66,35 @@ def _cluster_and_clump_device(img_dev, centers, img_null_val,
     """
     Device dispatch #1: cast image to float32, assign nearest cluster
     (reference: shepseg.py:317-361), clump connected components
-    (reference: shepseg.py:452-541). Keeps everything device-resident so
-    the image crosses host->device exactly once, in its native dtype.
+    (reference: shepseg.py:452-541), and extract the sorted clump-
+    adjacency edge keys. Keeps everything device-resident so the image
+    crosses host->device exactly once, in its native dtype.
+
+    Extracting edges HERE (from the clump image) rather than after
+    single-pixel elimination lets the one packed scalar fetch also carry
+    the measured unique-adjacency count: single-pixel merges only ever
+    CONTRACT the adjacency graph (|E| never grows under contraction), so
+    the clump-image count is a true bound for the whole elimination
+    loop, and the fused dispatch #2 needs no second whole-image sort and
+    no second sync.
+
+    Returns (band planes, seg, a, b, first, scalars =
+    [numClumps, nUniqueEdges, clumpSweeps]).
     """
     from .ops.kmeans import assign_clusters
+    from .ops.elim_small import edge_sort_keys
 
     img_f = img_dev.astype(jnp.float32)
     clusters = assign_clusters(img_dev, centers, img_null_val, has_null)
     seg, num_clumps, sweeps = clump_labels(
         clusters.astype(jnp.int32), SEGNULLVAL,
         four_connected=four_connected)
+    a, b, first, n_unique = edge_sort_keys(seg, four_connected)
+    scalars = jnp.stack([num_clumps, n_unique.astype(jnp.uint32),
+                         sweeps.astype(jnp.uint32)])
     # Per-band 2D planes, NOT the 3D array (see segreduce.band_planes
     # for the lane-padding OOM this avoids)
-    return band_planes_fn(img_f), seg, num_clumps, sweeps
+    return band_planes_fn(img_f), seg, a, b, first, scalars
 
 
 @functools.partial(
@@ -148,55 +164,60 @@ def _elim_small_finish_device(seg, size, spect, a, b, first,
     return seg_out, scalars
 
 
-# Fused-dispatch edge capacity = _E_CAP_FACTOR * segment capacity.
-# Segment-adjacency graphs are planar for 4-connectivity (E <= 3V-6) and
-# 1-planar for 8-connectivity (E <= 4V-8), so 4x the segment capacity can
-# only overflow for inputs violating those bounds (impossible for true
-# grid adjacency); the fused dispatch still checks and the host falls
-# back to the measured-capacity two-dispatch path if it ever trips.
-# (Module-level so tests can force the fallback.)
-_E_CAP_FACTOR = 4
+def _edgeCapForCount(nUniqueEdges: int) -> int:
+    """Static edge-capacity bucket from the measured clump-adjacency
+    count (module-level hook so tests can force the overflow fallback)."""
+    return round_capacity(int(nUniqueEdges) + 1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("four_connected", "min_seg_size", "capacity",
                      "e_cap"))
-def _elim_fused_device(band_planes, seg, clump_sweeps, max_spectral_diff,
+def _elim_fused_device(band_planes, seg, a, b, first, max_spectral_diff,
                        min_seg_size: int, four_connected: bool,
                        capacity: int, e_cap: int):
     """
     Device dispatch #2 FUSED: single-pixel elimination, segment
-    reductions, edge extraction, graph small-segment elimination, and the
-    final relabel in ONE program. The edge capacity comes from the
-    planarity bound (_E_CAP_FACTOR * capacity) instead of a measured
-    count, removing the mid-pipeline scalar sync — on a tunnelled or
-    queued device every blocking sync costs a full round trip (~25 ms
-    measured on the axon link, a third of the whole compute budget).
+    reductions, graph small-segment elimination, and the final relabel
+    in ONE program. ``a/b/first`` are the sorted CLUMP-image adjacency
+    keys from dispatch #1, whose measured unique count sized ``e_cap``
+    (contraction bound — see _cluster_and_clump_device); the graph loop
+    runs on those clump edges seeded with the singleton-merge remap, so
+    this dispatch needs neither its own whole-image sort nor a second
+    capacity sync. (On a tunnelled or queued device every blocking sync
+    costs a full round trip — ~25 ms measured on the axon link, a third
+    of the whole compute budget.)
 
     Returns (seg_out, scalars = [nAfterSingle, nSmallEliminated,
-    maxSegId, elimPasses, clumpSweeps, edgeOverflow]).
+    maxSegId, elimPasses, edgeOverflow]).
     """
-    from .ops.elim_small import (edge_sort_keys, compact_edges,
+    from .ops.elim_small import (compact_edges,
                                  eliminate_small_segments_graph,
                                  _remap_and_relabel)
 
+    seg_clump = seg
     size = seg_sizes(seg, capacity)
     seg, _, size = eliminate_single_pixels_device(
         band_planes, seg, size, four_connected,
         return_sizes=True, do_relabel=False)
     n_after_single = jnp.count_nonzero(size[MINSEGID:]).astype(jnp.uint32)
     spect = seg_spectral_sums_planes(seg, band_planes, capacity)
-    a, b, first, n_unique = edge_sort_keys(seg, four_connected)
+    # clump id -> post-single-elim id: every pixel of a clump carries the
+    # same new id (survivors keep theirs; an absorbed singleton's one
+    # pixel carries its absorber), so a full-image scatter builds the map
+    remap0 = jnp.arange(capacity, dtype=jnp.uint32).at[
+        seg_clump.ravel().astype(jnp.int32)].set(seg.ravel())
+    n_unique = jnp.sum(first.astype(jnp.uint32))
     overflow = (n_unique > jnp.uint32(e_cap)).astype(jnp.uint32)
     ea, eb = compact_edges(a, b, first, e_cap)
     remap, size_out, n_small, passes = eliminate_small_segments_graph(
-        ea, eb, size, spect, min_seg_size, max_spectral_diff)
+        ea, eb, size, spect, min_seg_size, max_spectral_diff,
+        remap_init=remap0)
     seg = _remap_and_relabel(seg, remap, size_out)
     scalars = jnp.stack([n_after_single, n_small.astype(jnp.uint32),
                          jnp.max(seg).astype(jnp.uint32),
-                         passes.astype(jnp.uint32),
-                         clump_sweeps.astype(jnp.uint32), overflow])
+                         passes.astype(jnp.uint32), overflow])
     if capacity <= 0xFFFF + 1:
         seg = seg.astype(jnp.uint16)
     return seg, scalars
@@ -232,35 +253,42 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     centers = jnp.asarray(np.asarray(km.cluster_centers_, dtype=np.float32))
     hasNull = imgNullVal is not None
     nullVal = jnp.float32(imgNullVal if hasNull else 0)
-    planes_dev, seg_dev, numClumps, sweeps_dev = _cluster_and_clump_device(
+    (planes_dev, seg_dev, a_dev, b_dev, first_dev,
+     scalars0_dev) = _cluster_and_clump_device(
         img_dev, centers, nullVal,
         has_null=hasNull, four_connected=bool(fourConnected))
-    maxSegId = int(numClumps)  # scalar sync; picks the capacity bucket
+    # The ONE mid-pipeline scalar sync: picks the segment-capacity bucket
+    # (clump count) and the edge-capacity bucket (measured clump-image
+    # adjacency count, a contraction bound for the whole loop).
+    numClumps, nUniqueEdges, clumpSweeps = np.asarray(
+        scalars0_dev).tolist()
+    maxSegId = int(numClumps)
     if verbose:
         print("Kmeans plus clump found", maxSegId, "clumps, in",
               round(time.time() - t0, 1), "seconds,",
-              int(sweeps_dev), "propagation sweeps")
+              int(clumpSweeps), "propagation sweeps")
 
     maxSpectralDiff = autoMaxSpectralDiff(km, maxSpectralDiff,
                                           spectDistPcntile)
 
     t0 = time.time()
     capacity = round_capacity(maxSegId + 1)
-    # Fused elimination dispatch: edge capacity from the planarity bound,
-    # so the only mid-pipeline sync is the clump count above.
-    eCap = round_capacity(_E_CAP_FACTOR * capacity)
+    eCap = _edgeCapForCount(nUniqueEdges)
     seg_out_dev, scalars_dev = _elim_fused_device(
-        planes_dev, seg_dev, sweeps_dev, jnp.float32(maxSpectralDiff),
+        planes_dev, seg_dev, a_dev, b_dev, first_dev,
+        jnp.float32(maxSpectralDiff),
         min_seg_size=int(minSegmentSize),
         four_connected=bool(fourConnected),
         capacity=capacity, e_cap=eCap)
-    (nAfterSingle, numElimSmall, finalMax, elimPasses, clumpSweeps,
+    (nAfterSingle, numElimSmall, finalMax, elimPasses,
      overflow) = np.asarray(scalars_dev).tolist()
     if overflow:
-        # The planarity bound can only trip on inputs that are not true
-        # grid adjacencies; re-run with the measured edge count (one
-        # extra sync) — the original post-clump seg is still live.
-        (seg_dev2, size_dev, spect_dev, ea_dev, eb_dev, first_dev,
+        # Cannot trip when eCap came from the measured count (the graph
+        # only contracts); guards the test hook and any future caller
+        # passing a heuristic bucket. Falls back to measuring edges
+        # post-elimination (one extra sync).
+        sweeps_dev = jnp.uint32(int(clumpSweeps))
+        (seg_dev2, size_dev, spect_dev, ea_dev, eb_dev, first_dev2,
          scalars1_dev) = _elim_single_and_edges_device(
             planes_dev, seg_dev, sweeps_dev,
             four_connected=bool(fourConnected), capacity=capacity)
@@ -268,7 +296,7 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
             scalars1_dev).tolist()
         eCap = round_capacity(int(nUniqueEdges) + 1)
         seg_out_dev, scalars2_dev = _elim_small_finish_device(
-            seg_dev2, size_dev, spect_dev, ea_dev, eb_dev, first_dev,
+            seg_dev2, size_dev, spect_dev, ea_dev, eb_dev, first_dev2,
             jnp.float32(maxSpectralDiff),
             min_seg_size=int(minSegmentSize),
             e_cap=eCap, capacity=capacity)
@@ -319,15 +347,16 @@ def deviceResidentThroughput(img, kmeansObj, maxSpectralDiff,
     np.asarray(img_dev[0, 0, 0])
 
     def run():
-        planes, seg, num, sweeps = _cluster_and_clump_device(
+        planes, seg, a, b, first, sc0 = _cluster_and_clump_device(
             img_dev, centers, nullVal, has_null=hasNull,
             four_connected=bool(fourConnected))
+        num, nUnique, _ = np.asarray(sc0).tolist()
         capacity = round_capacity(int(num) + 1)
         seg, sc = _elim_fused_device(
-            planes, seg, sweeps, maxDiff,
+            planes, seg, a, b, first, maxDiff,
             min_seg_size=int(minSegmentSize),
             four_connected=bool(fourConnected), capacity=capacity,
-            e_cap=round_capacity(_E_CAP_FACTOR * capacity))
+            e_cap=_edgeCapForCount(nUnique))
         # force a value fetch: block_until_ready can report early on axon
         return int(np.asarray(sc)[2])
 

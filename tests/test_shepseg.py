@@ -84,8 +84,8 @@ def test_fused_edge_overflow_falls_back(rng, monkeypatch):
                                      minSegmentSize=5,
                                      maxSpectralDiff=None,
                                      fixedKMeansInit=True)
-    # shrink the factor so e_cap < true unique edges
-    monkeypatch.setattr(ss, "_E_CAP_FACTOR", 1.0 / (1 << 20))
+    # shrink the edge bucket below the true unique-edge count
+    monkeypatch.setattr(ss, "_edgeCapForCount", lambda n: 1024)
     calls = []
     orig = ss._elim_single_and_edges_device
 
