@@ -69,6 +69,12 @@ def getCmdargs():
         type=float,
         help="Percent of data to subsample for clustering (across all "
              "tiles). If not given, 1 million pixels are used.")
+    tileGroup.add_argument("--tilegrid", default="uniform",
+        choices=("uniform", "grow"),
+        help="Tile decomposition: 'uniform' keeps every tile exactly "
+             "tilesize (one compiled device program per scene); 'grow' "
+             "reproduces the reference's grown-edge-tile grid "
+             "(default=%(default)s)")
     tileGroup.add_argument("--simplerecode", default=False,
         action="store_true",
         help="Use a simple recode method when merging tiles, rather than "
@@ -172,7 +178,8 @@ def mainCmd():
         fixedKMeansInit=cmdargs.fixedkmeansinit,
         fourConnected=not cmdargs.eightway, verbose=cmdargs.verbose,
         simpleTileRecode=cmdargs.simplerecode, outputDriver=cmdargs.format,
-        creationOptions=creationOptions, concurrencyCfg=concurrencyCfg)
+        creationOptions=creationOptions, concurrencyCfg=concurrencyCfg,
+        tileGrid=cmdargs.tilegrid)
 
     if cmdargs.verbose and tiledSegResult.timings is not None:
         summaryDict = tiledSegResult.timings.makeSummaryDict()

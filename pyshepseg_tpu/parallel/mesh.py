@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import tiling as _tiling
 from .. import shepseg
-from .pipeline import (cluster_clump_tiles, eliminate_tiles_fused,
+from .pipeline import (eliminate_tiles_fused,
                        eliminate_tiles_phase1, eliminate_tiles_phase2)
 from ..ops.elim_small import round_capacity
 

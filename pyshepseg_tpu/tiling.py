@@ -870,19 +870,17 @@ class SegmentationConcurrencyMgr:
         emptySegIds = numpy.where(hist[1:] == 0)[0] + 1
         hasEmptySegments = len(emptySegIds) > 0
         if hasEmptySegments:
-            msg = [
-                "",
-                "WARNING: Found {} segments with zero pixels".format(
-                    len(emptySegIds)),
-                "    Segment IDs: {}".format(emptySegIds),
-                "    This is caused by inconsistent joining of segmentation",
-                "    tiles, and will probably cause trouble later on.",
-                "    It is highly recommended to re-run with a larger overlap",
-                "    size (currently {}), and if necessary a larger tile "
-                "size".format(overlapSize),
-                ""
-            ]
-            print('\n'.join(msg), file=sys.stderr)
+            print(
+                "\nWARNING: {} segment ID(s) ended up with zero pixels "
+                "in the mosaic: {}\n"
+                "    The tile-join reconciliation could not match these "
+                "segments across a shared strip — usually the overlap "
+                "({} px here) is too small for the segment sizes this "
+                "scene produces. Re-running with a larger overlapSize "
+                "(and, if needed, a larger tileSize) normally resolves "
+                "it.\n".format(len(emptySegIds), emptySegIds,
+                               overlapSize),
+                file=sys.stderr)
         return hasEmptySegments
 
     @staticmethod
