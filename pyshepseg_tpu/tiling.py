@@ -419,12 +419,24 @@ def _segsCrossingMidline(overlapA, orientation):
 def _modeMatch(overlapA, overlapB, crossingIds):
     """
     For each crossing segment ID in overlapA, the most common co-located
-    value in overlapB (ties -> smallest value, matching scipy.stats.mode
-    as used at reference tiling.py:1194-1200). Returns a dict id -> id.
+    NON-NULL value in overlapB (ties -> smallest value, matching
+    scipy.stats.mode as used at reference tiling.py:1194-1200). Returns a
+    dict id -> id; segments with no labelled co-located B pixels get no
+    entry.
+
+    Null B pixels are excluded — a deliberate fix of a reference defect
+    (its mode runs over raw B values, reference tiling.py:1194-1200):
+    when a segment pokes a sliver across the midline into a region the
+    earlier tile left unclaimed, the mode can come back as the NULL id,
+    recoding the entire segment to null; nulls then cascade down the
+    overlap chain and can void whole regions (reproduced at the
+    reference's own 8000^2 test scale with 1024/256 tiles). Only pixels
+    the earlier tile actually labelled carry identity information.
     """
     if len(crossingIds) == 0:
         return {}
-    mask = numpy.isin(overlapA, crossingIds)
+    mask = numpy.isin(overlapA, crossingIds) & \
+        (overlapB != shepseg.SEGNULLVAL)
     a = overlapA[mask].astype(numpy.uint64)
     b = overlapB[mask].astype(numpy.uint64)
     pairKey = (a << numpy.uint64(32)) | b
@@ -436,31 +448,6 @@ def _modeMatch(overlapA, overlapB, crossingIds):
     ua, ub = ua[order], ub[order]
     first = numpy.concatenate([[True], ua[1:] != ua[:-1]])
     return dict(zip(ua[first].tolist(), ub[first].tolist()))
-
-
-def _perSegBBoxTopLeft(tileData):
-    """
-    Per-segment-ID (minRow, minCol) over the tile. Returns
-    (ids ascending, minRow, minCol, tileMax) for IDs present (tileMax
-    saves the caller a second full-tile max reduction).
-
-    Implemented as reverse row/column sweeps with fancy assignment —
-    within one assignment every written value is identical (the
-    row/column number), so duplicate indices are harmless, and sweeping
-    from the far edge back to 0 leaves each ID's MINIMUM. ~4x cheaper
-    than the full-tile stable argsort it replaces (the stitcher calls
-    this once per tile).
-    """
-    h, w = tileData.shape
-    tileMax = int(tileData.max())
-    minRow = numpy.full(tileMax + 1, h, dtype=numpy.int64)
-    for r in range(h - 1, -1, -1):
-        minRow[tileData[r]] = r
-    minCol = numpy.full(tileMax + 1, w, dtype=numpy.int64)
-    for c in range(w - 1, -1, -1):
-        minCol[tileData[:, c]] = c
-    ids = numpy.nonzero(minRow < h)[0].astype(tileData.dtype)
-    return ids, minRow[ids], minCol[ids], tileMax
 
 
 class SegmentationConcurrencyMgr:
@@ -817,27 +804,34 @@ class SegmentationConcurrencyMgr:
     def relabelSegments(tileData, recodeDict, maxSegId,
             top, bottom, left, right):
         """
-        Apply recodeDict; other segments get sequential new IDs starting at
-        maxSegId+1 — but only if the segment's bounding-box top-left falls
-        inside the trimmed region (tile ownership rule — reference:
-        tiling.py:1205-1269, vectorized). Unowned, un-recoded segments
-        become SEGNULLVAL (they belong to a neighbouring tile).
+        Apply recodeDict; every other segment with at least one pixel in
+        the trimmed window [top:bottom, left:right) gets a sequential new
+        ID starting at maxSegId+1 (ascending original-ID order, matching
+        the reference's iteration order); segments entirely outside the
+        window become SEGNULLVAL (their pixels are written by the
+        neighbouring tiles that own them).
+
+        Window-presence ownership deliberately replaces the reference's
+        bounding-box-corner rule (reference tiling.py:1255-1267): each
+        tile is the ONLY writer of its trimmed window, so an un-recoded
+        segment with window pixels MUST be claimed here or those pixels
+        stay null in the mosaic forever. The two rules coincide except
+        exactly when a segment crosses a strip midline but could not be
+        matched to a labelled earlier-tile segment (see _modeMatch) —
+        where the reference's rule voids real pixels.
         """
-        ids, minRow, minCol, tileMax = _perSegBBoxTopLeft(tileData)
-        present = ids != shepseg.SEGNULLVAL
-        ids, minRow, minCol = ids[present], minRow[present], minCol[present]
+        window = tileData[top:bottom, left:right]
+        inWindow = numpy.unique(window)
+        inWindow = inWindow[inWindow != shepseg.SEGNULLVAL]
+        tileMax = int(tileData.max())
 
         mapping = numpy.zeros(tileMax + 1, dtype=shepseg.SegIdType)
-
         recoded = numpy.zeros(tileMax + 1, dtype=bool)
         for k, v in recodeDict.items():
             mapping[k] = v
             recoded[k] = True
 
-        owned = ((minCol >= left) & (minRow >= top) &
-                 (minCol < right) & (minRow < bottom) &
-                 ~recoded[ids])
-        ownedIds = ids[owned]  # ascending, matching reference's dict order
+        ownedIds = inWindow[~recoded[inWindow]]  # ascending
         newIds = maxSegId + 1 + numpy.arange(len(ownedIds),
                                              dtype=numpy.int64)
         mapping[ownedIds] = newIds.astype(shepseg.SegIdType)

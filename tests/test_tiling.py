@@ -351,3 +351,24 @@ def test_threads_worker_exception_surfaces(paths, rng, monkeypatch):
         tileCompletionTimeout=5)
     with pytest.raises(tiling.PyShepSegTilingError):
         run_tiled(inpath, outpath, concurrencyCfg=cfg)
+
+
+def test_no_null_holes_with_segments_larger_than_overlap(tmp_path, rng):
+    """Regression: segments much larger than the overlap used to vanish
+    into null holes — a boundary sliver crossing the stitch midline
+    could mode-match against UNCLAIMED (null) pixels of the earlier
+    tile, recode the whole segment to null, and cascade down the
+    overlap chain (a latent reference defect, reference
+    tiling.py:1194-1200 + 1255-1267; reproduced at its own 8000^2 test
+    scale). With null-excluded matching and window-presence ownership,
+    every valid input pixel must be labelled."""
+    inpath = str(tmp_path / "in.npseg")
+    outpath = str(tmp_path / "out.npseg")
+    img, true_seg = make_voronoi_raster(inpath, rng, shape=(600, 620),
+                                        ncentres=12)
+    res = run_tiled(inpath, outpath, tileSize=128, overlapSize=32,
+                    minSegmentSize=20)
+    seg = rio.open(outpath).GetRasterBand(1).ReadAsArray()
+    assert (seg != 0).all(), f"{(seg == 0).sum()} null holes in mosaic"
+    assert not res.hasEmptySegments
+    check_output(outpath, res, img, true_seg)
