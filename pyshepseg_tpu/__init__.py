@@ -32,5 +32,5 @@ if _os.environ.get("PYSHEPSEG_TPU_PLATFORM"):
     _jax.config.update("jax_platforms",
                        _os.environ["PYSHEPSEG_TPU_PLATFORM"])
 
-SHEPSEG_TPU_VERSION = "0.1.0"
+SHEPSEG_TPU_VERSION = "0.3.0"
 __version__ = SHEPSEG_TPU_VERSION

@@ -78,9 +78,13 @@ def _voronoiOnDevice(centres, nRows, nCols, stripRows=256):
         return jnp.argmin(d, axis=-1).astype(jnp.uint32) + 1
 
     out = numpy.empty((nRows, nCols), dtype=shepseg.SegIdType)
-    for r0 in range(0, nRows, stripRows):
-        rows = min(stripRows, nRows - r0)
-        out[r0:r0 + rows] = numpy.asarray(strip(jnp.float32(r0), rows))
+    # the axon tunnel can stall for minutes LOADING this program's
+    # cached executable (fresh compiles are seconds) — bypass the cache
+    from pyshepseg_tpu.utils import compilationCacheBypassOnAxon
+    with compilationCacheBypassOnAxon():
+        for r0 in range(0, nRows, stripRows):
+            rows = min(stripRows, nRows - r0)
+            out[r0:r0 + rows] = numpy.asarray(strip(jnp.float32(r0), rows))
     return out
 
 

@@ -20,18 +20,12 @@ reference statistically, not bitwise (the reference itself offers
 """
 
 import functools
-import threading
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .constants import SEGNULLVAL, MINSEGID
-
-# Serialises TPUKMeans.fit's temporary flip of the process-global
-# compilation-cache config (see fit): concurrent fits would race on the
-# global and could leave the cache disabled for unrelated compiles.
-_cache_flip_lock = threading.Lock()
 
 
 def _assign_scores(x, centers):
@@ -230,23 +224,11 @@ class TPUKMeans:
         # stalls for minutes on first execution while a fresh HLO
         # compile takes ~22 s (the opposite holds for the segmentation
         # programs) — so bypass the persistent cache for the fit's own
-        # compiles there. See utils.setupCompilationCache.
-        import jax as _jax
-        from ..utils import onAxonBackend
-        bypass = (_jax.config.jax_compilation_cache_dir is not None and
-                  onAxonBackend())
-        if not bypass:
+        # compiles there (a process-global flip, serialised behind a
+        # lock inside the context manager).
+        from ..utils import compilationCacheBypassOnAxon
+        with compilationCacheBypassOnAxon():
             return self._fit(X)
-        # The cache flag is process-global: hold a lock across the flip so
-        # a concurrent fit (or any compile racing with it) never observes
-        # the cache unexpectedly disabled or re-enabled mid-fit.
-        with _cache_flip_lock:
-            cache_dir = _jax.config.jax_compilation_cache_dir
-            _jax.config.update("jax_compilation_cache_dir", None)
-            try:
-                return self._fit(X)
-            finally:
-                _jax.config.update("jax_compilation_cache_dir", cache_dir)
 
     def _fit(self, X):
         X_np = np.asarray(X, dtype=np.float32)

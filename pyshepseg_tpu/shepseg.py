@@ -48,6 +48,12 @@ class SegmentationResult(object):
         Number of single pixels merged into adjacent segments
     smallSegmentsEliminated : int
         Number of small segments merged into adjacent segments
+    clumpSweeps : int
+        Perf diagnostic (not in the reference): global label-propagation
+        sweeps the clump fixpoint took
+    elimPasses : int
+        Perf diagnostic: find+apply passes the elimination graph loop
+        executed across all target sizes
     """
 
     def __init__(self):
@@ -56,6 +62,8 @@ class SegmentationResult(object):
         self.maxSpectralDiff = None
         self.singlePixelsEliminated = None
         self.smallSegmentsEliminated = None
+        self.clumpSweeps = None
+        self.elimPasses = None
 
 
 @functools.partial(

@@ -439,6 +439,10 @@ def _modeMatch(overlapA, overlapB, crossingIds):
         (overlapB != shepseg.SEGNULLVAL)
     a = overlapA[mask].astype(numpy.uint64)
     b = overlapB[mask].astype(numpy.uint64)
+    if len(a) == 0:
+        # nothing in the earlier tile was labelled under any crossing
+        # segment: no identity information, no recode entries
+        return {}
     pairKey = (a << numpy.uint64(32)) | b
     uniqPairs, counts = numpy.unique(pairKey, return_counts=True)
     ua = (uniqPairs >> numpy.uint64(32)).astype(numpy.int64)
@@ -1185,50 +1189,39 @@ class SegFargateMgr(SegmentationConcurrencyMgr):
 
 class NetworkDataChannel:
     """
-    Authenticated-TCP channel carrying the work queue, result cache,
-    error queue, barrier, read semaphore, timings and pickled job data
+    Authenticated-TCP channel carrying the shared coordination objects
     between the coordinator and out-of-process workers, built on
-    multiprocessing.managers (reference: tiling.py:1799-1912).
+    multiprocessing.managers (reference: tiling.py:1799-1912). The
+    object set — work queue, result cache, exit event, error queue,
+    pickled job data, read semaphore, timings, start barrier — is
+    declared once in OBJECT_NAMES and exposed as get_<name> proxies.
 
-    Construct with data objects to create the server end, or with
-    (hostname, portnum, authkey) to connect as a client.
+    Construct with keyword data objects to create the server end, or
+    with (hostname, portnum, authkey) to connect as a client.
     """
 
-    def __init__(self, inQue=None, segResultCache=None, forceExit=None,
-            exceptionQue=None, segDataDict=None, readSemaphore=None,
-            timings=None, workerBarrier=None,
-            hostname=None, portnum=None, authkey=None):
+    # attribute name -> proxy registration name
+    OBJECT_NAMES = ("inQue", "segResultCache", "forceExit", "exceptionQue",
+                    "segDataDict", "readSemaphore", "timings",
+                    "workerBarrier")
+
+    def __init__(self, hostname=None, portnum=None, authkey=None,
+                 **dataObjects):
         class DataChannelMgr(multiprocessing.managers.BaseManager):
             pass
 
-        if None not in (inQue, segResultCache):
+        asServer = dataObjects.get("inQue") is not None
+        if asServer:
+            unknown = set(dataObjects) - set(self.OBJECT_NAMES)
+            if unknown:
+                raise ValueError(f"Unknown channel objects: {unknown}")
             self.hostname = socket.gethostname()
             self.authkey = secrets.token_hex()
-            self.inQue = inQue
-            self.segResultCache = segResultCache
-            self.forceExit = forceExit
-            self.exceptionQue = exceptionQue
-            self.readSemaphore = readSemaphore
-            self.segDataDict = segDataDict
-            self.timings = timings
-            self.workerBarrier = workerBarrier
-
-            DataChannelMgr.register("get_inque", callable=lambda: self.inQue)
-            DataChannelMgr.register("get_segresultcache",
-                                    callable=lambda: self.segResultCache)
-            DataChannelMgr.register("get_forceexit",
-                                    callable=lambda: self.forceExit)
-            DataChannelMgr.register("get_exceptionque",
-                                    callable=lambda: self.exceptionQue)
-            DataChannelMgr.register("get_segdatadict",
-                                    callable=lambda: self.segDataDict)
-            DataChannelMgr.register("get_readsemaphore",
-                                    callable=lambda: self.readSemaphore)
-            DataChannelMgr.register("get_timings",
-                                    callable=lambda: self.timings)
-            DataChannelMgr.register("get_workerbarrier",
-                                    callable=lambda: self.workerBarrier)
-
+            for name in self.OBJECT_NAMES:
+                obj = dataObjects.get(name)
+                setattr(self, name, obj)
+                DataChannelMgr.register("get_" + name.lower(),
+                                        callable=(lambda o=obj: o))
             self.mgr = DataChannelMgr(address=(self.hostname, 0),
                                       authkey=bytes(self.authkey, 'utf-8'))
             self.server = self.mgr.get_server()
@@ -1237,29 +1230,21 @@ class NetworkDataChannel:
             self.serverThread = self.threadPool.submit(
                 self.server.serve_forever)
         elif None not in (hostname, portnum, authkey):
-            for name in ("get_inque", "get_segresultcache", "get_forceexit",
-                         "get_exceptionque", "get_segdatadict",
-                         "get_readsemaphore", "get_timings",
-                         "get_workerbarrier"):
-                DataChannelMgr.register(name)
+            for name in self.OBJECT_NAMES:
+                DataChannelMgr.register("get_" + name.lower())
             self.mgr = DataChannelMgr(address=(hostname, int(portnum)),
                                       authkey=authkey)
             self.hostname = hostname
             self.portnum = int(portnum)
             self.authkey = authkey
             self.mgr.connect()
-            self.inQue = self.mgr.get_inque()
-            self.segResultCache = self.mgr.get_segresultcache()
-            self.forceExit = self.mgr.get_forceexit()
-            self.exceptionQue = self.mgr.get_exceptionque()
-            self.segDataDict = self.mgr.get_segdatadict()
-            self.readSemaphore = self.mgr.get_readsemaphore()
-            self.timings = self.mgr.get_timings()
-            self.workerBarrier = self.mgr.get_workerbarrier()
+            for name in self.OBJECT_NAMES:
+                setattr(self, name,
+                        getattr(self.mgr, "get_" + name.lower())())
         else:
             raise ValueError(
-                "Must supply either (inQue, segResultCache, etc.) or ALL "
-                "of (hostname, portnum and authkey)")
+                "Must supply either the channel data objects (server end) "
+                "or all of hostname, portnum and authkey (client end)")
 
     def shutdown(self):
         """

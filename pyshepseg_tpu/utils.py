@@ -30,6 +30,35 @@ def onAxonBackend():
     return "axon" in version
 
 
+import contextlib
+import threading as _threading
+
+_cacheFlipLock = _threading.Lock()
+
+
+@contextlib.contextmanager
+def compilationCacheBypassOnAxon():
+    """Context manager: temporarily disable the persistent compilation
+    cache when on the axon tunnel. Some programs' CACHED executables
+    stall for minutes on first execution there while a fresh compile
+    takes seconds (program-dependent; measured for the k-means fit and
+    the test-scene Voronoi kernel). The flip is process-global, so it is
+    serialised behind a lock."""
+    import jax
+    bypass = (jax.config.jax_compilation_cache_dir is not None and
+              onAxonBackend())
+    if not bypass:
+        yield
+        return
+    with _cacheFlipLock:
+        cacheDir = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_compilation_cache_dir", cacheDir)
+
+
 def setupCompilationCache(cacheDir):
     """
     Enable the persistent XLA compilation cache at ``cacheDir``.

@@ -56,14 +56,29 @@ def main():
     out = {"clump_sweeps": res.clumpSweeps, "elim_passes": res.elimPasses,
            "segments": int(res.segimg.max())}
 
-    # bandwidth anchor: stream 256 MB through an elementwise op
+    # bandwidth anchor: chain 50 elementwise ops, sync once — amortizes
+    # the link round trip out of the figure. Also report the bare RTT
+    # (single trivial op + scalar fetch): on the tunnel the RTT is the
+    # story (~25 ms), on a TPU-VM it is ~0.1 ms.
     big = jnp.zeros((8, 1024, 1024), jnp.float32)
-    addone = jax.jit(lambda x: x + 1.0)
+
+    @jax.jit
+    def chain(x):
+        for _ in range(50):
+            x = x + 1.0
+        return x
 
     def bw():
-        np.asarray(addone(big)[0, 0, 0])
+        np.asarray(chain(big)[0, 0, 0])
     t = timeit(bw)
-    out["elementwise_GBps"] = round(2 * big.nbytes / t / 1e9, 1)
+    out["elementwise_GBps"] = round(50 * 2 * big.nbytes / t / 1e9, 1)
+
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    bump = jax.jit(lambda x: x + 1.0)
+
+    def rtt():
+        np.asarray(bump(tiny)[0, 0])
+    out["sync_rtt_ms"] = round(timeit(rtt) * 1000, 2)
 
     # dispatch 1: cluster + clump
     def d1():

@@ -36,7 +36,7 @@ def _free_port():
 DRIVER = textwrap.dedent("""
     import os, sys, pickle
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ.pop("XLA_FLAGS", None)
+    os.environ["XLA_FLAGS"] = os.environ.get("DCN_TEST_XLA_FLAGS", "")
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", sys.argv[6])
@@ -61,8 +61,8 @@ DRIVER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.parametrize("nproc", [2, 3])
-def test_dcn_matches_serial(tmp_path, rng, nproc):
+@pytest.mark.parametrize("nproc,localdev", [(2, 1), (3, 1), (2, 2)])
+def test_dcn_matches_serial(tmp_path, rng, nproc, localdev):
     inpath = str(tmp_path / "in.npseg")
     out_serial = str(tmp_path / "out_serial.npseg")
     img, true_seg = make_voronoi_raster(inpath, rng)
@@ -77,12 +77,18 @@ def test_dcn_matches_serial(tmp_path, rng, nproc):
     driver.write_text(DRIVER)
     cache = str(tmp_path.parent / "dcn_jax_cache")
 
+    env = dict(os.environ)
+    if localdev > 1:
+        # each fake host gets several local CPU devices, exercising the
+        # per-host mesh-batch shard path (segment_tile_batch)
+        env["DCN_TEST_XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={localdev}")
     procs = [subprocess.Popen(
         [sys.executable, str(driver), coord, str(pid), str(nproc),
          inpath, out_dcn, cache, os.path.dirname(
              os.path.abspath(__file__))],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        universal_newlines=True,
+        universal_newlines=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for pid in range(nproc)]
     outs = [p.communicate(timeout=300) for p in procs]
