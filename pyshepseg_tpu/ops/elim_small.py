@@ -66,6 +66,27 @@ def round_capacity(n: int) -> int:
     return cap
 
 
+def round_capacity_fine(n: int) -> int:
+    """
+    Quarter-step capacity buckets: {1, 1.25, 1.5, 1.75} x 2^k. The
+    elimination loop's per-pass cost is ~linear in the EDGE capacity
+    (every pass gathers ~12 edge-sized vectors), so power-of-two buckets
+    waste up to 2x gather volume where quarter-steps waste at most 1.25x
+    — at the price of up to 4x more distinct compiled programs (paid
+    once per bucket, persistently cached).
+    """
+    cap = 1024
+    while cap < n:
+        cap *= 2
+    if cap == 1024:
+        return cap
+    for frac in (4, 5, 6, 7):
+        fine = (cap // 8) * frac
+        if fine >= n:
+            return fine
+    return cap
+
+
 def edge_sort_keys(seg, four_connected: bool):
     """
     Device: sorted canonical (min id, max id) segment-adjacency pairs from
@@ -140,8 +161,10 @@ def _merge_pass_edges(ea, eb, remap, seg_size, spect_bm, target,
     live = (cur_a != cur_b) & (cur_a != SEGNULLVAL) & (cur_b != SEGNULLVAL)
     size_a = seg_size[cur_a]
     size_b = seg_size[cur_b]
-    cand_a = is_cand[cur_a]
-    cand_b = is_cand[cur_b]
+    # candidacy re-derived from the sizes already gathered (saves two
+    # more E-sized gathers: is_cand[cur] == (size == target) & (id >= 1))
+    cand_a = (size_a == target) & (cur_a >= MINSEGID)
+    cand_b = (size_b == target) & (cur_b >= MINSEGID)
     # division (not reciprocal-multiply) keeps the arithmetic identical
     # to the band-minor mean = sum/size formulation
     fsize_a = jnp.maximum(size_a, 1).astype(jnp.float32)
@@ -336,7 +359,7 @@ def eliminateSmallSegments(seg, img, maxSegId, minSegSize, maxSpectralDiff,
     # sync); the sorted keys are reused so the sort only runs once.
     a, b, first, n_unique = _edge_sort_jit(
         seg_j, four_connected=bool(fourConnected))
-    e_cap = round_capacity(int(n_unique) + 1)
+    e_cap = round_capacity_fine(int(n_unique) + 1)
     seg_out, num_elim = _elim_small_from_sorted_jit(
         seg_j, a, b, first, seg_size, spect_sum,
         min_seg_size=int(minSegSize),

@@ -27,7 +27,8 @@ from .ops.segreduce import (  # noqa: F401
 from .ops.elim_single import (  # noqa: F401
     eliminateSinglePixels, eliminate_single_pixels_device)
 from .ops.elim_small import (  # noqa: F401
-    eliminateSmallSegments, eliminate_small_segments_device, round_capacity)
+    eliminateSmallSegments, eliminate_small_segments_device, round_capacity,
+    round_capacity_fine)
 from .ops.kmeans import TPUKMeans, predict_labels
 
 
@@ -174,8 +175,11 @@ def _elim_small_finish_device(seg, size, spect, a, b, first,
 
 def _edgeCapForCount(nUniqueEdges: int) -> int:
     """Static edge-capacity bucket from the measured clump-adjacency
-    count (module-level hook so tests can force the overflow fallback)."""
-    return round_capacity(int(nUniqueEdges) + 1)
+    count (module-level hook so tests can force the overflow fallback).
+    Quarter-step buckets: the graph loop's cost is linear in this
+    capacity (see round_capacity_fine)."""
+    from .ops.elim_small import round_capacity_fine
+    return round_capacity_fine(int(nUniqueEdges) + 1)
 
 
 @functools.partial(
@@ -302,7 +306,7 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
             four_connected=bool(fourConnected), capacity=capacity)
         nAfterSingle, nUniqueEdges, clumpSweeps = np.asarray(
             scalars1_dev).tolist()
-        eCap = round_capacity(int(nUniqueEdges) + 1)
+        eCap = round_capacity_fine(int(nUniqueEdges) + 1)
         seg_out_dev, scalars2_dev = _elim_small_finish_device(
             seg_dev2, size_dev, spect_dev, ea_dev, eb_dev, first_dev2,
             jnp.float32(maxSpectralDiff),

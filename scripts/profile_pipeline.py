@@ -80,36 +80,51 @@ def main():
         np.asarray(bump(tiny)[0, 0])
     out["sync_rtt_ms"] = round(timeit(rtt) * 1000, 2)
 
-    # dispatch 1: cluster + clump
+    # dispatch 1: cluster + clump + clump-edge sort (production shape)
     def d1():
-        planes, seg, num, sw = shepseg._cluster_and_clump_device(
+        planes, seg, a, b, first, sc0 = shepseg._cluster_and_clump_device(
             img_dev, centers, nullVal, has_null=False, four_connected=True)
-        np.asarray(num)
-        return planes, seg, sw
+        np.asarray(sc0)
+        return planes, seg, a, b, first, sc0
 
-    out["d1_cluster_clump_ms"] = round(timeit(d1) * 1000, 1)
-    planes, seg0, sweeps = d1()
-    capacity = round_capacity(int(np.asarray(seg0).max()) + 1)
+    out["d1_cluster_clump_edges_ms"] = round(timeit(d1) * 1000, 1)
+    planes, seg0, a0, b0, first0, sc0 = d1()
+    numClumps, nUniqueEdges, sweeps = np.asarray(sc0).tolist()
+    capacity = round_capacity(int(numClumps) + 1)
+    eCap = shepseg._edgeCapForCount(int(nUniqueEdges))
 
-    # dispatch 2: single-pixel elim + seg reductions + edge sort
+    # dispatch 2 (production): FUSED single-pixel elim + reductions +
+    # graph elimination + relabel
     def d2():
+        seg2, sc = shepseg._elim_fused_device(
+            planes, seg0, a0, b0, first0, maxDiff, min_seg_size=50,
+            four_connected=True, capacity=capacity, e_cap=eCap)
+        np.asarray(sc)
+
+    out["d2_fused_elim_ms"] = round(timeit(d2) * 1000, 1)
+
+    # Breakdown via the split (overflow-fallback) dispatches: single-pixel
+    # stage + its own edge sort vs the bare graph loop + relabel.
+    sweeps_dev = jnp.uint32(int(sweeps))
+
+    def d2a():
         r = shepseg._elim_single_and_edges_device(
-            planes, seg0, sweeps, four_connected=True, capacity=capacity)
+            planes, seg0, sweeps_dev, four_connected=True,
+            capacity=capacity)
         np.asarray(r[-1])
         return r
 
-    out["d2_single_edges_ms"] = round(timeit(d2) * 1000, 1)
-    seg1, size, spect, ea, eb, first, sc1 = d2()
-    eCap = round_capacity(int(np.asarray(sc1)[1]) + 1)
+    out["d2a_single_and_edge_sort_ms"] = round(timeit(d2a) * 1000, 1)
+    seg1, size, spect, ea, eb, first, sc1 = d2a()
+    eCap2 = round_capacity(int(np.asarray(sc1)[1]) + 1)
 
-    # dispatch 3: graph elimination + relabel
-    def d3():
+    def d2b():
         seg2, sc2 = shepseg._elim_small_finish_device(
             seg1, size, spect, ea, eb, first, maxDiff,
-            min_seg_size=50, e_cap=eCap, capacity=capacity)
+            min_seg_size=50, e_cap=eCap2, capacity=capacity)
         np.asarray(sc2)
 
-    out["d3_graph_elim_ms"] = round(timeit(d3) * 1000, 1)
+    out["d2b_graph_elim_relabel_ms"] = round(timeit(d2b) * 1000, 1)
     out["capacity"] = capacity
     out["e_cap"] = eCap
 
