@@ -250,13 +250,23 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     clump count, which picks the static per-segment array capacity.
 
     Returns a SegmentationResult. Segment IDs start from 1; 0 is null.
-    """
-    img = np.ascontiguousarray(img)
 
+    ``img`` may also be a ``jax.Array`` already resident on the device
+    (e.g. a tile sliced from a whole-scene HBM cache — see
+    tiling.DeviceSceneCache); the host->device upload is then skipped
+    entirely. If no fitted ``kmeansObj`` is supplied with a device-array
+    image, the image is pulled back to the host once for the k-means fit.
+    """
     t0 = time.time()
-    # Start the (async) host->device image transfer first so it overlaps
-    # with the host-side subsampling and k-means fit below.
-    img_dev = jax.device_put(img)
+    if isinstance(img, jax.Array):
+        img_dev = img
+        if kmeansObj is None:
+            img = np.asarray(img)
+    else:
+        img = np.ascontiguousarray(img)
+        # Start the (async) host->device image transfer first so it
+        # overlaps with the host-side subsampling and k-means fit below.
+        img_dev = jax.device_put(img)
     if kmeansObj is not None:
         km = kmeansObj
     else:

@@ -34,6 +34,7 @@ import shutil
 import socket
 import secrets
 import tempfile
+import functools
 import threading
 import subprocess
 import multiprocessing.managers
@@ -353,23 +354,109 @@ class SegmentationConcurrencyConfig:
     """
     Configuration for segmentation concurrency
     (reference: tiling.py:590-634).
+
+    ``deviceSceneCache`` controls the whole-scene HBM cache used by the
+    in-process backends (CONC_NONE / CONC_THREADS): 'auto' (default)
+    uploads the full scene to device memory once and slices tiles
+    on-device when the scene fits comfortably in HBM, eliminating the
+    ~(tileSize/(tileSize-overlap))^2 redundant re-upload of overlap
+    regions and the per-tile host->device transfer serialization; True
+    forces it (errors if the scene cannot be read whole); False always
+    streams tiles from the file as the reference does.
     """
 
     def __init__(self, concurrencyType=CONC_NONE, numWorkers=0,
             maxConcurrentReads=20, tileCompletionTimeout=60,
-            barrierTimeout=300, fargateCfg=None):
+            barrierTimeout=300, fargateCfg=None, deviceSceneCache='auto'):
         self.concurrencyType = concurrencyType
         self.numWorkers = numWorkers
         self.maxConcurrentReads = maxConcurrentReads
         self.tileCompletionTimeout = tileCompletionTimeout
         self.barrierTimeout = barrierTimeout
         self.fargateCfg = fargateCfg
+        self.deviceSceneCache = deviceSceneCache
         if concurrencyType == CONC_FARGATE and fargateCfg is None:
             raise PyShepSegTilingError(
                 "fargateCfg is required with CONC_FARGATE")
         if concurrencyType != CONC_FARGATE and fargateCfg is not None:
             raise PyShepSegTilingError(
                 "fargateCfg is only used with CONC_FARGATE")
+        if deviceSceneCache not in ('auto', True, False):
+            raise PyShepSegTilingError(
+                "deviceSceneCache must be 'auto', True or False")
+
+
+# Fraction of the device's memory the 'auto' scene cache may occupy.
+# The per-tile pipeline's working set is many tile-sized intermediates,
+# so the scene itself must stay a minority share of HBM.
+SCENE_CACHE_HBM_FRACTION = 0.25
+# Fallback budget when the backend does not report a memory limit
+# (e.g. the CPU backend in tests): keep test behaviour deterministic.
+SCENE_CACHE_DFLT_BUDGET = 4 * 1024 ** 3
+
+
+class DeviceSceneCache:
+    """
+    Whole-scene device-memory (HBM) image cache for tiled segmentation.
+
+    The reference re-reads every tile (including its overlap halo) from
+    the raster and ships it to the compute separately (reference:
+    tiling.py:1436-1443). On TPU the scene usually fits in HBM many
+    times over (16 GB on a v5e holds a >2 GPix 4-band uint16 scene), so
+    the TPU-native layout is: upload the scene ONCE, then cut each
+    overlapping tile with an on-device dynamic_slice — zero per-tile
+    host->device traffic and no re-upload of the overlap regions.
+    """
+
+    def __init__(self, inDs, bandNumbers, verbose=False):
+        t0 = time.time()
+        bands = [inDs.GetRasterBand(b).ReadAsArray() for b in bandNumbers]
+        scene = numpy.ascontiguousarray(numpy.array(bands))
+        import jax
+        self.scene = jax.device_put(scene)
+        self.nBands = scene.shape[0]
+        del bands, scene
+        if verbose:
+            print("Scene cached on device ({:.1f} MB, {:.2f} s)".format(
+                self.scene.nbytes / 2 ** 20, time.time() - t0))
+
+    @staticmethod
+    def fitsOnDevice(inDs, bandNumbers):
+        """True if the scene is small enough for the 'auto' cache."""
+        import jax
+        dev = jax.devices()[0]
+        try:
+            budget = (dev.memory_stats() or {}).get('bytes_limit', 0)
+        except Exception:
+            budget = 0
+        budget = (budget * SCENE_CACHE_HBM_FRACTION if budget
+                  else SCENE_CACHE_DFLT_BUDGET)
+        itemsize = inDs.GetRasterBand(
+            list(bandNumbers)[0]).ReadAsArray(0, 0, 1, 1).itemsize
+        sceneBytes = (len(list(bandNumbers)) * itemsize *
+                      inDs.RasterXSize * inDs.RasterYSize)
+        return sceneBytes <= budget
+
+    def getTile(self, xpos, ypos, xsize, ysize):
+        """The (nBands, ysize, xsize) tile as a device-resident array."""
+        return _sceneSlicer(ysize, xsize)(
+            self.scene, numpy.int32(ypos), numpy.int32(xpos))
+
+
+@functools.lru_cache(maxsize=None)
+def _sceneSlicer(ysize, xsize):
+    """One compiled on-device tile slicer per tile shape (with the
+    uniform grid that is exactly one program per scene); tile position
+    is a dynamic argument, so moving across the scene never retraces."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def slice_(scene, ypos, xpos):
+        return lax.dynamic_slice(
+            scene, (0, ypos, xpos), (scene.shape[0], ysize, xsize))
+
+    return slice_
 
 
 class FargateConfig:
@@ -494,6 +581,7 @@ class SegmentationConcurrencyMgr:
             self.readSemaphore = threading.BoundedSemaphore(
                 value=concCfg.maxConcurrentReads)
         self.overlapCache = {}
+        self.sceneCache = None
         self.timings = timinghooks.Timers()
         self.workerBarrier = None
         self.tileGrid = 'uniform'
@@ -591,6 +679,52 @@ class SegmentationConcurrencyMgr:
     def loadOverlap(self, overlapCacheKey):
         return self.overlapCache.pop(overlapCacheKey)
 
+    def maybeBuildSceneCache(self, inDs=None):
+        """
+        Build the whole-scene HBM cache (DeviceSceneCache) when configured
+        and applicable. Only the in-process backends (CONC_NONE /
+        CONC_THREADS) can share a device-resident scene; out-of-process
+        workers read the raster themselves.
+        """
+        cfg = getattr(self.concurrencyCfg, 'deviceSceneCache', False)
+        supported = self.concurrencyType in (CONC_NONE, CONC_THREADS)
+        if cfg is True and not supported:
+            raise PyShepSegTilingError(
+                "deviceSceneCache=True is only supported with "
+                "CONC_NONE or CONC_THREADS")
+        if cfg is False or not supported:
+            return
+        if inDs is None:
+            inDs = rio.open(self.infile)
+        if cfg == 'auto' and not DeviceSceneCache.fitsOnDevice(
+                inDs, self.bandNumbers):
+            return
+        with self.timings.interval('reading'):
+            self.sceneCache = DeviceSceneCache(inDs, self.bandNumbers,
+                                               self.verbose)
+
+    def readTileImage(self, inDs, col, row, readSemaphore=None):
+        """
+        The (nBands, ysize, xsize) image of one tile, ready for
+        doShepherdSegmentation: an on-device slice when the scene cache is
+        active (no host I/O, no transfer), else a host numpy read of each
+        band (bounded by readSemaphore when given).
+        """
+        xpos, ypos, xsize, ysize = self.tileInfo.getTile(col, row)
+        if self.sceneCache is not None:
+            return self.sceneCache.getTile(xpos, ypos, xsize, ysize)
+        lyrDataList = []
+        for bandNum in self.bandNumbers:
+            lyr = inDs.GetRasterBand(bandNum)
+            if readSemaphore is not None:
+                with readSemaphore:
+                    lyrDataList.append(
+                        lyr.ReadAsArray(xpos, ypos, xsize, ysize))
+            else:
+                lyrDataList.append(
+                    lyr.ReadAsArray(xpos, ypos, xsize, ysize))
+        return numpy.array(lyrDataList)
+
     def getTileSegmentation(self, col, row):
         """Pop the completed tile from the result cache (may block)."""
         segResult = self.segResultCache.waitForTile(col, row)
@@ -607,6 +741,7 @@ class SegmentationConcurrencyMgr:
         """
         colRowList = sorted(self.tileInfo.tiles.keys(),
                             key=lambda x: (x[1], x[0]))
+        self.maybeBuildSceneCache()
         self.inQue = queue.Queue()
         self.segResultCache = SegmentationResultCache(
             colRowList, timeout=self.concurrencyCfg.tileCompletionTimeout)
@@ -937,6 +1072,7 @@ class SegNoConcurrencyMgr(SegmentationConcurrencyMgr):
         self.tileFilenames = {}
         inDs = rio.open(self.infile)
 
+        self.maybeBuildSceneCache(inDs)
         colRowList = sorted(self.tileInfo.tiles.keys(),
                             key=lambda x: (x[1], x[0]))
         tileNum = 1
@@ -946,14 +1082,8 @@ class SegNoConcurrencyMgr(SegmentationConcurrencyMgr):
                 print("\nDoing tile {} of {}: row={}, col={}".format(
                     tileNum, len(colRowList), row, col))
 
-            (xpos, ypos, xsize, ysize) = self.tileInfo.getTile(col, row)
             with self.timings.interval('reading'):
-                lyrDataList = []
-                for bandNum in self.bandNumbers:
-                    lyr = inDs.GetRasterBand(bandNum)
-                    lyrDataList.append(
-                        lyr.ReadAsArray(xpos, ypos, xsize, ysize))
-            img = numpy.array(lyrDataList)
+                img = self.readTileImage(inDs, col, row)
 
             with self.timings.interval('segmentation', sync=True):
                 segResult = shepseg.doShepherdSegmentation(
@@ -1027,16 +1157,10 @@ class SegThreadsMgr(SegmentationConcurrencyMgr):
             colRow = self.popFromQue(self.inQue)
             while colRow is not None and not self.forceExit.is_set():
                 (col, row) = colRow
-                xpos, ypos, xsize, ysize = self.tileInfo.getTile(col, row)
 
                 with self.timings.interval('reading'):
-                    lyrDataList = []
-                    for bandNum in self.bandNumbers:
-                        with self.readSemaphore:
-                            lyr = inDs.GetRasterBand(bandNum)
-                            lyrDataList.append(lyr.ReadAsArray(
-                                xpos, ypos, xsize, ysize))
-                img = numpy.array(lyrDataList)
+                    img = self.readTileImage(inDs, col, row,
+                                             self.readSemaphore)
 
                 with self.timings.interval('segmentation', sync=True):
                     segResult = shepseg.doShepherdSegmentation(

@@ -150,6 +150,35 @@ def test_tiled_threads_matches_serial(serial_case, tmp_path):
     assert serial_case["res"].maxSegId == res2.maxSegId
 
 
+def test_scene_cache_off_matches_on(serial_case, tmp_path):
+    # The serial fixture runs with deviceSceneCache='auto', which engages
+    # the whole-scene HBM cache (the CPU test backend reports no memory
+    # limit, so the default budget applies). Streaming tiles from the
+    # file instead must produce bit-identical output.
+    out2 = str(tmp_path / "out_nocache.npseg")
+    cfg = tiling.SegmentationConcurrencyConfig(deviceSceneCache=False)
+    res2 = run_tiled(serial_case["inpath"], out2, concurrencyCfg=cfg)
+    seg2 = rio.open(out2).GetRasterBand(1).ReadAsArray()
+    np.testing.assert_array_equal(serial_case["seg"], seg2)
+    assert serial_case["res"].maxSegId == res2.maxSegId
+
+
+def test_scene_cache_config_validation():
+    with pytest.raises(tiling.PyShepSegTilingError):
+        tiling.SegmentationConcurrencyConfig(deviceSceneCache="bogus")
+    # forcing the cache on an out-of-process backend is rejected when the
+    # manager starts (workers could not see the in-process device array)
+    cfg = tiling.SegmentationConcurrencyConfig(
+        concurrencyType=tiling.CONC_SUBPROC, numWorkers=1,
+        deviceSceneCache=True)
+    mgrClass = tiling.selectConcurrencyClass(
+        tiling.CONC_SUBPROC, tiling.SegmentationConcurrencyMgr)
+    mgr = mgrClass.__new__(mgrClass)
+    mgr.concurrencyCfg = cfg
+    with pytest.raises(tiling.PyShepSegTilingError):
+        mgr.maybeBuildSceneCache()
+
+
 def test_three_phase_api_matches_monolithic(serial_case, tmp_path):
     inpath = serial_case["inpath"]
     seg1 = serial_case["seg"]
