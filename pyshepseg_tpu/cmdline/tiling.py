@@ -108,6 +108,13 @@ def getCmdargs():
     concGroup.add_argument("--tilecompletiontimeout", type=int, default=60,
         help="Timeout (seconds) to wait for completion of each tile "
              "(default=%(default)s)")
+    concGroup.add_argument("--scenecache", default="auto",
+        choices=["auto", "on", "off"],
+        help="Whole-scene device-memory cache for the in-process "
+             "backends: the scene is uploaded to HBM once and tiles are "
+             "sliced on-device, instead of re-reading each overlapping "
+             "tile from the file. 'auto' enables it when the scene fits "
+             "the HBM budget (default=%(default)s)")
 
     cmdargs = p.parse_args()
 
@@ -164,7 +171,9 @@ def mainCmd():
         concurrencyType=cmdargs.concurrencytype,
         numWorkers=cmdargs.numworkers,
         fargateCfg=fargateCfg,
-        tileCompletionTimeout=cmdargs.tilecompletiontimeout)
+        tileCompletionTimeout=cmdargs.tilecompletiontimeout,
+        deviceSceneCache={"auto": "auto", "on": True,
+                          "off": False}[cmdargs.scenecache])
 
     tiledSegResult = tiling.doTiledShepherdSegmentation(
         cmdargs.infile, cmdargs.outfile,
