@@ -108,6 +108,10 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
         self.tempDir = tempfile.mkdtemp()
         self.tileFilenames = {}
         inDs = rio.open(self.infile)
+        # Whole-scene HBM cache: upload once, slice per-tile on device;
+        # the sharded device_put below then distributes slices over ICI
+        # instead of re-uploading every overlapping tile from the host.
+        self.maybeBuildSceneCache(inDs)
 
         colRowList = sorted(self.tileInfo.tiles.keys(),
                             key=lambda x: (x[1], x[0]))
@@ -126,16 +130,21 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
                 with self.timings.interval('reading'):
                     imgs = []
                     for (col, row) in chunk:
-                        (xpos, ypos, xs, ys) = self.tileInfo.getTile(col,
-                                                                     row)
-                        bands = [inDs.GetRasterBand(b).ReadAsArray(
-                            xpos, ypos, xs, ys)
-                            for b in self.bandNumbers]
-                        imgs.append(np.array(bands))  # native dtype: exact null compare
+                        if self.sceneCache is not None:
+                            imgs.append(self.sceneCache.getTile(
+                                *self.tileInfo.getTile(col, row)))
+                        else:
+                            (xpos, ypos, xs, ys) = self.tileInfo.getTile(
+                                col, row)
+                            bands = [inDs.GetRasterBand(b).ReadAsArray(
+                                xpos, ypos, xs, ys)
+                                for b in self.bandNumbers]
+                            imgs.append(np.array(bands))  # native dtype: exact null compare
                     # pad the batch up to the device count
                     while len(imgs) < nDev:
                         imgs.append(imgs[-1])
-                    batch = np.stack(imgs)
+                    batch = (jnp.stack(imgs) if self.sceneCache is not None
+                             else np.stack(imgs))
 
                 with self.timings.interval('segmentation', sync=True):
                     # Two dispatches with ONE batch-wide scalar sync

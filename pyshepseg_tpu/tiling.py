@@ -356,7 +356,8 @@ class SegmentationConcurrencyConfig:
     (reference: tiling.py:590-634).
 
     ``deviceSceneCache`` controls the whole-scene HBM cache used by the
-    in-process backends (CONC_NONE / CONC_THREADS): 'auto' (default)
+    in-process backends (CONC_NONE / CONC_THREADS / CONC_MESH): 'auto'
+    (default)
     uploads the full scene to device memory once and slices tiles
     on-device when the scene fits comfortably in HBM, eliminating the
     ~(tileSize/(tileSize-overlap))^2 redundant re-upload of overlap
@@ -683,15 +684,17 @@ class SegmentationConcurrencyMgr:
         """
         Build the whole-scene HBM cache (DeviceSceneCache) when configured
         and applicable. Only the in-process backends (CONC_NONE /
-        CONC_THREADS) can share a device-resident scene; out-of-process
-        workers read the raster themselves.
+        CONC_THREADS / CONC_MESH) can share a device-resident scene;
+        out-of-process workers read the raster themselves.
         """
         cfg = getattr(self.concurrencyCfg, 'deviceSceneCache', False)
-        supported = self.concurrencyType in (CONC_NONE, CONC_THREADS)
+        supported = self.concurrencyType in (CONC_NONE, CONC_THREADS,
+                                             CONC_MESH)
         if cfg is True and not supported:
             raise PyShepSegTilingError(
-                "deviceSceneCache=True is only supported with "
-                "CONC_NONE or CONC_THREADS")
+                "deviceSceneCache=True is only supported with the "
+                "in-process backends (CONC_NONE / CONC_THREADS / "
+                "CONC_MESH)")
         if cfg is False or not supported:
             return
         if inDs is None:

@@ -163,6 +163,22 @@ def test_scene_cache_off_matches_on(serial_case, tmp_path):
     assert serial_case["res"].maxSegId == res2.maxSegId
 
 
+def test_crosses_midline_matches_vectorized(rng):
+    # The public per-segment crossesMidline (reference API,
+    # tiling.py:1271-1306) must agree with the vectorized
+    # _segsCrossingMidline the stitcher actually uses.
+    overlap = rng.integers(0, 9, size=(16, 24)).astype(np.uint32)
+    for orientation in (tiling.HORIZONTAL, tiling.VERTICAL):
+        crossing = set(tiling._segsCrossingMidline(overlap, orientation))
+        for segId in range(1, 9):
+            rowcols = np.argwhere(overlap == segId)
+            if len(rowcols) == 0:
+                continue
+            got = tiling.SegmentationConcurrencyMgr.crossesMidline(
+                overlap, rowcols, orientation)
+            assert bool(got) == (segId in crossing)
+
+
 def test_scene_cache_config_validation():
     with pytest.raises(tiling.PyShepSegTilingError):
         tiling.SegmentationConcurrencyConfig(deviceSceneCache="bogus")
