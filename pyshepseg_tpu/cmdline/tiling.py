@@ -115,6 +115,10 @@ def getCmdargs():
              "sliced on-device, instead of re-reading each overlapping "
              "tile from the file. 'auto' enables it when the scene fits "
              "the HBM budget (default=%(default)s)")
+    concGroup.add_argument("--tilesperdevice", type=int, default=1,
+        help="With CONC_MESH, vmap-batch this many tiles into each "
+             "per-device dispatch, amortizing dispatch latency across "
+             "the batch (default=%(default)s)")
 
     cmdargs = p.parse_args()
 
@@ -173,7 +177,8 @@ def mainCmd():
         fargateCfg=fargateCfg,
         tileCompletionTimeout=cmdargs.tilecompletiontimeout,
         deviceSceneCache={"auto": "auto", "on": True,
-                          "off": False}[cmdargs.scenecache])
+                          "off": False}[cmdargs.scenecache],
+        tilesPerDevice=cmdargs.tilesperdevice)
 
     tiledSegResult = tiling.doTiledShepherdSegmentation(
         cmdargs.infile, cmdargs.outfile,

@@ -97,6 +97,11 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
         devices = self.meshDevices or jax.devices()
         mesh = Mesh(np.array(devices), ("data",))
         nDev = len(devices)
+        # vmap-batch several tiles per device per dispatch: amortizes the
+        # capacity sync's host round trip and the fused programs' per-op
+        # overheads across the batch (see SegmentationConcurrencyConfig)
+        tilesPerDevice = getattr(self.concurrencyCfg, 'tilesPerDevice', 1)
+        chunkSize = nDev * tilesPerDevice
 
         self._resolveMaxSpectralDiff()
         hasNull = self.imgNullVal is not None
@@ -125,8 +130,8 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
         for (ysize, xsize), members in groups.items():
             sharding = NamedSharding(mesh, P("data"))
 
-            for start in range(0, len(members), nDev):
-                chunk = members[start:start + nDev]
+            for start in range(0, len(members), chunkSize):
+                chunk = members[start:start + chunkSize]
                 with self.timings.interval('reading'):
                     imgs = []
                     for (col, row) in chunk:
@@ -140,8 +145,8 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
                                 xpos, ypos, xs, ys)
                                 for b in self.bandNumbers]
                             imgs.append(np.array(bands))  # native dtype: exact null compare
-                    # pad the batch up to the device count
-                    while len(imgs) < nDev:
+                    # pad the batch so every device gets a full load
+                    while len(imgs) < chunkSize:
                         imgs.append(imgs[-1])
                     batch = (jnp.stack(imgs) if self.sceneCache is not None
                              else np.stack(imgs))

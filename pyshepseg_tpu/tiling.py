@@ -364,11 +364,21 @@ class SegmentationConcurrencyConfig:
     regions and the per-tile host->device transfer serialization; True
     forces it (errors if the scene cannot be read whole); False always
     streams tiles from the file as the reference does.
+
+    ``tilesPerDevice`` (CONC_MESH only) vmap-batches that many tiles
+    into each per-device dispatch. Every dispatch pays fixed costs —
+    host round trips for the capacity syncs and per-op overheads in the
+    fused programs — so batching several tiles amortizes them; the
+    trade-off is that the batched fixpoint loops run until the SLOWEST
+    tile in the batch converges. Results are bit-identical for any
+    value. Most useful when the device count is small (a single chip
+    dispatches 64 tiles one at a time with the default of 1).
     """
 
     def __init__(self, concurrencyType=CONC_NONE, numWorkers=0,
             maxConcurrentReads=20, tileCompletionTimeout=60,
-            barrierTimeout=300, fargateCfg=None, deviceSceneCache='auto'):
+            barrierTimeout=300, fargateCfg=None, deviceSceneCache='auto',
+            tilesPerDevice=1):
         self.concurrencyType = concurrencyType
         self.numWorkers = numWorkers
         self.maxConcurrentReads = maxConcurrentReads
@@ -376,6 +386,7 @@ class SegmentationConcurrencyConfig:
         self.barrierTimeout = barrierTimeout
         self.fargateCfg = fargateCfg
         self.deviceSceneCache = deviceSceneCache
+        self.tilesPerDevice = tilesPerDevice
         if concurrencyType == CONC_FARGATE and fargateCfg is None:
             raise PyShepSegTilingError(
                 "fargateCfg is required with CONC_FARGATE")
@@ -385,6 +396,9 @@ class SegmentationConcurrencyConfig:
         if deviceSceneCache not in ('auto', True, False):
             raise PyShepSegTilingError(
                 "deviceSceneCache must be 'auto', True or False")
+        if not (isinstance(tilesPerDevice, int) and tilesPerDevice >= 1):
+            raise PyShepSegTilingError(
+                "tilesPerDevice must be a positive integer")
 
 
 # Fraction of the device's memory the 'auto' scene cache may occupy.

@@ -356,6 +356,26 @@ def test_tiled_mesh_matches_serial(serial_case, tmp_path):
     np.testing.assert_array_equal(seg, serial_case["seg"])
 
 
+def test_tiled_mesh_tiles_per_device_matches_serial(serial_case, tmp_path):
+    """tilesPerDevice>1 vmap-batches several tiles into each per-device
+    dispatch; the batched fixpoint loops run until the slowest batch
+    member converges, but every tile's result must stay bit-identical."""
+    import jax
+    assert len(jax.devices()) == 8
+    outpath = str(tmp_path / "out_mesh_tpd.npseg")
+    cfg = tiling.SegmentationConcurrencyConfig(
+        concurrencyType=tiling.CONC_MESH, numWorkers=0, tilesPerDevice=2)
+    res = run_tiled(serial_case["inpath"], outpath, concurrencyCfg=cfg)
+    seg = check_output(outpath, res, serial_case["img"],
+                       serial_case["true_seg"])
+    np.testing.assert_array_equal(seg, serial_case["seg"])
+
+
+def test_tiles_per_device_validation():
+    with pytest.raises(tiling.PyShepSegTilingError):
+        tiling.SegmentationConcurrencyConfig(tilesPerDevice=0)
+
+
 def test_tiled_mesh_with_nodata(paths, rng, tmp_path):
     """CONC_MESH must propagate nodata through the native-dtype batch
     (null comparison runs in the image dtype inside the fused pipeline)."""
