@@ -369,10 +369,17 @@ class SegmentationConcurrencyConfig:
     into each per-device dispatch. Every dispatch pays fixed costs —
     host round trips for the capacity syncs and per-op overheads in the
     fused programs — so batching several tiles amortizes them; the
-    trade-off is that the batched fixpoint loops run until the SLOWEST
-    tile in the batch converges. Results are bit-identical for any
-    value. Most useful when the device count is small (a single chip
-    dispatches 64 tiles one at a time with the default of 1).
+    trade-offs are that the batched fixpoint loops run until the
+    SLOWEST tile in the batch converges, and that the batch multiplies
+    the pipeline's working set (large batches can thrash HBM,
+    especially with the whole-scene cache resident). Results are
+    bit-identical for any value. Measured single-chip (6400^2 scene,
+    1024/256 tiles, one tunnel window): tilesPerDevice=4 ran 1.29x
+    faster than 1; 8 regressed below 1 (memory pressure) — prefer 2-4.
+    CONC_THREADS still beats single-chip CONC_MESH end-to-end when a
+    high-latency link separates host and device (it overlaps the link
+    round trips across in-flight tiles); CONC_MESH is the multi-chip
+    backend.
     """
 
     def __init__(self, concurrencyType=CONC_NONE, numWorkers=0,
