@@ -119,6 +119,11 @@ def getCmdargs():
         help="With CONC_MESH, vmap-batch this many tiles into each "
              "per-device dispatch, amortizing dispatch latency across "
              "the batch (default=%(default)s)")
+    concGroup.add_argument("--workerdevices", default="default",
+        choices=["default", "all"],
+        help="With CONC_THREADS, 'all' assigns worker threads to the "
+             "host's local devices round-robin so the pipelined tile "
+             "flow drives every chip (default=%(default)s)")
 
     cmdargs = p.parse_args()
 
@@ -178,7 +183,8 @@ def mainCmd():
         tileCompletionTimeout=cmdargs.tilecompletiontimeout,
         deviceSceneCache={"auto": "auto", "on": True,
                           "off": False}[cmdargs.scenecache],
-        tilesPerDevice=cmdargs.tilesperdevice)
+        tilesPerDevice=cmdargs.tilesperdevice,
+        workerDevices=cmdargs.workerdevices)
 
     tiledSegResult = tiling.doTiledShepherdSegmentation(
         cmdargs.infile, cmdargs.outfile,

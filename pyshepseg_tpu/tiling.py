@@ -380,12 +380,23 @@ class SegmentationConcurrencyConfig:
     high-latency link separates host and device (it overlaps the link
     round trips across in-flight tiles); CONC_MESH is the multi-chip
     backend.
+
+    ``workerDevices`` (CONC_THREADS only): 'default' dispatches every
+    worker thread's tiles to the default device; 'all' assigns worker
+    threads to the host's local devices round-robin, so the thread
+    pool's pipelined per-tile flow (reads overlapping device compute
+    overlapping result downloads) drives EVERY chip of a multi-chip
+    host instead of chip 0 — unlike CONC_MESH there is no lock-step
+    convergence across chips, each tile finishes on its own schedule.
+    Results are bit-identical either way (tile results are
+    deterministic per tile; the stitcher consumes them in row-major
+    order regardless of completion order).
     """
 
     def __init__(self, concurrencyType=CONC_NONE, numWorkers=0,
             maxConcurrentReads=20, tileCompletionTimeout=60,
             barrierTimeout=300, fargateCfg=None, deviceSceneCache='auto',
-            tilesPerDevice=1):
+            tilesPerDevice=1, workerDevices='default'):
         self.concurrencyType = concurrencyType
         self.numWorkers = numWorkers
         self.maxConcurrentReads = maxConcurrentReads
@@ -394,6 +405,7 @@ class SegmentationConcurrencyConfig:
         self.fargateCfg = fargateCfg
         self.deviceSceneCache = deviceSceneCache
         self.tilesPerDevice = tilesPerDevice
+        self.workerDevices = workerDevices
         if concurrencyType == CONC_FARGATE and fargateCfg is None:
             raise PyShepSegTilingError(
                 "fargateCfg is required with CONC_FARGATE")
@@ -406,6 +418,9 @@ class SegmentationConcurrencyConfig:
         if not (isinstance(tilesPerDevice, int) and tilesPerDevice >= 1):
             raise PyShepSegTilingError(
                 "tilesPerDevice must be a positive integer")
+        if workerDevices not in ('default', 'all'):
+            raise PyShepSegTilingError(
+                "workerDevices must be 'default' or 'all'")
 
 
 # Fraction of the device's memory the 'auto' scene cache may occupy.
@@ -1167,16 +1182,28 @@ class SegThreadsMgr(SegmentationConcurrencyMgr):
                 "numWorkers ({}) must be in 1..256".format(numWorkers))
 
     def startWorkers(self):
+        numWorkers = self.concurrencyCfg.numWorkers
+        if getattr(self.concurrencyCfg, 'workerDevices',
+                   'default') == 'all':
+            # each worker thread drives one local device round-robin —
+            # the pipelined per-tile flow covers every chip of the host
+            import jax
+            devices = jax.local_devices()
+            self.workerDeviceList = [devices[i % len(devices)]
+                                     for i in range(numWorkers)]
+        else:
+            self.workerDeviceList = [None] * numWorkers
         self.threadPool = futures.ThreadPoolExecutor(
-            max_workers=self.concurrencyCfg.numWorkers)
-        self.workerList = [self.threadPool.submit(self.worker)
-                           for _ in range(self.concurrencyCfg.numWorkers)]
+            max_workers=numWorkers)
+        self.workerList = [self.threadPool.submit(self.worker, i)
+                           for i in range(numWorkers)]
 
-    def worker(self):
+    def worker(self, workerIdx=0):
         try:
             # Each worker opens the input independently (GDAL datasets are
             # not thread-safe; the numpy driver memmaps per read anyway)
             inDs = rio.open(self.infile)
+            device = self.workerDeviceList[workerIdx]
 
             colRow = self.popFromQue(self.inQue)
             while colRow is not None and not self.forceExit.is_set():
@@ -1185,6 +1212,13 @@ class SegThreadsMgr(SegmentationConcurrencyMgr):
                 with self.timings.interval('reading'):
                     img = self.readTileImage(inDs, col, row,
                                              self.readSemaphore)
+                    if device is not None:
+                        # commit the tile to this worker's device; the
+                        # jitted pipeline follows its committed input
+                        # (device-to-device when the scene cache holds
+                        # the scene on another chip, else host->device)
+                        import jax
+                        img = jax.device_put(img, device)
 
                 with self.timings.interval('segmentation', sync=True):
                     segResult = shepseg.doShepherdSegmentation(

@@ -374,6 +374,24 @@ def test_tiled_mesh_tiles_per_device_matches_serial(serial_case, tmp_path):
 def test_tiles_per_device_validation():
     with pytest.raises(tiling.PyShepSegTilingError):
         tiling.SegmentationConcurrencyConfig(tilesPerDevice=0)
+    with pytest.raises(tiling.PyShepSegTilingError):
+        tiling.SegmentationConcurrencyConfig(workerDevices='some')
+
+
+def test_tiled_threads_all_devices_matches_serial(serial_case, tmp_path):
+    """workerDevices='all' routes each worker thread's tiles to a
+    different local device (round-robin over the virtual 8-CPU mesh
+    here, TPU chips in production); output must stay bit-identical."""
+    import jax
+    assert len(jax.local_devices()) == 8
+    out2 = str(tmp_path / "out_threads_alldev.npseg")
+    cfg = tiling.SegmentationConcurrencyConfig(
+        concurrencyType=tiling.CONC_THREADS, numWorkers=4,
+        workerDevices='all')
+    res2 = run_tiled(serial_case["inpath"], out2, concurrencyCfg=cfg)
+    seg2 = rio.open(out2).GetRasterBand(1).ReadAsArray()
+    np.testing.assert_array_equal(serial_case["seg"], seg2)
+    assert serial_case["res"].maxSegId == res2.maxSegId
 
 
 def test_tiled_mesh_with_nodata(paths, rng, tmp_path):
