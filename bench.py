@@ -208,6 +208,30 @@ def _run_config3(results, tempDir):
                 "steady-state production figure)",
         "value": round(mpix_s, 3), "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / REF_BASELINE_MPIX_S, 2)})
+
+    # The multi-chip backend's single-chip health check: CONC_MESH with
+    # tilesPerDevice=4 (the measured single-chip sweet spot — see
+    # BASELINE.md). Slower than CONC_THREADS through the tunnel (the
+    # thread pool hides link RTTs), but this keeps the mesh path's
+    # Mosaic-compiled batch programs validated and timed every round.
+    segfileM = os.path.join(tempDir, "seg_mesh.npseg")
+    cfgM = tiling.SegmentationConcurrencyConfig(
+        concurrencyType=tiling.CONC_MESH, tileCompletionTimeout=900,
+        tilesPerDevice=4)
+    t0 = time.time()
+    resM = tiling.doTiledShepherdSegmentation(
+        imgfile, segfileM, tileSize=1024, overlapSize=256,
+        numClusters=60, minSegmentSize=50, fixedKMeansInit=True,
+        fourConnected=True, concurrencyCfg=cfgM)
+    elapsed = time.time() - t0
+    mpix_s_m = (6400 * 6400 / 1e6) / elapsed
+    results.append({
+        "name": "config3-mesh: same scene via CONC_MESH tilesPerDevice=4 "
+                "(the multi-chip backend on the one available chip; "
+                "includes its first-run compiles when cold)",
+        "value": round(mpix_s_m, 3), "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s_m / REF_BASELINE_MPIX_S, 2),
+        "maxSegId_matches_threads": resM.maxSegId == res.maxSegId})
     return imgfile, segfile, res
 
 
