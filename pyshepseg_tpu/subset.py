@@ -261,6 +261,42 @@ def copySubsettedSegmentsToNew(inPage, outPagedRat, recodeDict,
         outPage.complete[outRowInPage] = True
 
 
+def setHistogramFromDictionary(dictn, histArray):
+    """
+    Write dictionary pixel counts (keyed on segment ID) into the array;
+    the null row is zeroed (reference: subset.py:271-279). Vectorized
+    over the dictionary items.
+    """
+    n = len(dictn)
+    idx = numpy.fromiter(dictn.keys(), dtype=numpy.int64, count=n)
+    vals = numpy.fromiter(dictn.values(), dtype=numpy.int64, count=n)
+    histArray[idx] = vals
+    histArray[shepseg.SEGNULLVAL] = 0
+
+
+def setSubsetRecodeFromDictionary(dictn, array):
+    """
+    Given the recodeDict (old ID -> new ID), write each original ID at
+    its new index; the null row is zeroed (reference: subset.py:282-290).
+    """
+    n = len(dictn)
+    old = numpy.fromiter(dictn.keys(), dtype=numpy.int64, count=n)
+    new = numpy.fromiter(dictn.values(), dtype=numpy.int64, count=n)
+    array[new] = old
+    array[shepseg.SEGNULLVAL] = 0
+
+
+def readColDataIntoPage(page, data, idx, colType, minVal):
+    """
+    Bulk-write one RAT column slice (starting at row minVal, the page's
+    startSegId) into a RatPage column (reference: subset.py:293-300).
+    """
+    if colType == tilingstats.STAT_DTYPE_INT:
+        page.intcols[idx, :len(data)] = data
+    else:
+        page.floatcols[idx, :len(data)] = data
+
+
 def readRATIntoPage(rat, numIntCols, numFloatCols, minVal, maxVal):
     """
     Read the RAT rows [minVal, maxVal] into a RatPage with startSegId =
@@ -276,10 +312,12 @@ def readRATIntoPage(rat, numIntCols, numFloatCols, minVal, maxVal):
         dtype = rat.GetTypeOfCol(col)
         data = rat.ReadAsArray(col, start=minVal, length=nrows)
         if dtype == rio.GFT_Integer:
-            page.intcols[intColIdx, :len(data)] = data
+            readColDataIntoPage(page, data, intColIdx,
+                                tilingstats.STAT_DTYPE_INT, minVal)
             intColIdx += 1
         else:
-            page.floatcols[floatColIdx, :len(data)] = data
+            readColDataIntoPage(page, data, floatColIdx,
+                                tilingstats.STAT_DTYPE_FLOAT, minVal)
             floatColIdx += 1
     return page
 

@@ -57,6 +57,10 @@ DFLT_CHUNKSIZE = 100000
 
 TILESIZE = 1024
 
+# Reference-compatible alias (reference: tiling.py:109 — a numba type
+# there, a plain numpy dtype here)
+segIdNumbaType = shepseg.SegIdType
+
 # Concurrency styles
 CONC_NONE = "CONC_NONE"
 CONC_THREADS = "CONC_THREADS"
@@ -1650,6 +1654,16 @@ def doTiledShepherdSegmentation_finalize(inDs, outfile, tileFilenames,
 # Deprecated, kept for API parity (reference: tiling.py:2012-2116)
 
 
+def updateCounts(tileData, hist):
+    """
+    Add the tile's per-segment-ID pixel counts into ``hist`` in place
+    (reference: tiling.py:2106-2116 — a numba per-pixel loop there, a
+    vectorized bincount here). IDs beyond len(hist)-1 are ignored.
+    """
+    counts = numpy.bincount(tileData.ravel(), minlength=len(hist))
+    hist += counts[:len(hist)].astype(hist.dtype)
+
+
 def calcHistogramTiled(segfile, maxSegId, writeToRat=True):
     """
     Deprecated: tile-wise histogram of a segmentation raster, optionally
@@ -1670,9 +1684,7 @@ def calcHistogramTiled(segfile, maxSegId, writeToRat=True):
             xsize = min(tileSize, npix - leftPix)
             ysize = min(tileSize, nlines - topLine)
             tileData = segband.ReadAsArray(leftPix, topLine, xsize, ysize)
-            counts = numpy.bincount(tileData.ravel(),
-                                    minlength=maxSegId + 1)
-            hist += counts[:maxSegId + 1].astype(numpy.uint32)
+            updateCounts(tileData, hist)
 
     hist[shepseg.SEGNULLVAL] = 0
 

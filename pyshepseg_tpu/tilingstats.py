@@ -44,6 +44,16 @@ class TiledStatsResult(object):
 # Image values are handled as int64 throughout (float imagery is rejected,
 # matching reference: tilingstats.py:63-68, 450-452)
 imageValueType = numpy.int64
+# Reference-compatible aliases (reference: tilingstats.py:66-68 — there
+# they are numba types; here plain numpy dtypes, usable the same way in
+# user code that sizes arrays for the spatial-stats callbacks)
+numbaTypeForImageType = imageValueType
+segIdNumbaType = shepseg.SegIdType
+
+# Is the optional RIOS package available (reference: tilingstats.py:48-57)?
+# Checked without importing it, so merely loading this module stays cheap.
+import importlib.util as _ilu  # noqa: E402
+HAVE_RIOS = _ilu.find_spec("rios") is not None
 
 
 def equalProjection(proj1, proj2):
@@ -768,6 +778,185 @@ def _calcStatsForCompletedSegs(acc, segSize, missingStatsValue, pagedRat,
         ratPage.setSegmentComplete(int(segId))
 
 
+# ---------------------------------- reference dict-kernel compat layer
+#
+# The streaming engine above replaces the reference's numba typed-dict
+# accumulation pipeline with sorted-run compaction, but the reference's
+# dict-based kernels are public API. These are drop-in equivalents on
+# plain Python dicts (vectorized where it matters), for callers that
+# drove the reference kernels directly
+# (reference: tilingstats.py:466-617, 620-653, 866-1008).
+
+
+def createSegDict():
+    """Dictionary of segments keyed on segment ID; values are {pixel
+    value: count} histograms (reference: tilingstats.py:620-640 — a
+    numba typed Dict there, a plain dict here)."""
+    return {}
+
+
+def createNoDataDict():
+    """Dictionary of per-segment nodata pixel counts
+    (reference: tilingstats.py:643-653)."""
+    return {}
+
+
+def accumulateSegDict(segDict, noDataDict, imgNullVal, tileSegments,
+                      tileImageData):
+    """
+    Accumulate per-segment histogram counts for all pixels in the given
+    tile, updating segDict/noDataDict in place
+    (reference: tilingstats.py:466-515, vectorized over unique
+    (segment, value) pairs).
+    """
+    seg = tileSegments.ravel().astype(numpy.int64)
+    val = tileImageData.ravel().astype(imageValueType)
+    keep = seg != shepseg.SEGNULLVAL
+    seg = seg[keep]
+    val = val[keep]
+    # every touched segment gets a histogram entry, even if all-nodata
+    for s in numpy.unique(seg).tolist():
+        if s not in segDict:
+            segDict[s] = {}
+    if imgNullVal is not None:
+        isNull = val == imageValueType(imgNullVal)
+        if isNull.any():
+            nullSegs, nullCounts = numpy.unique(seg[isNull],
+                                                return_counts=True)
+            for s, c in zip(nullSegs.tolist(), nullCounts.tolist()):
+                noDataDict[s] = noDataDict.get(s, 0) + c
+        seg = seg[~isNull]
+        val = val[~isNull]
+    if len(seg) == 0:
+        return
+    pairs = numpy.stack([seg, val.astype(numpy.int64)], axis=1)
+    uniq, counts = numpy.unique(pairs, axis=0, return_counts=True)
+    for (s, v), c in zip(uniq.tolist(), counts.tolist()):
+        d = segDict[s]
+        d[v] = d.get(v, 0) + c
+
+
+def checkSegComplete(segDict, noDataDict, segSize, segId):
+    """True when all of the segment's pixels have been seen: histogram
+    counts plus nodata count equal the segment size
+    (reference: tilingstats.py:518-553)."""
+    count = 0
+    if segId in segDict:
+        count += sum(segDict[segId].values())
+    count += noDataDict.get(segId, 0)
+    return count == segSize[segId]
+
+
+def getSortedKeysAndValuesForDict(d):
+    """The histogram dictionary's (pixel values, counts) as a pair of
+    arrays sorted by pixel value (reference: tilingstats.py:866-903)."""
+    size = len(d)
+    keys = numpy.fromiter(d.keys(), dtype=numbaTypeForImageType,
+                          count=size)
+    vals = numpy.fromiter(d.values(), dtype=numpy.uint32, count=size)
+    order = numpy.argsort(keys)
+    return keys[order], vals[order]
+
+
+class SegmentStats:
+    """
+    Statistics of a single segment, computed from a {pixel value: count}
+    histogram dictionary (reference SegmentStats jitclass:
+    tilingstats.py:906-1008 — same attributes, same semantics, including
+    float32 mean/stddev and the percentile walk's p<=0 quirk). With no
+    valid pixels every statistic is ``missingStatsValue``.
+    """
+
+    def __init__(self, segmentHistDict, missingStatsValue):
+        self.pixVals, self.counts = getSortedKeysAndValuesForDict(
+            segmentHistDict)
+        self.pixCount = int(self.counts.sum())
+        self.missingStatsValue = missingStatsValue
+        if self.pixCount == 0:
+            self.min = missingStatsValue
+            self.max = missingStatsValue
+            self.mean = missingStatsValue
+            self.stddev = missingStatsValue
+            self.mode = missingStatsValue
+            self.median = missingStatsValue
+        else:
+            self.min = self.pixVals[0]
+            self.max = self.pixVals[-1]
+            self.mean = numpy.float32(
+                (self.pixVals * self.counts).sum() / self.pixCount)
+            variance = (self.counts *
+                        (self.pixVals - self.mean) ** 2).sum() / self.pixCount
+            self.stddev = numpy.float32(numpy.sqrt(variance))
+            self.mode = self.pixVals[numpy.argmax(self.counts)]
+            self.median = self.getPercentile(50)
+
+    def getPercentile(self, percentile):
+        """Pixel value at the given percentile, by the reference's
+        cumulative-count walk (a p<=0 target exits the walk immediately
+        and indexes pixVals[-1] — reference: tilingstats.py:970-993)."""
+        if self.pixCount == 0:
+            return self.missingStatsValue
+        countAtPcntile = self.pixCount * (percentile / 100)
+        if countAtPcntile <= 0:
+            return self.pixVals[-1]
+        cum = numpy.cumsum(self.counts)
+        k = int(numpy.searchsorted(cum, countAtPcntile, side='left'))
+        return self.pixVals[k]
+
+    def getStat(self, statID, param):
+        """The requested statistic (reference: tilingstats.py:988-1008)."""
+        if statID == STATID_MIN:
+            return self.min
+        elif statID == STATID_MAX:
+            return self.max
+        elif statID == STATID_MEAN:
+            return self.mean
+        elif statID == STATID_STDDEV:
+            return self.stddev
+        elif statID == STATID_MEDIAN:
+            return self.median
+        elif statID == STATID_MODE:
+            return self.mode
+        elif statID == STATID_PERCENTILE:
+            return self.getPercentile(param)
+        elif statID == STATID_PIXCOUNT:
+            return self.pixCount
+        raise PyShepSegStatsError(f"Unknown statID {statID}")
+
+
+def calcStatsForCompletedSegs(segDict, noDataDict, missingStatsValue,
+                              pagedRat, statsSelection_fast, segSize,
+                              numIntCols, numFloatCols):
+    """
+    Calculate statistics for all complete segments in segDict, write
+    them into the paged RAT, and drop each completed segment's histogram
+    (bounded memory — reference: tilingstats.py:556-617).
+    """
+    numStats = len(statsSelection_fast)
+    maxSegId = len(segSize) - 1
+    for segId in list(segDict.keys()):
+        if not checkSegComplete(segDict, noDataDict, segSize, segId):
+            continue
+        segStats = SegmentStats(segDict[segId], missingStatsValue)
+        ratPageId = getRatPageId(segId)
+        if ratPageId not in pagedRat:
+            numSegThisPage = min(RAT_PAGE_SIZE, maxSegId - ratPageId + 1)
+            pagedRat[ratPageId] = RatPage(numIntCols, numFloatCols,
+                                          ratPageId, numSegThisPage)
+        ratPage = pagedRat[ratPageId]
+        for i in range(numStats):
+            statId = int(statsSelection_fast[i, STATSEL_STATID])
+            param = int(statsSelection_fast[i, STATSEL_PARAM])
+            val = segStats.getStat(statId, param)
+            colType = int(statsSelection_fast[i, STATSEL_COLTYPE])
+            colArrayNdx = int(statsSelection_fast[i,
+                                                  STATSEL_COLARRAYINDEX])
+            ratPage.setRatVal(segId, colType, colArrayNdx, val)
+        ratPage.setSegmentComplete(segId)
+        segDict.pop(segId)
+        noDataDict.pop(segId, None)
+
+
 # -------------------------------------------------------- spatial stats
 
 
@@ -969,6 +1158,140 @@ class SegmentPointAccumulator:
             y = numpy.empty(0, numpy.uint32)
             v = numpy.empty(0, imageValueType)
         return makePtsArray(x, y, v)
+
+
+# ------------------------- reference spatial dict-kernel compat layer
+#
+# Drop-in equivalents of the reference's typed-dict spatial accumulation
+# kernels (reference: tilingstats.py:1219-1259, 1651-1740, 1846-1932) on
+# plain Python containers. The user callback receives the points as the
+# framework's recarray (fields x, y, val — element access ``pts[i].x``
+# and vector access ``pts['x']`` both work), built from the accumulated
+# SegPoint list just before the call.
+
+
+class SegPoint:
+    """One data point and its whole-image pixel location
+    (reference SegPoint jitclass: tilingstats.py:1219-1242)."""
+
+    __slots__ = ('x', 'y', 'val')
+
+    def __init__(self, x, y, val):
+        self.x = x
+        self.y = y
+        self.val = val
+
+
+def createSegSpatialDataDict():
+    """Dictionary keyed on segment ID holding each segment's list of
+    :class:`SegPoint` (reference: tilingstats.py:1245-1259)."""
+    return {}
+
+
+def accumulateSegSpatial(segDict, noDataDict, imgNullVal, tileSegments,
+                         tileImageData, topLine, leftPix):
+    """
+    Accumulate each segment's pixel locations and values for the given
+    tile into segDict, nodata counts into noDataDict
+    (reference: tilingstats.py:1651-1700; grouped with one stable sort
+    instead of the per-pixel dict probes).
+    """
+    ysize, xsize = tileSegments.shape
+    seg = tileSegments.ravel().astype(numpy.int64)
+    val = tileImageData.ravel().astype(imageValueType)
+    flat = numpy.arange(ysize * xsize, dtype=numpy.int64)
+    yy = (flat // xsize + topLine).astype(numpy.uint32)
+    xx = (flat % xsize + leftPix).astype(numpy.uint32)
+    keep = seg != shepseg.SEGNULLVAL
+    seg, val, yy, xx = seg[keep], val[keep], yy[keep], xx[keep]
+    for s in numpy.unique(seg).tolist():
+        if s not in segDict:
+            segDict[s] = []
+    if imgNullVal is not None:
+        isNull = val == imageValueType(imgNullVal)
+        if isNull.any():
+            nullSegs, nullCounts = numpy.unique(seg[isNull],
+                                                return_counts=True)
+            for s, c in zip(nullSegs.tolist(), nullCounts.tolist()):
+                noDataDict[s] = noDataDict.get(s, 0) + c
+            seg, val, yy, xx = (seg[~isNull], val[~isNull],
+                                yy[~isNull], xx[~isNull])
+    if len(seg) == 0:
+        return
+    # stable sort preserves the reference's row-major within-segment order
+    order = numpy.argsort(seg, kind='stable')
+    seg, val, yy, xx = seg[order], val[order], yy[order], xx[order]
+    segIds, bounds = numpy.unique(seg, return_index=True)
+    bounds = numpy.append(bounds, len(seg))
+    for i, s in enumerate(segIds.tolist()):
+        lo, hi = bounds[i], bounds[i + 1]
+        segDict[s].extend(
+            SegPoint(int(x), int(y), int(v))
+            for x, y, v in zip(xx[lo:hi].tolist(), yy[lo:hi].tolist(),
+                               val[lo:hi].tolist()))
+
+
+def checkSegCompleteSpatial(segDict, noDataDict, segSize, segId):
+    """True when the segment's accumulated point count plus its nodata
+    count equals the segment size (reference: tilingstats.py:1702-1740)."""
+    count = len(segDict[segId]) if segId in segDict else 0
+    count += noDataDict.get(segId, 0)
+    return count == segSize[segId]
+
+
+def calcStatsForCompletedSegsSpatial(segDict, noDataDict,
+                                     missingStatsValue, pagedRat, segSize,
+                                     userFunc, userParam,
+                                     statsSelection_fast, intArr, floatArr,
+                                     imgNullVal):
+    """
+    Invoke ``userFunc`` for every complete segment, write its
+    intArr/floatArr outputs into the paged RAT, and drop the segment's
+    points (reference: tilingstats.py:1846-1932). The point list is
+    converted to the framework's pts recarray before the call.
+    """
+    maxSegId = len(segSize) - 1
+    for segId in list(segDict.keys()):
+        if not checkSegCompleteSpatial(segDict, noDataDict, segSize,
+                                       segId):
+            continue
+        ratPageId = getRatPageId(segId)
+        if ratPageId not in pagedRat:
+            numSegThisPage = min(RAT_PAGE_SIZE, maxSegId - ratPageId + 1)
+            pagedRat[ratPageId] = RatPage(intArr.shape[0],
+                                          floatArr.shape[0],
+                                          ratPageId, numSegThisPage)
+        ratPage = pagedRat[ratPageId]
+        segList = segDict[segId]
+        if len(segList) > 0:
+            intArr.fill(missingStatsValue)
+            floatArr.fill(missingStatsValue)
+            pts = makePtsArray(
+                numpy.array([p.x for p in segList], dtype=numpy.uint32),
+                numpy.array([p.y for p in segList], dtype=numpy.uint32),
+                numpy.array([p.val for p in segList],
+                            dtype=imageValueType))
+            userFunc(pts, imgNullVal, intArr, floatArr, userParam)
+            for n in range(statsSelection_fast.shape[0]):
+                colType = int(statsSelection_fast[n, STATSEL_COLTYPE])
+                colArrayNdx = int(
+                    statsSelection_fast[n, STATSEL_COLARRAYINDEX])
+                if colType == STAT_DTYPE_INT:
+                    ratPage.setRatVal(segId, STAT_DTYPE_INT, colArrayNdx,
+                                      intArr[colArrayNdx])
+                else:
+                    ratPage.setRatVal(segId, STAT_DTYPE_FLOAT,
+                                      colArrayNdx, floatArr[colArrayNdx])
+        else:
+            for n in range(statsSelection_fast.shape[0]):
+                colType = int(statsSelection_fast[n, STATSEL_COLTYPE])
+                colArrayNdx = int(
+                    statsSelection_fast[n, STATSEL_COLARRAYINDEX])
+                ratPage.setRatVal(segId, colType, colArrayNdx,
+                                  missingStatsValue)
+        ratPage.setSegmentComplete(segId)
+        segDict.pop(segId)
+        noDataDict.pop(segId, None)
 
 
 def createUserColumnsSpatial(colNamesAndTypes, attrTbl, existingColNames):
@@ -1307,6 +1630,11 @@ def _statsRIOSFunc(info, inputs, outputs, otherArgs):
                        otherArgs.statsSelection_fast)
 
 
+# public name matching the reference's callback (reference:
+# tilingstats.py:219 calcPerSegmentStats_riosFunc)
+calcPerSegmentStats_riosFunc = _statsRIOSFunc
+
+
 def calcPerSegmentStatsRIOS(imgfile, imgbandnum, segfile,
         statsSelection, concurrencyStyle=None, missingStatsValue=-9999,
         outFile=None):
@@ -1388,6 +1716,11 @@ def _spatialStatsRIOSFunc(info, inputs, outputs, otherArgs):
         otherArgs.numFloatCols)
     _writeCompletePagesSpatial(otherArgs.pagedRat, otherArgs.attrTbl,
                                otherArgs.userColFast)
+
+
+# public name matching the reference's callback (reference:
+# tilingstats.py:1393 calcPerSegmentSpatialStats_riosFunc)
+calcPerSegmentSpatialStats_riosFunc = _spatialStatsRIOSFunc
 
 
 def calcPerSegmentSpatialStatsRIOS(imgfile, imgbandnum, segfile,

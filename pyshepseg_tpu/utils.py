@@ -79,7 +79,9 @@ def setupCompilationCache(cacheDir):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return True
 
-_floatTypes = {rio.GDT_Float32, rio.GDT_Float64}
+# GDAL float band types (public, reference: utils.py:44)
+gdalFloatTypes = {rio.GDT_Float32, rio.GDT_Float64}
+_floatTypes = gdalFloatTypes
 
 
 def estimateStatsFromHisto(bandObj, hist):

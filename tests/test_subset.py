@@ -108,3 +108,34 @@ def test_subset_out_of_bounds(tmp_path, seg_with_rat):
     with pytest.raises(subset.PyShepSegSubsetError):
         subset.subsetImage(path, str(tmp_path / "x.npseg"),
                            100, 100, 50, 50, None)
+
+
+def test_dict_writer_compat_functions():
+    """The reference-compatible dict->array writers
+    (reference: subset.py:271-300)."""
+    hist = np.zeros(10, dtype=np.int64)
+    subset.setHistogramFromDictionary({0: 5, 3: 7, 9: 2}, hist)
+    assert hist[0] == 0 and hist[3] == 7 and hist[9] == 2
+
+    arr = np.zeros(10, dtype=np.int64)
+    subset.setSubsetRecodeFromDictionary({42: 3, 77: 9}, arr)
+    assert arr[3] == 42 and arr[9] == 77 and arr[0] == 0
+
+    from pyshepseg_tpu import tilingstats
+    page = tilingstats.RatPage(1, 1, 0, 4)
+    subset.readColDataIntoPage(
+        page, np.array([1, 2, 3, 4]), 0, tilingstats.STAT_DTYPE_INT, 0)
+    subset.readColDataIntoPage(
+        page, np.array([0.5, 1.5, 2.5, 3.5]), 0,
+        tilingstats.STAT_DTYPE_FLOAT, 0)
+    assert page.intcols[0].tolist() == [1, 2, 3, 4]
+    assert page.floatcols[0].tolist() == [0.5, 1.5, 2.5, 3.5]
+
+
+def test_update_counts_compat():
+    from pyshepseg_tpu import tiling
+    hist = np.zeros(5, dtype=np.uint32)
+    tiling.updateCounts(np.array([[1, 1, 2], [4, 4, 4]], dtype=np.uint32),
+                        hist)
+    tiling.updateCounts(np.array([[1]], dtype=np.uint32), hist)
+    assert hist.tolist() == [0, 3, 1, 0, 3]

@@ -578,3 +578,121 @@ def test_spatial_device_variogram_matches_host(tmp_path, rng,
         a = ratH.ReadAsArray(nH.index(c))
         b = ratD.ReadAsArray(nD.index(c))
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-4)
+
+
+# ------------------- reference dict-kernel compatibility layer
+
+
+def test_dict_compat_stats_pipeline(rng):
+    """Drive the reference-style dict kernels (accumulateSegDict ->
+    checkSegComplete -> calcStatsForCompletedSegs) over a two-tile split
+    and check the paged RAT against direct numpy statistics."""
+    h, w = 40, 60
+    seg = (rng.integers(1, 9, size=(h, w))).astype(np.uint32)
+    seg[0, :5] = 0
+    img = rng.integers(0, 50, size=(h, w)).astype(np.int64)
+    img[seg == 3] = 7            # all-nodata segment
+    imgNullVal = 7
+    segSize = np.bincount(seg.ravel(), minlength=10)
+    segSize[0] = 0
+
+    segDict = tilingstats.createSegDict()
+    noDataDict = tilingstats.createNoDataDict()
+    pagedRat = tilingstats.createPagedRat()
+    statsSelection = [("mn", "mean"), ("p0", "percentile", 0),
+                      ("md", "median"), ("cnt", "pixcount")]
+    sel, nInt, nFloat = tilingstats.makeFastStatsSelection(
+        list(range(len(statsSelection))), statsSelection)
+
+    # feed in two half-tiles: nothing completes after the first
+    tilingstats.accumulateSegDict(segDict, noDataDict, imgNullVal,
+                                  seg[:, :30], img[:, :30])
+    complete1 = [s for s in segDict
+                 if tilingstats.checkSegComplete(segDict, noDataDict,
+                                                 segSize, s)]
+    assert complete1 == []
+    tilingstats.accumulateSegDict(segDict, noDataDict, imgNullVal,
+                                  seg[:, 30:], img[:, 30:])
+    tilingstats.calcStatsForCompletedSegs(
+        segDict, noDataDict, -9999, pagedRat, sel, segSize, nInt, nFloat)
+    assert segDict == {} and noDataDict == {}
+
+    page = pagedRat[0]
+    for s in range(1, 9):
+        vals = img[(seg == s) & (img != imgNullVal)]
+        if len(vals) == 0:
+            assert page.getRatVal(s, tilingstats.STAT_DTYPE_FLOAT, 0) == -9999
+            assert page.getRatVal(s, tilingstats.STAT_DTYPE_INT, 0) == -9999
+            continue
+        mean = page.getRatVal(s, tilingstats.STAT_DTYPE_FLOAT, 0)
+        assert mean == pytest.approx(np.float32(vals.mean()), abs=1e-5)
+        # reference p=0 quirk: percentile 0 returns the MAX value
+        assert page.getRatVal(s, tilingstats.STAT_DTYPE_INT, 0) == vals.max()
+        sv = np.sort(vals)
+        cum = np.cumsum(np.ones_like(sv))
+        med = sv[int(np.searchsorted(cum, len(sv) * 0.5, side='left'))]
+        assert page.getRatVal(s, tilingstats.STAT_DTYPE_INT, 1) == med
+        assert page.getRatVal(s, tilingstats.STAT_DTYPE_INT, 2) == len(vals)
+
+
+def test_segment_stats_class(rng):
+    """SegmentStats matches the reference jitclass semantics."""
+    hist = {10: 3, 5: 2, 20: 1}
+    st = tilingstats.SegmentStats(hist, -9999)
+    assert st.pixCount == 6
+    assert st.min == 5 and st.max == 20
+    assert st.mean == pytest.approx(np.float32((5 * 2 + 10 * 3 + 20) / 6))
+    assert st.mode == 10
+    assert st.getPercentile(0) == 20       # the reference's p=0 quirk
+    assert st.getPercentile(100) == 20
+    assert st.median == 10
+    assert st.getStat(tilingstats.STATID_PIXCOUNT, 0) == 6
+    empty = tilingstats.SegmentStats({}, -9999)
+    assert empty.mean == -9999 and empty.getPercentile(50) == -9999
+
+    keys, counts = tilingstats.getSortedKeysAndValuesForDict(hist)
+    assert keys.tolist() == [5, 10, 20]
+    assert counts.tolist() == [2, 3, 1]
+
+
+def test_dict_compat_spatial_pipeline(rng):
+    """accumulateSegSpatial -> calcStatsForCompletedSegsSpatial with the
+    built-in mean-coord user function."""
+    h, w = 30, 40
+    seg = (rng.integers(1, 5, size=(h, w))).astype(np.uint32)
+    img = rng.integers(1, 50, size=(h, w)).astype(np.int64)
+    segSize = np.bincount(seg.ravel(), minlength=6)
+    segSize[0] = 0
+
+    segDict = tilingstats.createSegSpatialDataDict()
+    noDataDict = tilingstats.createNoDataDict()
+    pagedRat = tilingstats.createPagedRat()
+    colNames = [("x_mean", rio.GFT_Real), ("y_mean", rio.GFT_Real)]
+    sel = np.array([[0, 0, tilingstats.STAT_DTYPE_FLOAT, 0, 0],
+                    [1, 0, tilingstats.STAT_DTYPE_FLOAT, 1, 0]],
+                   dtype=np.uint32)
+    intArr = np.zeros(0, dtype=np.int64)
+    floatArr = np.zeros(2, dtype=np.float64)
+    transform = np.array([0, 1, 0, 0, 0, -1], dtype=np.float64)
+
+    # two horizontal strips (whole-image coordinates via topLine)
+    tilingstats.accumulateSegSpatial(segDict, noDataDict, None,
+                                     seg[:15], img[:15], 0, 0)
+    tilingstats.accumulateSegSpatial(segDict, noDataDict, None,
+                                     seg[15:], img[15:], 15, 0)
+    tilingstats.calcStatsForCompletedSegsSpatial(
+        segDict, noDataDict, -9999, pagedRat, segSize,
+        tilingstats.userFuncMeanCoord, transform, sel, intArr, floatArr,
+        None)
+    assert segDict == {}
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    page = pagedRat[0]
+    for s in range(1, 5):
+        # geotransform (0,1,0,0,0,-1), pixel top-left corner convention
+        wantE = xx[seg == s].astype(float).mean()
+        wantN = (-yy[seg == s].astype(float)).mean()
+        gotE = page.getRatVal(s, tilingstats.STAT_DTYPE_FLOAT, 0)
+        gotN = page.getRatVal(s, tilingstats.STAT_DTYPE_FLOAT, 1)
+        assert gotE == pytest.approx(wantE, abs=1e-3)
+        assert gotN == pytest.approx(wantN, abs=1e-3)
