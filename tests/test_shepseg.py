@@ -1,6 +1,7 @@
 """End-to-end tests of doShepherdSegmentation on synthetic imagery."""
 
 import numpy as np
+import pytest
 
 from pyshepseg_tpu import shepseg
 
@@ -197,5 +198,33 @@ def test_compat_merge_kernels_match_device_driver(rng):
     nA = _run_reference_small_elim(segA, img, maxSegId, 8, 1e9, True)
     nB = eliminateSmallSegments(segB, img, maxSegId, 8, 1e9,
                                 fourConnected=True)
+    assert nA == nB
+    np.testing.assert_array_equal(segA, segB)
+
+
+@pytest.mark.parametrize("seed,four", [(1, True), (2, False), (3, True)])
+def test_compat_merge_kernels_multiseed(seed, four):
+    """Multi-seed differential sweep: the compat sequential loop vs the
+    device graph elimination, 4- and 8-connected."""
+    from pyshepseg_tpu.shepseg import (makeSegSize, eliminateSinglePixels,
+                                       eliminateSmallSegments)
+    from pyshepseg_tpu.ops.clump import clump
+    rng = np.random.default_rng(seed)
+    img, _ = _voronoi_image(rng, shape=(40, 40), ncentres=7, noise=0)
+    res = shepseg.doShepherdSegmentation(
+        img, numClusters=7, clusterSubsamplePcnt=100, minSegmentSize=1,
+        maxSpectralDiff=None, fourConnected=four, fixedKMeansInit=True)
+    clusters = shepseg.applySpectralClusters(res.kmeans, img, None)
+    seg0, maxSegId = clump(clusters, 0, fourConnected=four)
+    seg0 = seg0.astype(np.uint32)
+    size0 = makeSegSize(seg0, maxSegId)
+    eliminateSinglePixels(img, seg0, size0, fourConnected=four)
+    maxSegId = int(seg0.max())
+
+    segA = seg0.copy()
+    segB = seg0.copy()
+    nA = _run_reference_small_elim(segA, img, maxSegId, 6, 1e9, four)
+    nB = eliminateSmallSegments(segB, img, maxSegId, 6, 1e9,
+                                fourConnected=four)
     assert nA == nB
     np.testing.assert_array_equal(segA, segB)
