@@ -356,15 +356,19 @@ def test_tiled_mesh_matches_serial(serial_case, tmp_path):
     np.testing.assert_array_equal(seg, serial_case["seg"])
 
 
-def test_tiled_mesh_tiles_per_device_matches_serial(serial_case, tmp_path):
+@pytest.mark.parametrize("tpd", [2, 3])
+def test_tiled_mesh_tiles_per_device_matches_serial(serial_case, tmp_path,
+                                                    tpd):
     """tilesPerDevice>1 vmap-batches several tiles into each per-device
     dispatch; the batched fixpoint loops run until the slowest batch
-    member converges, but every tile's result must stay bit-identical."""
+    member converges, but every tile's result must stay bit-identical.
+    tpd=2 divides the tile count exactly; tpd=3 exercises the
+    pad-to-full-chunk path."""
     import jax
     assert len(jax.devices()) == 8
     outpath = str(tmp_path / "out_mesh_tpd.npseg")
     cfg = tiling.SegmentationConcurrencyConfig(
-        concurrencyType=tiling.CONC_MESH, numWorkers=0, tilesPerDevice=2)
+        concurrencyType=tiling.CONC_MESH, numWorkers=0, tilesPerDevice=tpd)
     res = run_tiled(serial_case["inpath"], outpath, concurrencyCfg=cfg)
     seg = check_output(outpath, res, serial_case["img"],
                        serial_case["true_seg"])
