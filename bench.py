@@ -361,31 +361,10 @@ def _await_device(maxWaitS=900):
     """
     The axon tunnel sometimes wedges a fresh process's FIRST device
     dispatch (it hangs with no CPU use; see BASELINE.md hygiene notes).
-    Probe the device from a THROWAWAY subprocess with a hard timeout,
-    retrying until it answers, so an unattended bench run started during
-    a wedged phase waits the outage out instead of hanging forever.
-    Returns the number of seconds waited.
+    Wait out such a phase before measuring, so an unattended bench run
+    started during it does not hang forever. Returns the seconds waited.
     """
-    import subprocess
-    probe = ("import jax, jax.numpy as jnp; jax.devices(); "
-             "print(float(jnp.ones((64, 64)).sum()))")
-    t0 = time.time()
-    while True:
-        try:
-            r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, timeout=100)
-            if r.returncode == 0:
-                return round(time.time() - t0, 1)
-        except subprocess.TimeoutExpired:
-            pass
-        if time.time() - t0 > maxWaitS:
-            print("BENCH-WARNING: device probe failing after "
-                  f"{maxWaitS}s; proceeding anyway", file=sys.stderr,
-                  flush=True)
-            return round(time.time() - t0, 1)
-        print("BENCH-WARNING: device probe wedged, retrying...",
-              file=sys.stderr, flush=True)
-        time.sleep(60)
+    return utils.awaitDevice(maxWaitS=maxWaitS)
 
 
 def main():

@@ -229,6 +229,13 @@ def checkSubset(outsegfile, subset_segfile):
 
 def mainCmd():
     cmdargs = getCmdargs()
+    # The axon tunnel can wedge a fresh process's first device dispatch;
+    # wait out such a phase before generating the scene (only probes
+    # when a non-CPU backend is configured — tests on the CPU mesh skip
+    # the subprocess entirely)
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        from pyshepseg_tpu import utils as _utils
+        _utils.awaitDevice()
     tempDir = tempfile.mkdtemp(dir=cmdargs.directory,
                                prefix="pyshepseg_tpu_test_")
     allOK = True

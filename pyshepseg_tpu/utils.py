@@ -59,6 +59,42 @@ def compilationCacheBypassOnAxon():
             jax.config.update("jax_compilation_cache_dir", cacheDir)
 
 
+def awaitDevice(maxWaitS=900, probeTimeoutS=100, verbose=True):
+    """
+    Wait until the accelerator answers a trivial dispatch, probing from
+    a THROWAWAY subprocess with a hard timeout. The axon remote-device
+    tunnel sometimes wedges a fresh process's FIRST dispatch (the
+    process hangs with no CPU use); probing out-of-process lets the
+    caller wait out such a phase instead of becoming the wedged process
+    itself. No-op (fast success) on healthy backends, including CPU.
+    Returns the seconds waited; on persistent failure returns after
+    ``maxWaitS`` anyway (the caller may still succeed or fail loudly).
+    """
+    import time
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp; jax.devices(); "
+             "print(float(jnp.ones((64, 64)).sum()))")
+    t0 = time.time()
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True,
+                               timeout=probeTimeoutS)
+            if r.returncode == 0:
+                return round(time.time() - t0, 1)
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > maxWaitS:
+            if verbose:
+                print(f"WARNING: device probe failing after {maxWaitS}s;"
+                      " proceeding anyway", file=sys.stderr, flush=True)
+            return round(time.time() - t0, 1)
+        if verbose:
+            print("WARNING: device dispatch wedged, waiting for the "
+                  "backend...", file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def setupCompilationCache(cacheDir):
     """
     Enable the persistent XLA compilation cache at ``cacheDir``.
