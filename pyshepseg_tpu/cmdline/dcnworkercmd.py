@@ -60,6 +60,9 @@ def getCmdargs():
         help="Tile decomposition style (default=%(default)s)")
     p.add_argument("--format", default='KEA', dest="outformat",
         help="Output raster format (default=%(default)s)")
+    p.add_argument("--tilesperdevice", type=int, default=1,
+        help="Tiles vmap-batched into each per-chip dispatch "
+             "(default=%(default)s)")
     p.add_argument("-v", "--verbose", default=False, action="store_true",
         help="Print progress")
     return p.parse_args()
@@ -83,7 +86,8 @@ def mainCmd():
         fourConnected=not args.eightway, verbose=args.verbose,
         outputDriver=args.outformat, tileGrid=args.tilegrid,
         coordinatorAddress=args.coordinator,
-        numProcesses=args.numprocesses, processId=args.procid)
+        numProcesses=args.numprocesses, processId=args.procid,
+        tilesPerDevice=args.tilesperdevice)
     if res is not None and args.verbose:
         print("Found", res.maxSegId, "segments; empty-segments =",
               res.hasEmptySegments)

@@ -87,13 +87,14 @@ class DistributedContext:
 def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
                       imgNullVal, kmeansObj, minSegmentSize,
                       maxSpectralDiff, fourConnected, spectDistPcntile,
-                      workDir, verbose, timings):
+                      workDir, verbose, timings, tilesPerDevice=1):
     """
     Segment this process's tiles on its local devices and write each as
     workDir/tile_<col>_<row>.npy. With more than one local chip, tiles
-    are batched across them with the fused mesh pipeline (one tile per
-    chip per step); otherwise the host-orchestrated per-tile path runs.
-    Returns {(col, row): filename}.
+    are batched across them with the fused mesh pipeline
+    (``tilesPerDevice`` tiles per chip per step — see
+    SegmentationConcurrencyConfig); otherwise the host-orchestrated
+    per-tile path runs. Returns {(col, row): filename}.
     """
     import jax
 
@@ -133,6 +134,7 @@ def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
     mesh = Mesh(np.array(localDevices), ("data",))
     sharding = NamedSharding(mesh, P("data"))
     nDev = len(localDevices)
+    chunkSize = nDev * max(1, int(tilesPerDevice))
     hasNull = imgNullVal is not None
     nullVal = jnp.float32(imgNullVal if hasNull else 0)
     maxDiff = jnp.float32(shepseg.autoMaxSpectralDiff(
@@ -146,8 +148,8 @@ def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
         groups.setdefault((ysize, xsize), []).append(colRow)
 
     for members in groups.values():
-        for startNdx in range(0, len(members), nDev):
-            chunk = members[startNdx:startNdx + nDev]
+        for startNdx in range(0, len(members), chunkSize):
+            chunk = members[startNdx:startNdx + chunkSize]
             with timings.interval('reading'):
                 imgs = []
                 for (col, row) in chunk:
@@ -156,7 +158,7 @@ def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
                         inDs.GetRasterBand(b).ReadAsArray(xpos, ypos,
                                                           xs, ys)
                         for b in bandNumbers]))
-                while len(imgs) < nDev:
+                while len(imgs) < chunkSize:
                     imgs.append(imgs[-1])
                 batch = np.stack(imgs)
             with timings.interval('segmentation', sync=True):
@@ -178,7 +180,7 @@ def doTiledShepherdSegmentationDistributed(infile, outfile, workDir,
         outputDriver='KEA', creationOptions=[], spectDistPcntile=50,
         kmeansObj=None, writeHistogram=True, tileGrid='uniform',
         coordinatorAddress=None, numProcesses=None, processId=None,
-        barrierTimeout=600):
+        barrierTimeout=600, tilesPerDevice=1):
     """
     Multi-controller tiled segmentation across TPU-pod hosts. Run this
     function in every process of the job (one per host). ``workDir``
@@ -211,7 +213,7 @@ def doTiledShepherdSegmentationDistributed(infile, outfile, workDir,
                 maxSpectralDiff, imgNullVal, fixedKMeansInit,
                 fourConnected, verbose, simpleTileRecode, outputDriver,
                 creationOptions, spectDistPcntile, kmeansObj,
-                writeHistogram, tileGrid, timings)
+                writeHistogram, tileGrid, timings, tilesPerDevice)
     finally:
         ctx.shutdown()
 
@@ -222,7 +224,7 @@ def _runDistributed(ctx, infile, outfile, workDir, tileSize, overlapSize,
                     fixedKMeansInit, fourConnected, verbose,
                     simpleTileRecode, outputDriver, creationOptions,
                     spectDistPcntile, kmeansObj, writeHistogram, tileGrid,
-                    timings):
+                    timings, tilesPerDevice=1):
     from .. import io as rio
 
     pid = ctx.processId
@@ -259,7 +261,7 @@ def _runDistributed(ctx, infile, outfile, workDir, tileSize, overlapSize,
         filenames = _segmentTileShard(
             ctx, inDs, tileInfo, myTiles, bandNumbers, imgNullVal,
             kmeansObj, minSegmentSize, maxSpectralDiff, fourConnected,
-            spectDistPcntile, workDir, verbose, timings)
+            spectDistPcntile, workDir, verbose, timings, tilesPerDevice)
     except Exception:
         status = "error:" + traceback.format_exc()
     ctx.putObj(f"pyshepseg/{ctx.jobTag}/worker_{pid}", {

@@ -52,7 +52,8 @@ DRIVER = textwrap.dedent("""
         tileSize=64, overlapSize=16, minSegmentSize=10, numClusters=20,
         kmeansObj=perfect_kmeans(), fourConnected=True,
         maxSpectralDiff=30.0, coordinatorAddress=coord,
-        numProcesses=int(nproc), processId=int(pid), barrierTimeout=120)
+        numProcesses=int(nproc), processId=int(pid), barrierTimeout=120,
+        tilesPerDevice=int(os.environ.get("DCN_TEST_TPD", "1")))
     if int(pid) == 0:
         assert res is not None and res.maxSegId > 0
         print("MAXSEGID", res.maxSegId)
@@ -61,8 +62,9 @@ DRIVER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.parametrize("nproc,localdev", [(2, 1), (3, 1), (2, 2)])
-def test_dcn_matches_serial(tmp_path, rng, nproc, localdev):
+@pytest.mark.parametrize("nproc,localdev,tpd",
+                         [(2, 1, 1), (3, 1, 1), (2, 2, 1), (2, 2, 2)])
+def test_dcn_matches_serial(tmp_path, rng, nproc, localdev, tpd):
     inpath = str(tmp_path / "in.npseg")
     out_serial = str(tmp_path / "out_serial.npseg")
     img, true_seg = make_voronoi_raster(inpath, rng)
@@ -78,6 +80,7 @@ def test_dcn_matches_serial(tmp_path, rng, nproc, localdev):
     cache = str(tmp_path.parent / "dcn_jax_cache")
 
     env = dict(os.environ)
+    env["DCN_TEST_TPD"] = str(tpd)
     if localdev > 1:
         # each fake host gets several local CPU devices, exercising the
         # per-host mesh-batch shard path (segment_tile_batch)
