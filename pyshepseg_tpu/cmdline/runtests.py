@@ -229,6 +229,12 @@ def checkSubset(outsegfile, subset_segfile):
 
 def mainCmd():
     cmdargs = getCmdargs()
+    # Some site customizations (e.g. accelerator tunnels) override the
+    # JAX_PLATFORMS env var; honour the caller's intent through the
+    # config API, which wins (same pattern as __graft_entry__).
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # The axon tunnel can wedge a fresh process's first device dispatch;
     # wait out such a phase before generating the scene (only probes
     # when a non-CPU backend is configured — tests on the CPU mesh skip
@@ -236,6 +242,8 @@ def mainCmd():
     if os.environ.get("JAX_PLATFORMS", "") != "cpu":
         from pyshepseg_tpu import utils as _utils
         _utils.awaitDevice()
+    if cmdargs.directory is not None:
+        os.makedirs(cmdargs.directory, exist_ok=True)
     tempDir = tempfile.mkdtemp(dir=cmdargs.directory,
                                prefix="pyshepseg_tpu_test_")
     allOK = True
