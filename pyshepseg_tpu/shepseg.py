@@ -631,7 +631,9 @@ def findMergeSegment(segId, segLoc, seg, segSize, spectSum,
     numPix = len(segRowcols)
     spect = spectSum[segId] / numPix
     for k in range(numPix):
-        (i, j) = segRowcols[k]
+        # python ints: uint32 pixel coords would wrap at the image edge
+        i = int(segRowcols[k, 0])
+        j = int(segRowcols[k, 1])
         for ii in range(max(i - 1, 0), min(i + 2, nRows)):
             for jj in range(max(j - 1, 0), min(j + 2, nCols)):
                 connected = (not fourConnected) or (ii == i) or (jj == j)

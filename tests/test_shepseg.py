@@ -228,3 +228,22 @@ def test_compat_merge_kernels_multiseed(seed, four):
                                 fourConnected=four)
     assert nA == nB
     np.testing.assert_array_equal(segA, segB)
+
+
+def test_find_merge_segment_at_image_corner():
+    """Regression: segment pixels at row/col 0 are uint32 in the
+    location list; the neighbourhood walk must not wrap (it silently
+    skipped the whole 3x3 window before the int cast)."""
+    from pyshepseg_tpu.shepseg import (makeSegSize, buildSegmentSpectra,
+                                       makeSegmentLocationsDict,
+                                       findMergeSegment, SEGNULLVAL)
+    seg = np.full((4, 4), 2, dtype=np.uint32)
+    seg[0, 0] = 1
+    seg[0, 1] = 1
+    img = np.full((2, 4, 4), 100, dtype=np.int64)
+    segSize = makeSegSize(seg, 2)
+    spectSum = buildSegmentSpectra(seg, img, 2)
+    segLoc = makeSegmentLocationsDict(seg, segSize)
+    got = findMergeSegment(np.uint32(1), segLoc, seg, segSize, spectSum,
+                           1e9, True)
+    assert got == 2 and got != SEGNULLVAL
