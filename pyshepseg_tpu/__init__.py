@@ -34,3 +34,5 @@ if _os.environ.get("PYSHEPSEG_TPU_PLATFORM"):
 
 SHEPSEG_TPU_VERSION = "0.3.0"
 __version__ = SHEPSEG_TPU_VERSION
+# reference-compatible alias (reference: __init__.py:31-32)
+SHEPSEG_VERSION = SHEPSEG_TPU_VERSION
