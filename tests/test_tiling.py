@@ -459,3 +459,21 @@ def test_no_null_holes_with_segments_larger_than_overlap(tmp_path, rng):
     assert (seg != 0).all(), f"{(seg == 0).sum()} null holes in mosaic"
     assert not res.hasEmptySegments
     check_output(outpath, res, img, true_seg)
+
+
+def test_tiled_mesh_grow_grid_matches_serial(paths, rng, tmp_path):
+    """CONC_MESH with the grown-edge grid: multiple tile shapes means
+    multiple compiled SPMD groups per scene; batched (tilesPerDevice=2)
+    output must still be bit-identical to serial."""
+    inpath, outpath = paths
+    img, true_seg = make_voronoi_raster(inpath, rng, shape=(150, 170))
+    res_s = run_tiled(inpath, outpath, tileGrid='grow')
+    seg_s = rio.open(outpath).GetRasterBand(1).ReadAsArray()
+
+    out_m = str(tmp_path / "out_mesh_grow.npseg")
+    cfg = tiling.SegmentationConcurrencyConfig(
+        concurrencyType=tiling.CONC_MESH, tilesPerDevice=2)
+    res_m = run_tiled(inpath, out_m, tileGrid='grow', concurrencyCfg=cfg)
+    seg_m = rio.open(out_m).GetRasterBand(1).ReadAsArray()
+    np.testing.assert_array_equal(seg_s, seg_m)
+    assert res_s.maxSegId == res_m.maxSegId
