@@ -178,7 +178,6 @@ def _edgeCapForCount(nUniqueEdges: int) -> int:
     count (module-level hook so tests can force the overflow fallback).
     Quarter-step buckets: the graph loop's cost is linear in this
     capacity (see round_capacity_fine)."""
-    from .ops.elim_small import round_capacity_fine
     return round_capacity_fine(int(nUniqueEdges) + 1)
 
 

@@ -904,9 +904,14 @@ class SegmentationConcurrencyMgr:
                 nullmask = (tileData == shepseg.SEGNULLVAL)
                 tileData = tileData + shepseg.SegIdType(maxSegId)
                 tileData[nullmask] = shepseg.SEGNULLVAL
+                updateMaxFromTile = True
             else:
+                # recodeTile's assignment counter is authoritative (it
+                # covers every ID it issued or preserved), so no
+                # per-tile max() scan is needed on this path
                 (tileData, maxSegId) = self.recodeTile(
                     tileData, maxSegId, row, col, top, bottom, left, right)
+                updateMaxFromTile = False
 
             tileDataTrimmed = tileData[top:bottom, left:right]
             outBand.WriteArray(tileDataTrimmed, xout, yout)
@@ -922,7 +927,8 @@ class SegmentationConcurrencyMgr:
                     self.overlapCacheKey(col, row, BOTTOM_OVERLAP),
                     tileData[-bottomOv:, :])
 
-            maxSegId = max(maxSegId, int(tileDataTrimmed.max()))
+            if updateMaxFromTile:
+                maxSegId = max(maxSegId, int(tileDataTrimmed.max()))
 
         self.writeHistogramToFile(outBand, histAccum)
         self.hasEmptySegments = self.checkForEmptySegments(
@@ -1542,7 +1548,7 @@ def doTiledShepherdSegmentation_prepare(infile, tileSize=DFLT_TILESIZE,
     elif imgNullVal is None:
         imgNullVal = getImgNullValue(inDs, bandNumbers)
 
-    tileInfo = getTilesForFile(inDs, tileSize, overlapSize)
+    tileInfo = getTilesForFile(inDs, tileSize, overlapSize, tileGrid)
     if verbose:
         print("Found {} tiles, with {} rows and {} cols".format(
             tileInfo.getNumTiles(), tileInfo.nrows, tileInfo.ncols))

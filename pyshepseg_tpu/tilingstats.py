@@ -476,6 +476,10 @@ def _segmentStatsFromRuns(vals, counts, start, end, statID, param,
 
     out = numpy.full(n, missingStatsValue, dtype=numpy.float64)
     nonEmpty = pixCount > 0
+    if len(gvals) == 0:
+        # every completing segment is all-nodata (zero runs): nothing to
+        # reduce, and the percentile branch would index an empty cumsum
+        return out
     # first/last run index per group (runs are sorted by value)
     gstart = numpy.zeros(n, dtype=numpy.int64)
     gstart[1:] = numpy.cumsum(lengths)[:-1]
@@ -1529,16 +1533,8 @@ def _spatialFinalizeCompleted(acc, segSize, userFunc, userParam,
                               dtype=numpy.float64)
         if len(pts) > 0:
             userFunc(pts, acc.imgNullVal, intArr, floatArr, userParam)
-        ratPage = _getRatPage(pagedRat, int(segId), numIntCols,
-                              numFloatCols, numSeg)
-        for (colNdx, statType, arrayNdx) in userColFast:
-            if statType == STAT_DTYPE_INT:
-                ratPage.setRatVal(int(segId), STAT_DTYPE_INT,
-                                  int(arrayNdx), intArr[int(arrayNdx)])
-            else:
-                ratPage.setRatVal(int(segId), STAT_DTYPE_FLOAT,
-                                  int(arrayNdx), floatArr[int(arrayNdx)])
-        ratPage.setSegmentComplete(int(segId))
+        _writeSpatialRow(pagedRat, segId, intArr, floatArr, userColFast,
+                         numIntCols, numFloatCols, numSeg)
 
 
 def _writeCompletePagesSpatial(pagedRat, attrTbl, userColFast):

@@ -45,13 +45,17 @@ def compilationCacheBypassOnAxon():
     the test-scene Voronoi kernel). The flip is process-global, so it is
     serialised behind a lock."""
     import jax
-    bypass = (jax.config.jax_compilation_cache_dir is not None and
-              onAxonBackend())
-    if not bypass:
+    if not onAxonBackend():
         yield
         return
+    # Read the cache dir only INSIDE the lock: a concurrent caller that
+    # peeked while another had flipped it to None would decide "no
+    # bypass" and run unserialised, with the cache restored mid-flight.
     with _cacheFlipLock:
         cacheDir = jax.config.jax_compilation_cache_dir
+        if cacheDir is None:
+            yield
+            return
         jax.config.update("jax_compilation_cache_dir", None)
         try:
             yield

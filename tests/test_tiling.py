@@ -222,6 +222,20 @@ def test_three_phase_api_matches_monolithic(serial_case, tmp_path):
     assert maxSegId == res1.maxSegId
 
 
+def test_three_phase_prepare_honours_tile_grid(serial_case):
+    """Regression: _prepare must forward tileGrid to getTilesForFile —
+    the grow grid's edge tiles differ from the uniform grid's on a
+    non-dividing scene."""
+    inpath = serial_case["inpath"]
+    (inDs, bandNumbers, kmeansObj, subsamplePcnt, imgNullVal, tiGrow) = (
+        tiling.doTiledShepherdSegmentation_prepare(
+            inpath, tileSize=48, overlapSize=16, numClusters=20,
+            kmeansObj=perfect_kmeans(), tileGrid='grow'))
+    ds = rio.open(inpath)
+    want = tiling.getTilesForFile(ds, 48, 16, tileGrid='grow')
+    assert tiGrow.tiles == want.tiles
+
+
 def test_tile_grid_sliver_growth():
     class FakeDs:
         RasterXSize = 100

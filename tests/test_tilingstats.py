@@ -402,6 +402,24 @@ def test_vectorized_stats_from_runs_matches_reference_loop(rng):
                                       err_msg=f"statID={statID} p={param}")
 
 
+def test_stats_from_runs_all_segments_empty():
+    """Regression: a finalization round where EVERY completing segment is
+    all-nodata (zero runs) must emit missingStatsValue, not crash on the
+    empty cumsum in the percentile walk."""
+    empty = np.empty(0, np.int64)
+    start = np.zeros(3, np.int64)
+    end = np.zeros(3, np.int64)
+    for statID, param, want in [
+            (tilingstats.STATID_MEDIAN, 0, -9999),
+            (tilingstats.STATID_PERCENTILE, 75, -9999),
+            (tilingstats.STATID_MIN, 0, -9999),
+            (tilingstats.STATID_PIXCOUNT, 0, 0)]:
+        got = tilingstats._segmentStatsFromRuns(
+            empty, empty, start, end, statID, param, -9999)
+        np.testing.assert_array_equal(got, np.full(3, want, np.float64),
+                                      err_msg=f"statID={statID}")
+
+
 def test_device_compaction_matches_host(rng):
     """compactTileDevice must emit exactly the runs compactTile does —
     same (segId, value) order, same counts, same seen/nodata tallies."""
