@@ -138,6 +138,27 @@ def test_all_nodata_segment(tmp_path, rng, small_tiles):
     assert rat.ReadAsArray(names.index("n"))[3] == 0
 
 
+def test_every_segment_all_nodata(tmp_path, rng, small_tiles):
+    """Whole image nodata: every finalization round completes only
+    zero-run segments — regression for the empty-cumsum crash in the
+    median/percentile walk."""
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
+                                                  shape=(60, 60), nseg=6)
+    imgds = rio.open(imgpath, rio.GA_Update)
+    band = imgds.GetRasterBand(1)
+    band.WriteArray(np.full_like(img, NODATA))
+
+    sel = [("md", "median"), ("p9", "percentile", 90), ("n", "pixcount")]
+    tilingstats.calcPerSegmentStatsTiled(imgpath, 1, segpath, sel,
+                                         missingStatsValue=-42)
+    rat = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    for sid in range(1, int(seg.max()) + 1):
+        assert rat.ReadAsArray(names.index("md"))[sid] == -42
+        assert rat.ReadAsArray(names.index("p9"))[sid] == -42
+        assert rat.ReadAsArray(names.index("n"))[sid] == 0
+
+
 def test_float_image_rejected(tmp_path, rng):
     segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
                                                   shape=(40, 40), nseg=4)
