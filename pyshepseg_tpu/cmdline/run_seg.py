@@ -52,6 +52,10 @@ def getCmdargs():
     p.add_argument("--fixedkmeansinit", default=False, action="store_true",
         help="Use a fixed algorithm to select initial cluster centres, "
              "for completely deterministic, reproducible results")
+    p.add_argument("--sharded", default=False, action="store_true",
+        help="Shard the image's rows across all local devices and run "
+             "the whole pipeline as one mesh program (for single images "
+             "too large for one chip; output is identical)")
 
     cmdargs = p.parse_args()
 
@@ -87,7 +91,12 @@ def mainCmd():
     (img, refNull) = readImageBands(cmdargs)
     print(round(time.time() - t0, 1), "seconds")
 
-    segResult = shepseg.doShepherdSegmentation(
+    if cmdargs.sharded:
+        from ..parallel.shardmap_seg import doShepherdSegmentationSharded
+        segFunc = doShepherdSegmentationSharded
+    else:
+        segFunc = shepseg.doShepherdSegmentation
+    segResult = segFunc(
         img, numClusters=cmdargs.nclusters,
         clusterSubsamplePcnt=cmdargs.clustersubsamplepercent,
         minSegmentSize=cmdargs.minsegmentsize,

@@ -193,6 +193,7 @@ def _stage2_sharded(img, seg, a, b, first, max_spectral_diff,
 
     # replicated per-segment state from stripe contributions
     size = _size_psum(seg, capacity)
+    n_after_single = jnp.sum((size[MINSEGID:] > 0).astype(jnp.uint32))
     spect_cols = []
     for plane in planes:
         local = jnp.zeros(capacity, jnp.float32).at[
@@ -210,9 +211,10 @@ def _stage2_sharded(img, seg, a, b, first, max_spectral_diff,
     ea = jax.lax.all_gather(ea_l, AXIS).reshape(-1)
     eb = jax.lax.all_gather(eb_l, AXIS).reshape(-1)
 
-    remap, size_out, _, _ = eliminate_small_segments_graph(
-        ea, eb, size, spect, min_seg_size, max_spectral_diff,
-        remap_init=remap0)
+    remap, size_out, num_elim, elim_passes = (
+        eliminate_small_segments_graph(
+            ea, eb, size, spect, min_seg_size, max_spectral_diff,
+            remap_init=remap0))
 
     # contiguous relabel composed into one gather (ops/elim_small
     # _remap_and_relabel, on the replicated table, applied per stripe)
@@ -220,12 +222,15 @@ def _stage2_sharded(img, seg, a, b, first, max_spectral_diff,
     table = (remap - sub[remap.astype(jnp.int32)]).astype(jnp.uint32)
     seg = table[seg.astype(jnp.int32)]
     max_seg_id = jnp.sum((size_out[MINSEGID:] > 0).astype(jnp.uint32))
-    return seg, max_seg_id
+    stats = jnp.stack([max_seg_id, n_after_single, num_elim,
+                       elim_passes.astype(jnp.uint32)])
+    return seg, stats
 
 
 def segment_image_sharded(img, centers, imgNullVal=None,
                           maxSpectralDiff=None, minSegmentSize=50,
-                          fourConnected=True, mesh=None):
+                          fourConnected=True, mesh=None,
+                          fullResult=False):
     """
     Host API: the full Shepherd pipeline on one image sharded by rows
     across ``mesh`` (default: a 1-D mesh over jax.devices()). Output is
@@ -240,7 +245,9 @@ def segment_image_sharded(img, centers, imgNullVal=None,
     pixels take no part in any stage, so padding cannot change results).
 
     Returns (seg uint32 (H, W) with contiguous scan-order IDs from 1,
-    maxSegId int).
+    maxSegId int); with ``fullResult=True``, additionally
+    (numClumps, singlePixelsEliminated, smallSegmentsEliminated,
+    elimPasses) ints.
     """
     if mesh is None:
         mesh = Mesh(np.array(jax.devices()), (AXIS,))
@@ -323,8 +330,61 @@ def segment_image_sharded(img, centers, imgNullVal=None,
             out_specs=(P(AXIS, None), P()),
             check_rep=False,
         )
-    seg, max_seg_id = jax.jit(stage2)(
+    seg, stats = jax.jit(stage2)(
         img_dev, seg, a, b, first, jnp.float32(maxSpectralDiff))
 
     seg = np.asarray(seg)[:h]
-    return seg.astype(SegIdType), int(max_seg_id)
+    (maxSegId, nAfterSingle, numElimSmall, elimPasses) = (
+        int(x) for x in np.asarray(stats))
+    if fullResult:
+        return (seg.astype(SegIdType), maxSegId, num_clumps,
+                num_clumps - nAfterSingle, numElimSmall, elimPasses)
+    return seg.astype(SegIdType), maxSegId
+
+
+def doShepherdSegmentationSharded(img, numClusters=60,
+        clusterSubsamplePcnt=1, minSegmentSize=50, maxSpectralDiff='auto',
+        imgNullVal=None, fourConnected=True, verbose=False,
+        fixedKMeansInit=False, kmeansObj=None, spectDistPcntile=50,
+        mesh=None):
+    """
+    Drop-in variant of shepseg.doShepherdSegmentation (same parameters
+    and SegmentationResult, reference: shepseg.py:130-249) that runs the
+    whole pipeline with the image's rows sharded across the device mesh
+    — for single images too large for one chip's HBM. The k-means fit
+    happens on the host subsample exactly as in the single-chip driver,
+    so a fitted ``kmeansObj`` is interchangeable between the two.
+    """
+    import time
+    from .. import shepseg
+
+    t0 = time.time()
+    img = np.ascontiguousarray(img)
+    km = kmeansObj
+    if km is None:
+        km = shepseg.fitSpectralClusters(
+            img, numClusters, clusterSubsamplePcnt, imgNullVal,
+            fixedKMeansInit)
+    maxDiff = shepseg.autoMaxSpectralDiff(km, maxSpectralDiff,
+                                          spectDistPcntile)
+    (seg, maxSegId, numClumps, numSingle, numSmall, elimPasses) = (
+        segment_image_sharded(
+            img, np.asarray(km.cluster_centers_, dtype=np.float32),
+            imgNullVal=imgNullVal, maxSpectralDiff=float(maxDiff),
+            minSegmentSize=minSegmentSize, fourConnected=fourConnected,
+            mesh=mesh, fullResult=True))
+    if verbose:
+        print("Sharded segmentation:", numClumps, "clumps ->", maxSegId,
+              "segments (", numSingle, "single pixels,", numSmall,
+              "small segments eliminated ) in",
+              round(time.time() - t0, 1), "seconds")
+
+    segResult = shepseg.SegmentationResult()
+    segResult.segimg = seg
+    segResult.kmeans = km
+    segResult.maxSpectralDiff = maxDiff
+    segResult.singlePixelsEliminated = numSingle
+    segResult.smallSegmentsEliminated = numSmall
+    segResult.clumpSweeps = None   # not tracked by the sharded clump
+    segResult.elimPasses = elimPasses
+    return segResult

@@ -58,6 +58,24 @@ def test_run_seg_cli(scene, tmp_path, monkeypatch):
         assert col in names
 
 
+def test_run_seg_cli_sharded_matches(scene, tmp_path, monkeypatch):
+    """--sharded (rows over the 8-device mesh; 150 rows exercises the
+    null-padding path) must produce the same segmentation raster."""
+    from pyshepseg_tpu.cmdline import run_seg
+
+    inpath, img, _ = scene
+    args = ["-i", inpath, "-n", "20", "-b", "1,2,3",
+            "-s", "10", "-m", "30", "-c", "10", "--fixedkmeansinit"]
+    out1 = str(tmp_path / "seg1.npseg")
+    _run_cli(monkeypatch, run_seg, args + ["-o", out1])
+    out2 = str(tmp_path / "seg2.npseg")
+    _run_cli(monkeypatch, run_seg, args + ["-o", out2, "--sharded"])
+
+    seg1 = rio.open(out1).GetRasterBand(1).ReadAsArray()
+    seg2 = rio.open(out2).GetRasterBand(1).ReadAsArray()
+    np.testing.assert_array_equal(seg1, seg2)
+
+
 def test_tiling_cli_with_stats_and_colours(scene, tmp_path, monkeypatch):
     from pyshepseg_tpu.cmdline import tiling as tiling_cli
 
