@@ -46,6 +46,12 @@ import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
 
+# The axon site customization overrides JAX_PLATFORMS from the
+# environment; honour an explicit platform request (e.g. a CPU smoke
+# run of this script) through the config API, which wins.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from pyshepseg_tpu import shepseg, utils  # noqa: E402
 
 # Persistent compile cache (the k-means fit bypasses it on the axon
@@ -124,6 +130,30 @@ def _run_config1(results):
                 "transfers and k-means fit excluded",
         "value": round(co, 3), "unit": "Mpix/s",
         "vs_baseline": round(co / REF_BASELINE_MPIX_S, 2)})
+
+    # The row-sharded whole-image pipeline (parallel/shardmap_seg) on the
+    # same tile and fitted centres — a 1-device mesh here, so this tracks
+    # the shard_map program's Mosaic lowering and single-chip throughput
+    # every round (multi-chip scaling is validated on the virtual CPU
+    # mesh by dryrun_multichip).
+    from pyshepseg_tpu.parallel.shardmap_seg import segment_image_sharded
+    centers = np.asarray(res.kmeans.cluster_centers_, dtype=np.float32)
+
+    def run_sharded():
+        return segment_image_sharded(
+            img, centers, maxSpectralDiff=float(res.maxSpectralDiff),
+            minSegmentSize=50, fourConnected=True)
+
+    seg_sh, max_sh = run_sharded()   # warm-up (compiles)
+    t0 = time.time()
+    seg_sh, max_sh = run_sharded()
+    sh_rate = (H * W / 1e6) / (time.time() - t0)
+    results.append({
+        "name": "config1-sharded: same tile via the row-sharded "
+                "whole-image pipeline (1-device mesh)",
+        "value": round(sh_rate, 3), "unit": "Mpix/s",
+        "vs_baseline": round(sh_rate / REF_BASELINE_MPIX_S, 2),
+        "maxSegId_matches_single_chip": max_sh == int(res.segimg.max())})
     return mpix_s
 
 

@@ -261,8 +261,8 @@ def segment_image_sharded(img, centers, imgNullVal=None,
     hasNull = imgNullVal is not None
     if pad:
         if not hasNull:
-            # manufacture a null value outside the data range for the
-            # padding rows only (float32 spectral space is unaffected)
+            # padding rows must hold a recognised null value, otherwise
+            # they would be segmented as data
             raise ValueError(
                 "image height {} does not divide the {}-device mesh and "
                 "imgNullVal is None: pad the rows yourself or supply a "

@@ -76,7 +76,13 @@ def awaitDevice(maxWaitS=900, probeTimeoutS=100, verbose=True):
     """
     import time
     import subprocess
-    probe = ("import jax, jax.numpy as jnp; jax.devices(); "
+    # Honour a JAX_PLATFORMS request through the config API inside the
+    # probe: the axon site customization overrides the env var, so a
+    # CPU-intended caller would otherwise probe (and wedge on) the
+    # remote-TPU tunnel it is deliberately avoiding.
+    probe = ("import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
+             "p and jax.config.update('jax_platforms', p); "
+             "import jax.numpy as jnp; jax.devices(); "
              "print(float(jnp.ones((64, 64)).sum()))")
     t0 = time.time()
     while True:
