@@ -387,31 +387,6 @@ def _pallas_compiled_check():
     return "ok" if ok else "FAILED"
 
 
-def _await_device(maxWaitS=900):
-    """
-    The axon tunnel sometimes wedges a fresh process's FIRST device
-    dispatch (it hangs with no CPU use; see BASELINE.md hygiene notes).
-    Wait out such a phase before measuring, so an unattended bench run
-    started during it does not hang forever. Returns the seconds waited.
-    """
-    return utils.awaitDevice(maxWaitS=maxWaitS)
-
-
-def _device_answers(timeoutS=120):
-    """One out-of-process probe: does a trivial dispatch complete?"""
-    import subprocess
-    probe = ("import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
-             "p and jax.config.update('jax_platforms', p); "
-             "import jax.numpy as jnp; jax.devices(); "
-             "print(float(jnp.ones((8, 8)).sum()))")
-    try:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           capture_output=True, timeout=timeoutS)
-        return r.returncode == 0
-    except Exception:
-        return False
-
-
 def main():
     import tempfile
     import shutil
@@ -420,12 +395,12 @@ def main():
     # out (budget via BENCH_MAX_WAIT_S), but if the device still does not
     # answer, emit a parseable error record rather than hanging in the
     # first dispatch until the caller's timeout silently discards the run.
-    waited = _await_device(
+    waited, deviceOK = utils.awaitDevice(
         maxWaitS=int(os.environ.get("BENCH_MAX_WAIT_S", "3600")))
     if waited > 5:
         print(f"BENCH-WARNING: waited {waited}s for the device tunnel",
               file=sys.stderr, flush=True)
-        if not _device_answers():
+        if not deviceOK:
             print(json.dumps({
                 "metric": ("doShepherdSegmentation 1024x1024 4-band "
                            "uint16 (numClusters=60, minSegmentSize=50, "

@@ -80,7 +80,9 @@ def round_capacity_fine(n: int) -> int:
         cap *= 2
     if cap == 1024:
         return cap
-    for frac in (4, 5, 6, 7):
+    # frac=4 (cap/2) can never satisfy fine >= n: the doubling loop
+    # exits only once cap >= n with cap/2 < n.
+    for frac in (5, 6, 7):
         fine = (cap // 8) * frac
         if fine >= n:
             return fine

@@ -19,7 +19,15 @@ Communication layout (all over ICI):
   (``ppermute``), with global fixpoints by ``psum`` of change flags;
 - per-segment state (sizes, spectral sums, the id remap) is
   capacity-sized and REPLICATED: each device contributes its stripe's
-  scatter and a ``psum``/``pmax`` merges them;
+  scatter and a ``psum``/``pmax`` merges them. The float32 spectral
+  sums are therefore grouped per-stripe before the psum — a different
+  float32 summation order than the single-chip whole-image scatter.
+  Both are exact (and hence identical) while every per-segment
+  per-band sum stays within float32's exact-integer range (2^24); a
+  segment whose band sum exceeds ~16.7e6 (e.g. >16k pixels of a
+  full-range uint16 band) may differ from the single-chip result by
+  ulps, which can flip a nearest-neighbour tie the same way the
+  float32-vs-float64 deviation characterized in PARITY.md can;
 - the small-segment elimination graph loop runs REDUNDANTLY on every
   device over the globally gathered edge list (segment-space arrays are
   tiny next to the image; recomputing beats communicating), so no
@@ -235,7 +243,10 @@ def segment_image_sharded(img, centers, imgNullVal=None,
     Host API: the full Shepherd pipeline on one image sharded by rows
     across ``mesh`` (default: a 1-D mesh over jax.devices()). Output is
     bit-identical to the single-chip parallel/pipeline.segment_tile on
-    the same inputs (tested on the virtual CPU mesh).
+    the same inputs (tested on the virtual CPU mesh) provided every
+    per-segment per-band float32 spectral sum stays within the
+    exact-integer range (2^24) — see the module docstring's summation
+    -grouping caveat for larger segments.
 
     Parameters: ``img`` (nBands, H, W) numeric; ``centers`` (K, nBands)
     fitted cluster centres (float32); ``maxSpectralDiff`` must be a

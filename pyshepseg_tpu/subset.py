@@ -288,13 +288,15 @@ def setSubsetRecodeFromDictionary(dictn, array):
 
 def readColDataIntoPage(page, data, idx, colType, minVal):
     """
-    Bulk-write one RAT column slice (starting at row minVal, the page's
-    startSegId) into a RatPage column (reference: subset.py:293-300).
+    Bulk-write one RAT column slice starting at segment ID ``minVal``
+    into a RatPage column, offset by the page's startSegId — the
+    reference writes row ``i + minVal`` per element (subset.py:293-300).
     """
+    start = int(minVal) - int(page.startSegId)
     if colType == tilingstats.STAT_DTYPE_INT:
-        page.intcols[idx, :len(data)] = data
+        page.intcols[idx, start:start + len(data)] = data
     else:
-        page.floatcols[idx, :len(data)] = data
+        page.floatcols[idx, start:start + len(data)] = data
 
 
 def readRATIntoPage(rat, numIntCols, numFloatCols, minVal, maxVal):

@@ -419,6 +419,10 @@ class SegmentationConcurrencyConfig:
         if deviceSceneCache not in ('auto', True, False):
             raise PyShepSegTilingError(
                 "deviceSceneCache must be 'auto', True or False")
+        if deviceSceneCache != 'auto':
+            # Normalise truthy/falsy equivalents (1/0 pass the equality
+            # check above) so downstream identity tests are reliable.
+            self.deviceSceneCache = bool(deviceSceneCache)
         if not (isinstance(tilesPerDevice, int) and tilesPerDevice >= 1):
             raise PyShepSegTilingError(
                 "tilesPerDevice must be a positive integer")
@@ -432,8 +436,23 @@ class SegmentationConcurrencyConfig:
 # so the scene itself must stay a minority share of HBM.
 SCENE_CACHE_HBM_FRACTION = 0.25
 # Fallback budget when the backend does not report a memory limit
-# (e.g. the CPU backend in tests): keep test behaviour deterministic.
-SCENE_CACHE_DFLT_BUDGET = 4 * 1024 ** 3
+# (e.g. the CPU backend, whose arrays live in host RAM): a fraction of
+# the host's currently-available memory, so 'auto' never flips a
+# previously-streaming CPU run into an OOM. Used only if /proc/meminfo
+# is unreadable.
+SCENE_CACHE_DFLT_BUDGET = 1 * 1024 ** 3
+
+
+def _hostAvailableBytes():
+    """MemAvailable from /proc/meminfo, or 0 when unreadable."""
+    try:
+        with open('/proc/meminfo') as f:
+            for line in f:
+                if line.startswith('MemAvailable:'):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 0
 
 
 class DeviceSceneCache:
@@ -470,8 +489,11 @@ class DeviceSceneCache:
             budget = (dev.memory_stats() or {}).get('bytes_limit', 0)
         except Exception:
             budget = 0
-        budget = (budget * SCENE_CACHE_HBM_FRACTION if budget
-                  else SCENE_CACHE_DFLT_BUDGET)
+        if not budget:
+            # No device memory limit reported (CPU backend): the cache
+            # competes with everything else in host RAM.
+            budget = _hostAvailableBytes() or SCENE_CACHE_DFLT_BUDGET
+        budget = budget * SCENE_CACHE_HBM_FRACTION
         itemsize = inDs.GetRasterBand(
             list(bandNumbers)[0]).ReadAsArray(0, 0, 1, 1).itemsize
         sceneBytes = (len(list(bandNumbers)) * itemsize *

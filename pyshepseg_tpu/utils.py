@@ -33,7 +33,10 @@ def onAxonBackend():
 import contextlib
 import threading as _threading
 
-_cacheFlipLock = _threading.Lock()
+# Reentrant: a caller holding the bypass (e.g. a driver warming several
+# programs) may reach TPUKMeans.fit, which takes it again on the same
+# thread.
+_cacheFlipLock = _threading.RLock()
 
 
 @contextlib.contextmanager
@@ -63,6 +66,31 @@ def compilationCacheBypassOnAxon():
             jax.config.update("jax_compilation_cache_dir", cacheDir)
 
 
+# Honour a JAX_PLATFORMS request through the config API inside the
+# probe: the axon site customization overrides the env var, so a
+# CPU-intended caller would otherwise probe (and wedge on) the
+# remote-TPU tunnel it is deliberately avoiding.
+_PROBE_SNIPPET = ("import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
+                  "p and jax.config.update('jax_platforms', p); "
+                  "import jax.numpy as jnp; jax.devices(); "
+                  "print(float(jnp.ones((64, 64)).sum()))")
+
+
+def deviceAnswers(timeoutS=120):
+    """
+    One out-of-process probe: does a trivial device dispatch complete
+    within ``timeoutS``? Probing from a throwaway subprocess keeps the
+    CALLER from becoming the wedged process when the backend is down.
+    """
+    import subprocess
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_SNIPPET],
+                           capture_output=True, timeout=timeoutS)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def awaitDevice(maxWaitS=900, probeTimeoutS=100, verbose=True):
     """
     Wait until the accelerator answers a trivial dispatch, probing from
@@ -71,34 +99,20 @@ def awaitDevice(maxWaitS=900, probeTimeoutS=100, verbose=True):
     process hangs with no CPU use); probing out-of-process lets the
     caller wait out such a phase instead of becoming the wedged process
     itself. No-op (fast success) on healthy backends, including CPU.
-    Returns the seconds waited; on persistent failure returns after
-    ``maxWaitS`` anyway (the caller may still succeed or fail loudly).
+    Returns ``(secondsWaited, ok)``; ``ok`` is False when the budget ran
+    out with the device still unresponsive (the caller may still try,
+    or fail loudly).
     """
     import time
-    import subprocess
-    # Honour a JAX_PLATFORMS request through the config API inside the
-    # probe: the axon site customization overrides the env var, so a
-    # CPU-intended caller would otherwise probe (and wedge on) the
-    # remote-TPU tunnel it is deliberately avoiding.
-    probe = ("import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
-             "p and jax.config.update('jax_platforms', p); "
-             "import jax.numpy as jnp; jax.devices(); "
-             "print(float(jnp.ones((64, 64)).sum()))")
     t0 = time.time()
     while True:
-        try:
-            r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True,
-                               timeout=probeTimeoutS)
-            if r.returncode == 0:
-                return round(time.time() - t0, 1)
-        except subprocess.TimeoutExpired:
-            pass
+        if deviceAnswers(timeoutS=probeTimeoutS):
+            return round(time.time() - t0, 1), True
         if time.time() - t0 > maxWaitS:
             if verbose:
                 print(f"WARNING: device probe failing after {maxWaitS}s;"
                       " proceeding anyway", file=sys.stderr, flush=True)
-            return round(time.time() - t0, 1)
+            return round(time.time() - t0, 1), False
         if verbose:
             print("WARNING: device dispatch wedged, waiting for the "
                   "backend...", file=sys.stderr, flush=True)

@@ -131,6 +131,17 @@ def test_dict_writer_compat_functions():
     assert page.intcols[0].tolist() == [1, 2, 3, 4]
     assert page.floatcols[0].tolist() == [0.5, 1.5, 2.5, 3.5]
 
+    # A partial slice starting mid-page: the reference writes each
+    # element at row i + minVal (subset.py:293-300), i.e. offset by
+    # minVal - startSegId within the page.
+    page2 = tilingstats.RatPage(1, 0, 100, 6)
+    subset.readColDataIntoPage(
+        page2, np.array([7, 8]), 0, tilingstats.STAT_DTYPE_INT, 103)
+    # rows outside the slice are uninitialized (numpy.empty, as in the
+    # reference jitclass) — assert only the written rows land at
+    # minVal - startSegId
+    assert page2.intcols[0, 3:5].tolist() == [7, 8]
+
 
 def test_update_counts_compat():
     from pyshepseg_tpu import tiling
