@@ -254,18 +254,27 @@ class TPUKMeans:
             self.tol * float(np.mean(np.var(X_np[:n_real], axis=0))))
         k = self.n_clusters
         if isinstance(self.init, str) and self.init == "k-means++":
-            best = None
             key = jax.random.PRNGKey(self.random_state)
             scratch = jnp.zeros((k, x.shape[1]), jnp.float32)
+            # Dispatch every trial WITHOUT syncing between them (JAX
+            # async dispatch pipelines the programs on-device); fetch
+            # all inertias in one blocking transfer at the end. On a
+            # high-latency link each avoided per-trial sync saves a
+            # full round trip. np.argmin keeps the first of tied
+            # minima — identical selection to the sequential
+            # strictly-smaller update this replaces.
+            trials = []
             for trial in range(self.n_init):
                 key, sub = jax.random.split(key)
                 c0 = _kmeanspp_init(x, w, jnp.int32(n_real), sub, scratch)
-                c, inertia, n_iter = _lloyd(x, w, c0, tol_scaled,
-                                            max_iter=self.max_iter)
-                inertia = float(inertia)
-                if best is None or inertia < best[1]:
-                    best = (np.asarray(c), inertia, int(n_iter))
-            self.cluster_centers_, self.inertia_, self.n_iter_ = best
+                trials.append(_lloyd(x, w, c0, tol_scaled,
+                                     max_iter=self.max_iter))
+            inertias = np.asarray(jnp.stack([t[1] for t in trials]))
+            bestIdx = int(np.argmin(inertias))
+            c, _, n_iter = trials[bestIdx]
+            self.cluster_centers_ = np.asarray(c)
+            self.inertia_ = float(inertias[bestIdx])
+            self.n_iter_ = int(n_iter)
         else:
             c0 = jnp.asarray(np.asarray(self.init, dtype=np.float32))
             if c0.shape[0] != k:
