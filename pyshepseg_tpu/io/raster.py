@@ -134,6 +134,18 @@ class NumpyRAT:
     def _flush_col(self, i):
         np.save(self._col_path(i), self._cols[i])
 
+    def _reset(self):
+        """Drop all columns and rows (SetDefaultRAT REPLACES the table,
+        as GDAL's does)."""
+        for i in range(len(self._names)):
+            p = self._col_path(i)
+            if os.path.exists(p):
+                os.remove(p)
+        self._names, self._types, self._usages = [], [], []
+        self._rowcount = 0
+        self._cols = {}
+        self._save_schema()
+
     # --- GDAL-compatible surface
     def GetColumnCount(self):
         return len(self._names)
@@ -281,6 +293,10 @@ class NumpyBand:
                 self._ds._path, f"rat_{self._idx}"):
             return 0
         mine = self.GetDefaultRAT()
+        # GDAL's SetDefaultRAT replaces the existing table; appending
+        # would duplicate column names on a second call and name lookups
+        # would keep returning the stale originals
+        mine._reset()
         mine.SetRowCount(rat.GetRowCount())
         for i in range(rat.GetColumnCount()):
             mine.CreateColumn(rat.GetNameOfCol(i), rat.GetTypeOfCol(i),
@@ -447,7 +463,17 @@ class NumpyDataset:
                 if method and method.upper().startswith("NEAREST"):
                     full = band._mmap(mode="r")
                     o = level // 2
-                    m[...] = full[o::level, o::level][:oy, :ox]
+                    # clamped index grids: for ordinary levels these are
+                    # exactly full[o::level, o::level][:oy, :ox]; for a
+                    # level >= 2x the raster dimension that slice is
+                    # EMPTY and broadcasting into (oy, ox) would raise —
+                    # clamp to the last pixel instead (GDAL accepts such
+                    # levels)
+                    yi = np.minimum(o + np.arange(oy) * level,
+                                    self.RasterYSize - 1)
+                    xi = np.minimum(o + np.arange(ox) * level,
+                                    self.RasterXSize - 1)
+                    m[...] = full[np.ix_(yi, xi)]
                 del m
                 bm["overviews"].append(level)
         self._save_meta()

@@ -178,12 +178,23 @@ def eliminateSinglePixels(img, seg, segSize, minSegId=MINSEGID,
     """
     Host API matching the reference signature (reference: shepseg.py:572).
     Modifies ``seg`` (numpy) in place; ``segSize`` becomes stale, as in the
-    reference. Returns the number of pixels eliminated.
+    reference. ``minSegId`` sets the base of the final relabel as in the
+    reference's relabelSegments; ``maxSegId`` only sized a scratch buffer
+    there and is unused here. Returns the number of pixels eliminated.
     """
     seg_j = jnp.asarray(seg)
     img_f = jnp.asarray(np.ascontiguousarray(img)).astype(jnp.float32)
     size_j = jnp.asarray(np.asarray(segSize, dtype=np.uint32))
-    seg_out, total = _elim_single_jit(img_f, seg_j, size_j,
-                                      four_connected=bool(fourConnected))
+    if int(minSegId) == MINSEGID:
+        seg_out, total = _elim_single_jit(
+            img_f, seg_j, size_j, four_connected=bool(fourConnected))
+    else:
+        # relabel outside the fused program so the caller's minSegId
+        # reaches it (the device path bakes in MINSEGID)
+        seg_out, total, sizes = _elim_single_jit(
+            img_f, seg_j, size_j, four_connected=bool(fourConnected),
+            do_relabel=False, return_sizes=True)
+        sub = relabel_subtract(sizes, int(minSegId))
+        seg_out = (seg_out - jnp.asarray(sub)[seg_out.astype(jnp.int32)])
     seg[...] = np.asarray(seg_out).astype(SegIdType)
     return int(total)

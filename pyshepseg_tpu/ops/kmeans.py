@@ -162,6 +162,17 @@ def _kmeanspp_init(x, w, n_real, key, k_arr):
     return centers
 
 
+def null_scalar(img_null_val, img_dtype):
+    """
+    The null value as a device scalar in the image's NATIVE dtype, for
+    the drivers to pass into assign_clusters. A float32 round trip
+    would alias large integers (|v| > 2^24) onto neighbouring values
+    and silently unmask nodata pixels of int32/int64 imagery;
+    integer-to-integer casts wrap exactly as the in-kernel astype does.
+    """
+    return jnp.asarray(np.asarray(img_null_val).astype(img_dtype))
+
+
 def assign_clusters(img, centers, img_null_val, has_null: bool):
     """
     Device: per-pixel nearest-centre cluster IDs starting at 1; pixels

@@ -136,7 +136,12 @@ def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
     nDev = len(localDevices)
     chunkSize = nDev * max(1, int(tilesPerDevice))
     hasNull = imgNullVal is not None
-    nullVal = jnp.float32(imgNullVal if hasNull else 0)
+    # native-dtype null scalar: a float32 round trip aliases large
+    # integer null values (ops/kmeans null_scalar)
+    from ..ops.kmeans import null_scalar
+    imgDtype = inDs.GetRasterBand(
+        bandNumbers[0]).ReadAsArray(0, 0, 1, 1).dtype
+    nullVal = null_scalar(imgNullVal if hasNull else 0, imgDtype)
     maxDiff = jnp.float32(shepseg.autoMaxSpectralDiff(
         kmeansObj, maxSpectralDiff, spectDistPcntile))
     centers = jnp.asarray(np.asarray(kmeansObj.cluster_centers_,
@@ -300,7 +305,10 @@ def _runDistributed(ctx, infile, outfile, workDir, tileSize, overlapSize,
     result.numTileRows = tileInfo.nrows
     result.numTileCols = tileInfo.ncols
     result.subsamplePcnt = subsamplePcnt
-    result.maxSpectralDiff = maxSpectralDiff
+    # resolve 'auto'/None to the numeric value the workers actually used
+    # (the serial/mesh drivers store the resolved float too)
+    result.maxSpectralDiff = shepseg.autoMaxSpectralDiff(
+        kmeansObj, maxSpectralDiff, spectDistPcntile)
     result.kmeans = kmeansObj
     result.hasEmptySegments = hasEmptySegments
     result.timings = timings

@@ -105,7 +105,6 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
 
         self._resolveMaxSpectralDiff()
         hasNull = self.imgNullVal is not None
-        nullVal = jnp.float32(self.imgNullVal if hasNull else 0)
         maxDiff = jnp.float32(self.maxSpectralDiff)
         centers = jnp.asarray(np.asarray(
             self.kmeansObj.cluster_centers_, dtype=np.float32))
@@ -113,6 +112,13 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
         self.tempDir = tempfile.mkdtemp()
         self.tileFilenames = {}
         inDs = rio.open(self.infile)
+        # null scalar in the imagery's native dtype (a float32 round
+        # trip would alias large integer null values — ops/kmeans
+        # null_scalar)
+        from ..ops.kmeans import null_scalar
+        imgDtype = inDs.GetRasterBand(
+            self.bandNumbers[0]).ReadAsArray(0, 0, 1, 1).dtype
+        nullVal = null_scalar(self.imgNullVal if hasNull else 0, imgDtype)
         # Whole-scene HBM cache: upload once, slice per-tile on device;
         # the sharded device_put below then distributes slices over ICI
         # instead of re-uploading every overlapping tile from the host.

@@ -42,33 +42,40 @@ from ..ops.shifts import shift, offsets_for
 
 AXIS = "rows"
 
+# Flat pixel indices (the clump labels before relabel) are int32, so a
+# sharded image may hold at most this many pixels; the host APIs raise
+# a clear error beyond it rather than silently wrapping negative.
+MAX_SHARDED_PIXELS = 2 ** 31 - 1
+
+
+def exchange_rows(arr, fill, n_dev):
+    """The halo rows of ``arr`` from the stripes above and below over
+    ICI: returns (top_row, bottom_row), with ``fill`` beyond the image's
+    first/last stripe. Shared by the sharded clump and the sharded full
+    pipeline (shardmap_seg)."""
+    my = jax.lax.axis_index(AXIS)
+    up = [(i, (i - 1) % n_dev) for i in range(n_dev)]    # send to i-1
+    down = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # send to i+1
+    # my top row travels down to my lower neighbour and vice versa
+    from_above = jax.lax.ppermute(arr[-1], AXIS, down)
+    from_below = jax.lax.ppermute(arr[0], AXIS, up)
+    top = jnp.where(my == 0, jnp.full_like(from_above, fill), from_above)
+    bot = jnp.where(my == n_dev - 1,
+                    jnp.full_like(from_below, fill), from_below)
+    return top, bot
+
 
 def _clump_stripe_body(img, ignore_val, four_connected, sentinel,
                        n_dev, width):
     """Build the per-sweep body for one device's row stripe."""
-    my = jax.lax.axis_index(AXIS)
-    up = [(i, (i - 1) % n_dev) for i in range(n_dev)]    # send to i-1
-    down = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # send to i+1
-
     valid = img != ignore_val
 
     def conn_with_halo(arr, top_row, bot_row, fill):
         """(stripe+2, W) array with neighbour halo rows attached."""
         return jnp.concatenate([top_row[None], arr, bot_row[None]], axis=0)
 
-    def exchange(arr, fill):
-        """Halo rows of ``arr`` from the stripes above and below."""
-        # my top row travels down to my lower neighbour and vice versa
-        from_above = jax.lax.ppermute(arr[-1], AXIS, down)
-        from_below = jax.lax.ppermute(arr[0], AXIS, up)
-        first = my == 0
-        last = my == n_dev - 1
-        top = jnp.where(first, jnp.full_like(from_above, fill), from_above)
-        bot = jnp.where(last, jnp.full_like(from_below, fill), from_below)
-        return top, bot
-
-    img_top, img_bot = exchange(img, ignore_val)
-    val_top, val_bot = exchange(valid.astype(jnp.int32), 0)
+    img_top, img_bot = exchange_rows(img, ignore_val, n_dev)
+    val_top, val_bot = exchange_rows(valid.astype(jnp.int32), 0, n_dev)
     img_h = conn_with_halo(img, img_top, img_bot, ignore_val)
     valid_h = conn_with_halo(valid, val_top != 0, val_bot != 0, False)
 
@@ -81,15 +88,19 @@ def _clump_stripe_body(img, ignore_val, four_connected, sentinel,
 
     conn_row = conn(0, -1)
     conn_col = conn(-1, 0)
+    # Hoist ALL pass-invariant connectivity masks out of the sweep body:
+    # XLA does not reliably pull loop-invariant code out of while
+    # bodies, and each mask costs two full-stripe shifts + compares in
+    # the memory-bound hot loop.
     offs = offsets_for(four_connected)
+    conn_masks = [(dy, dx, conn(dy, dx)) for dy, dx in offs]
 
     def body(labels):
-        lab_top, lab_bot = exchange(labels, sentinel)
+        lab_top, lab_bot = exchange_rows(labels, sentinel, n_dev)
         lab_h = jnp.concatenate([lab_top[None], labels, lab_bot[None]], 0)
         new = labels
         # neighbour-min including vertical/diagonal across the halo
-        for dy, dx in offs:
-            same = conn(dy, dx)
+        for dy, dx, same in conn_masks:
             cand = shift(lab_h, dy, dx, sentinel)[1:-1]
             new = jnp.minimum(new, jnp.where(same, cand, sentinel))
         new = _run_min(new, conn_row, 1, sentinel)
@@ -174,6 +185,11 @@ def clump_sharded(img, ignoreVal, fourConnected=True, mesh=None):
     n_dev = mesh.devices.size
     img = np.ascontiguousarray(img).astype(np.int32)
     h, w = img.shape
+    if h * w > MAX_SHARDED_PIXELS:
+        raise ValueError(
+            f"image of {h}x{w} = {h * w} pixels exceeds the sharded "
+            f"pipeline's int32 flat-index range ({MAX_SHARDED_PIXELS}); "
+            "tile the scene with the tiled driver instead")
     pad = (-h) % n_dev
     if pad:
         img = np.pad(img, ((0, pad), (0, 0)), constant_values=ignoreVal)

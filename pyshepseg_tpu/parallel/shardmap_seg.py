@@ -52,7 +52,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ..ops.constants import SegIdType, SEGNULLVAL, MINSEGID
-from ..ops.kmeans import assign_clusters
+from ..ops.kmeans import assign_clusters, null_scalar
 from ..ops.shifts import shift
 from ..ops.segreduce import band_planes, relabel_subtract
 from ..ops.elim_small import (round_capacity, round_capacity_fine,
@@ -284,7 +284,7 @@ def segment_image_sharded(img, centers, imgNullVal=None,
     if maxSpectralDiff is None:
         # effectively unbounded; squaring must stay finite in float32
         maxSpectralDiff = 1e18
-    nullVal = jnp.float32(imgNullVal if hasNull else 0)
+    nullVal = null_scalar(imgNullVal if hasNull else 0, img.dtype)
 
     sharding = NamedSharding(mesh, P(None, AXIS, None))
     img_dev = jax.device_put(jnp.asarray(img), sharding)

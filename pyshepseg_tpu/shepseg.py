@@ -29,7 +29,7 @@ from .ops.elim_single import (  # noqa: F401
 from .ops.elim_small import (  # noqa: F401
     eliminateSmallSegments, eliminate_small_segments_device, round_capacity,
     round_capacity_fine)
-from .ops.kmeans import TPUKMeans, predict_labels
+from .ops.kmeans import TPUKMeans, predict_labels, null_scalar
 
 
 class SegmentationResult(object):
@@ -273,7 +273,7 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
                                  imgNullVal, fixedKMeansInit)
     centers = jnp.asarray(np.asarray(km.cluster_centers_, dtype=np.float32))
     hasNull = imgNullVal is not None
-    nullVal = jnp.float32(imgNullVal if hasNull else 0)
+    nullVal = null_scalar(imgNullVal if hasNull else 0, img_dev.dtype)
     (planes_dev, seg_dev, a_dev, b_dev, first_dev,
      scalars0_dev) = _cluster_and_clump_device(
         img_dev, centers, nullVal,
@@ -360,7 +360,7 @@ def deviceResidentThroughput(img, kmeansObj, maxSpectralDiff,
     centers = jnp.asarray(np.asarray(kmeansObj.cluster_centers_,
                                      dtype=np.float32))
     hasNull = imgNullVal is not None
-    nullVal = jnp.float32(imgNullVal if hasNull else 0)
+    nullVal = null_scalar(imgNullVal if hasNull else 0, img.dtype)
     maxDiff = jnp.float32(maxSpectralDiff)
     img_dev = jax.device_put(img)
     # settle the transfer before timing starts (a plain device_put is

@@ -202,3 +202,30 @@ def test_elim_large_scale_8conn_matches_oracle(rng):
                                fourConnected=False)
     np.testing.assert_array_equal(seg, ref_seg)
     assert n == ref_n
+
+
+def test_eliminate_single_pixels_honours_min_seg_id():
+    # the reference relabels from minSegId (shepseg.py:615); the compat
+    # wrapper must not silently compact against MINSEGID=1
+    import numpy as np
+    from pyshepseg_tpu.ops.elim_single import eliminateSinglePixels
+    from pyshepseg_tpu.ops.segreduce import makeSegSize
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 9, size=(2, 12, 12)).astype(np.int64)
+    seg4 = oracle_clump(np.asarray(img[0] % 4, np.uint32), 0,
+                        fourConnected=True)[0]
+    segA = seg4.copy()
+    segB = seg4.copy()
+    sizeA = makeSegSize(segA)
+    sizeB = makeSegSize(segB)
+    eliminateSinglePixels(img, segA, sizeA, minSegId=1,
+                          maxSegId=int(segA.max()), fourConnected=True)
+    eliminateSinglePixels(img, segB, sizeB, minSegId=3,
+                          maxSegId=int(segB.max()), fourConnected=True)
+    # base-1 relabel compacts below ID 3; base-3 must keep IDs 1..3
+    # un-compacted exactly as the reference's relabelSegments does
+    subA = segA[segB >= 3]
+    subB = segB[segB >= 3]
+    assert (subB >= subA).all()
+    # merged pixel geometry identical; only labels differ
+    assert ((segA == 0) == (segB == 0)).all()

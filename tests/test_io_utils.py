@@ -159,3 +159,41 @@ def test_timinghooks_embedded_selftests():
         timinghooks.AllTests)
     result = unittest.TextTestRunner(verbosity=0).run(suite)
     assert result.wasSuccessful()
+
+
+def test_overview_level_beyond_dimension(tmp_path):
+    # A level >= 2x the raster's smaller dimension used to broadcast an
+    # EMPTY subsample slice into the overview array and raise; GDAL
+    # accepts such levels (nearest clamps to the last pixel)
+    ds = rio.create(str(tmp_path / "small.npseg"), 100, 60, 1, np.uint16)
+    data = np.arange(60 * 100, dtype=np.uint16).reshape(60, 100)
+    ds.GetRasterBand(1).WriteArray(data)
+    ds.BuildOverviews("NEAREST", [128])
+    ovr = ds.GetRasterBand(1).GetOverview(0)
+    got = ovr.ReadAsArray()
+    assert got.shape == (1, 1)
+    # nearest sample at the clamped offset (row 59, col 64)
+    assert got[0, 0] == data[59, 64]
+
+
+def test_set_default_rat_replaces(ds_path):
+    # GDAL's SetDefaultRAT REPLACES the table; a second call must not
+    # duplicate columns (name lookups would return the stale originals)
+    ds = rio.create(ds_path, 8, 8, 1, np.uint32)
+    band = ds.GetRasterBand(1)
+    rat = band.GetDefaultRAT()
+    rat.CreateColumn("Histogram", rio.GFT_Real, rio.GFU_PixelCount)
+    rat.WriteArray(np.array([0., 1., 2.]), 0)
+
+    from pyshepseg_tpu.io.raster import NumpyRAT
+    import tempfile
+    other = NumpyRAT(tempfile.mkdtemp())  # standalone source RAT
+    other.CreateColumn("Histogram", rio.GFT_Real, rio.GFU_PixelCount)
+    other.WriteArray(np.array([5., 6.]), 0)
+
+    band.SetDefaultRAT(other)
+    band.SetDefaultRAT(other)  # idempotent, no duplicates
+    rat2 = ds.GetRasterBand(1).GetDefaultRAT()
+    assert rat2.GetColumnCount() == 1
+    assert rat2.GetRowCount() == 2
+    np.testing.assert_array_equal(rat2.ReadAsArray(0), [5., 6.])

@@ -1,6 +1,7 @@
 """Tests for the TPU k-means against sklearn on identical fixed inits."""
 
 import numpy as np
+import jax.numpy as jnp
 from sklearn.cluster import KMeans
 
 from pyshepseg_tpu.ops.kmeans import TPUKMeans
@@ -91,3 +92,33 @@ def test_fit_apply_spectral_clusters(rng):
     assert (clusters[:3, :3] == 0).all()
     assert clusters[5:, 5:].min() >= 1
     assert clusters.max() <= 8
+
+
+def test_large_integer_null_value_survives(rng):
+    # int32 imagery with a nodata value beyond float32's exact-integer
+    # range (2^24): a float32 round trip of the scalar would alias it
+    # onto a neighbouring value and nodata pixels would be clustered as
+    # real data
+    from pyshepseg_tpu.ops.kmeans import assign_clusters, null_scalar
+    nullV = 999999999
+    img = rng.integers(0, 1000, size=(3, 16, 16)).astype(np.int32)
+    img[:, 4:8, 4:8] = nullV
+    centers = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    seg = np.asarray(assign_clusters(
+        jnp.asarray(img), centers, null_scalar(nullV, img.dtype),
+        has_null=True))
+    assert (seg[4:8, 4:8] == 0).all()
+    assert (seg[:4, :] != 0).all()
+
+
+def test_driver_large_integer_null(rng):
+    # the same guarantee through doShepherdSegmentation's own null plumbing
+    from pyshepseg_tpu import shepseg
+    nullV = 999999999
+    img = rng.integers(0, 50, size=(2, 32, 32)).astype(np.int32)
+    img[:, :, :4] = nullV
+    res = shepseg.doShepherdSegmentation(
+        img, numClusters=4, minSegmentSize=1, maxSpectralDiff=None,
+        imgNullVal=nullV, fixedKMeansInit=True)
+    assert (res.segimg[:, :4] == 0).all()
+    assert (res.segimg[:, 4:] != 0).all()
