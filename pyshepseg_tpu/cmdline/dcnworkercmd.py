@@ -74,7 +74,10 @@ def mainCmd():
     if args.bands is not None:
         bandNumbers = [int(b) for b in args.bands.split(",")]
     maxSpectralDiff = args.maxspectraldiff
-    if maxSpectralDiff not in ('auto', None):
+    if maxSpectralDiff == 'none':
+        # unbounded merging, as the sibling CLIs spell it
+        maxSpectralDiff = None
+    elif maxSpectralDiff not in ('auto', None):
         maxSpectralDiff = float(maxSpectralDiff)
 
     res = doTiledShepherdSegmentationDistributed(

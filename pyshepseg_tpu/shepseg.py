@@ -569,6 +569,12 @@ def findNearestNeighbourPixel(img, seg, i, j, segSize, fourConnected):
     (i, j) that belongs to a segment of size > 1, or (-1, -1)
     (reference: shepseg.py:677-736 — same scan order and strict-<
     tie-break).
+
+    Documented deviation (PARITY.md): distances are computed in
+    float64. The reference's numba kernel subtracts in the IMAGE's
+    dtype, so unsigned imagery wraps (uint8 0 - 255 -> 1) and can pick
+    a spectrally-distant neighbour; here the true distance is used.
+    Signed or float imagery is unaffected.
     """
     (nBands, nRows, nCols) = img.shape
     minDsqr = -1.0

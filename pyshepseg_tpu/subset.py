@@ -153,9 +153,7 @@ def subsetImage(inname, outname, tlx, tly, newXsize, newYsize, outformat,
 
     # Histogram of the subset
     histArray = numpy.zeros(outRAT.GetRowCount(), dtype=numpy.float64)
-    for newId, count in histogramDict.items():
-        histArray[newId] = count
-    histArray[shepseg.SEGNULLVAL] = 0
+    setHistogramFromDictionary(histogramDict, histArray)
     colNum = outRAT.GetColOfUsage(rio.GFU_PixelCount)
     if colNum == -1:
         outRAT.CreateColumn('Histogram', rio.GFT_Real, rio.GFU_PixelCount)
@@ -175,8 +173,7 @@ def subsetImage(inname, outname, tlx, tly, newXsize, newYsize, outformat,
             colNum = outRAT.GetColumnCount() - 1
         origSegIdArray = numpy.zeros(outRAT.GetRowCount(),
                                      dtype=numpy.int32)
-        origSegIdArray[newIds] = origIds
-        origSegIdArray[shepseg.SEGNULLVAL] = 0
+        setSubsetRecodeFromDictionary(recodeDict, origSegIdArray)
         outRAT.WriteArray(origSegIdArray, colNum)
 
     outds.FlushCache()

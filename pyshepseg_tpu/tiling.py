@@ -982,18 +982,26 @@ class SegmentationConcurrencyMgr:
         tile, silently merging two unrelated segments.
         """
         recodeDict = {}
+        # a zero-width pair overlap shares no pixels and the neighbour
+        # never cached a strip (stitchTiles guards saves on width > 0)
         if tileRow > 0:
             topOv = self.tileInfo.pairOverlap(tileCol, tileRow, 'top')
-            topOverlapB = self.loadOverlap(
-                self.overlapCacheKey(tileCol, tileRow - 1, BOTTOM_OVERLAP))
-            self.recodeSharedSegments(tileData, tileData[:topOv, :],
-                                      topOverlapB, HORIZONTAL, recodeDict)
+            if topOv > 0:
+                topOverlapB = self.loadOverlap(
+                    self.overlapCacheKey(tileCol, tileRow - 1,
+                                         BOTTOM_OVERLAP))
+                self.recodeSharedSegments(tileData, tileData[:topOv, :],
+                                          topOverlapB, HORIZONTAL,
+                                          recodeDict)
         if tileCol > 0:
             leftOv = self.tileInfo.pairOverlap(tileCol, tileRow, 'left')
-            leftOverlapB = self.loadOverlap(
-                self.overlapCacheKey(tileCol - 1, tileRow, RIGHT_OVERLAP))
-            self.recodeSharedSegments(tileData, tileData[:, :leftOv],
-                                      leftOverlapB, VERTICAL, recodeDict)
+            if leftOv > 0:
+                leftOverlapB = self.loadOverlap(
+                    self.overlapCacheKey(tileCol - 1, tileRow,
+                                         RIGHT_OVERLAP))
+                self.recodeSharedSegments(tileData, tileData[:, :leftOv],
+                                          leftOverlapB, VERTICAL,
+                                          recodeDict)
 
         (newTileData, newMaxSegId) = self.relabelSegments(
             tileData, recodeDict, maxSegId, top, bottom, left, right)
@@ -1118,16 +1126,21 @@ class SegmentationConcurrencyMgr:
                 band_ov.WriteArray(arr_sub, xOff_sub, yOff_sub)
 
     def setupOverviews(self, outDs):
-        """Create overview levels 4, 8, ... while the image is still larger
-        than 1024 at that level (reference: tiling.py:1383-1404)."""
+        """Create overview levels 4, 8, ... down to ~1024 px
+        (reference: tiling.py:1383-1404). The loop is deliberately
+        LAGGED like the reference's: level 2^i is included whenever
+        2^(i-1) still left the image >= 1024, so the list runs one
+        level past the size test (e.g. 8192 -> [4, 8, 16])."""
         outSize = max(self.inXsize, self.inYsize)
         finalOutSize = 1024
         self.overviewLevels = []
         i = 2
-        while (outSize // (2 ** i)) >= finalOutSize:
+        sizeOK = (outSize // (2 ** i)) >= finalOutSize
+        while sizeOK:
             self.overviewLevels.append(2 ** i)
+            sizeOK = (outSize // (2 ** i)) >= finalOutSize
             i += 1
-        outDs.BuildOverviews(None, self.overviewLevels)
+        outDs.BuildOverviews("NEAREST", self.overviewLevels)
 
 
 class SegNoConcurrencyMgr(SegmentationConcurrencyMgr):

@@ -618,11 +618,23 @@ def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
         pool.shutdown(wait=True, cancel_futures=True)
 
 
-def _defaultReadWorkers(numReadWorkers):
+def _defaultReadWorkers(numReadWorkers, segfile=None):
     """None -> min(4, cpu_count - 1): serial on single-core hosts,
-    where threads only add overhead."""
+    where threads only add overhead. The auto default also stays serial
+    for GDAL-backed segfiles: worker threads read the seg band through
+    fresh handles while the coordinator writes RAT pages to the SAME
+    file through its update handle, which HDF5-backed drivers (KEA) do
+    not make safe across handles (the reference's RIOS variant avoids
+    it by writing to a temp RAT). The numpy driver keeps band data and
+    RAT columns in separate files, so concurrent reads are safe there.
+    An EXPLICIT numReadWorkers is honoured as given.
+    """
     if numReadWorkers is None:
         import os
+        from . import io as rio
+        if isinstance(segfile, str) and not rio.isNumpyDriverPath(
+                segfile):
+            return 0
         numReadWorkers = min(4, max(0, (os.cpu_count() or 1) - 1))
     return numReadWorkers
 
@@ -681,7 +693,7 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
     runs: 'host', 'device' (TPU two-key sort + run scatter — identical
     runs, so identical statistics), or 'auto' (see _resolveStatsEngine).
     """
-    numReadWorkers = _defaultReadWorkers(numReadWorkers)
+    numReadWorkers = _defaultReadWorkers(numReadWorkers, segfile)
     timings = timinghooks.Timers()
 
     segds, segband, imgds, imgband = doImageAlignmentChecks(
@@ -1352,7 +1364,7 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
     per-segment bounding boxes (ops/spatialstats.py); custom callbacks
     and userFuncMeanCoord always run on the host.
     """
-    numReadWorkers = _defaultReadWorkers(numReadWorkers)
+    numReadWorkers = _defaultReadWorkers(numReadWorkers, segfile)
     timings = timinghooks.Timers()
 
     segds, segband, imgds, imgband = doImageAlignmentChecks(

@@ -491,3 +491,37 @@ def test_tiled_mesh_grow_grid_matches_serial(paths, rng, tmp_path):
     seg_m = rio.open(out_m).GetRasterBand(1).ReadAsArray()
     np.testing.assert_array_equal(seg_s, seg_m)
     assert res_s.maxSegId == res_m.maxSegId
+
+
+def test_zero_overlap_completes(paths):
+    # overlapSize=0 passes validation; every pair overlap is zero-width,
+    # so no strips are cached and recodeTile must not try to load them
+    # (used to KeyError after all tiles had segmented)
+    inpath, outpath = paths
+    rng = np.random.default_rng(11)
+    make_voronoi_raster(inpath, rng, shape=(128, 128))
+    res = run_tiled(inpath, outpath, overlapSize=0)
+    seg = rio.open(outpath).GetRasterBand(1).ReadAsArray()
+    assert seg.shape == (128, 128)
+    assert res.maxSegId == seg.max() > 0
+    assert (seg != shepseg.SEGNULLVAL).all()
+
+
+def test_overview_levels_match_reference_rule():
+    # the reference's lagged loop runs one level past the size test
+    # (reference: tiling.py:1383-1404): 8192 -> [4, 8, 16], 4096 -> [4, 8]
+    class _Probe(tiling.SegNoConcurrencyMgr):
+        def __init__(self, x, y):
+            self.inXsize, self.inYsize = x, y
+
+        def check(self):
+            class DS:
+                def BuildOverviews(self, meth, levels):
+                    pass
+            self.setupOverviews(DS())
+            return self.overviewLevels
+
+    assert _Probe(8192, 8192).check() == [4, 8, 16]
+    assert _Probe(4096, 4096).check() == [4, 8]
+    assert _Probe(2048, 2048).check() == []
+    assert _Probe(1024, 1024).check() == []
