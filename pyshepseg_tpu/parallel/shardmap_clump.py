@@ -88,21 +88,30 @@ def _clump_stripe_body(img, ignore_val, four_connected, sentinel,
 
     conn_row = conn(0, -1)
     conn_col = conn(-1, 0)
-    # Hoist ALL pass-invariant connectivity masks out of the sweep body:
-    # XLA does not reliably pull loop-invariant code out of while
-    # bodies, and each mask costs two full-stripe shifts + compares in
-    # the memory-bound hot loop.
+    # Pass-invariant connectivity masks, hoisted out of the sweep body
+    # (XLA does not reliably pull loop-invariant code out of while
+    # bodies; each mask costs two full-stripe shifts + compares in the
+    # memory-bound hot loop). As in ops/clump.py, the per-sweep
+    # neighbour-min covers DIAGONALS only — horizontal/vertical
+    # propagation inside the stripe is handled (much further per sweep)
+    # by the run scans — plus the vertical link across the stripe
+    # boundary, which only the first/last rows can see.
     offs = offsets_for(four_connected)
-    conn_masks = [(dy, dx, conn(dy, dx)) for dy, dx in offs]
+    diag_masks = [(dy, dx, conn(dy, dx))
+                  for dy, dx in offs if dy != 0 and dx != 0]
+    conn_top_row = conn(-1, 0)[0]    # row 0 <- halo row above
+    conn_bot_row = conn(1, 0)[-1]    # last row <- halo row below
 
     def body(labels):
         lab_top, lab_bot = exchange_rows(labels, sentinel, n_dev)
         lab_h = jnp.concatenate([lab_top[None], labels, lab_bot[None]], 0)
         new = labels
-        # neighbour-min including vertical/diagonal across the halo
-        for dy, dx, same in conn_masks:
+        for dy, dx, same in diag_masks:   # includes halo-crossing diags
             cand = shift(lab_h, dy, dx, sentinel)[1:-1]
             new = jnp.minimum(new, jnp.where(same, cand, sentinel))
+        # vertical across the boundary: two rows, not the whole stripe
+        new = new.at[0].min(jnp.where(conn_top_row, lab_top, sentinel))
+        new = new.at[-1].min(jnp.where(conn_bot_row, lab_bot, sentinel))
         new = _run_min(new, conn_row, 1, sentinel)
         new = _run_min(new, conn_col, 0, sentinel)
         new = jnp.where(valid, new, sentinel)
