@@ -400,17 +400,19 @@ def main():
     if waited > 5:
         print(f"BENCH-WARNING: waited {waited}s for the device tunnel",
               file=sys.stderr, flush=True)
-        if not deviceOK:
-            print(json.dumps({
-                "metric": ("doShepherdSegmentation 1024x1024 4-band "
-                           "uint16 (numClusters=60, minSegmentSize=50, "
-                           "4-connected)"),
-                "value": None, "unit": "Mpix/s", "vs_baseline": None,
-                "configs": [],
-                "error": ("device backend unavailable after waiting "
-                          f"{waited}s — tunnel outage; see BASELINE.md "
-                          "hygiene notes")}))
-            return
+    # independent of the wait duration: a fast-failing probe (small
+    # BENCH_MAX_WAIT_S) must still emit the parseable record, not run on
+    if not deviceOK:
+        print(json.dumps({
+            "metric": ("doShepherdSegmentation 1024x1024 4-band "
+                       "uint16 (numClusters=60, minSegmentSize=50, "
+                       "4-connected)"),
+            "value": None, "unit": "Mpix/s", "vs_baseline": None,
+            "configs": [],
+            "error": ("device backend unavailable after waiting "
+                      f"{waited}s — tunnel outage; see BASELINE.md "
+                      "hygiene notes")}))
+        return
 
     which = {x.strip() for x in
              os.environ.get("BENCH_CONFIGS", "1,2,3,4,5").split(",")

@@ -102,8 +102,12 @@ cd "$(dirname "$0")"
 
 # Phase 1: prepare (run synchronously so we learn the tile count)
 prep_id=$(sbatch --parsable --wait psseg_prepare.sbatch)
-numtiles=$(grep -oP 'NUMTILES=\\K\\d+' psseg_prepare_${{prep_id}}_*.log \\
-           psseg_prepare_${{prep_id}}.log 2>/dev/null | head -1)
+# || true: under pipefail a missing log operand (only one of the two
+# name shapes exists, array vs non-array %a expansion) or a no-match
+# grep would abort the script before the diagnostic below
+numtiles=$(cat psseg_prepare_${{prep_id}}_*.log \\
+               psseg_prepare_${{prep_id}}.log 2>/dev/null \\
+           | grep -oP 'NUMTILES=\\K\\d+' | head -1 || true)
 if [ -z "${{numtiles}}" ]; then
     echo "could not find NUMTILES in the prepare job log" >&2
     exit 1
@@ -118,17 +122,28 @@ sbatch --dependency=afterok:${{tiles_id}} psseg_stitch.sbatch
 """
 
 
+def _phaseArgs(cmdargs):
+    """(prepareArgs, tileArgs, stitchArgs) — every user option the local
+    backend honours, so the emitted specs behave identically."""
+    common = "--store {}".format(cmdargs.store)
+    prep = ("--infile {} {} --tilesize {} --overlapsize {} --nclusters {}"
+            .format(cmdargs.infile, common, cmdargs.tilesize,
+                    cmdargs.overlapsize, cmdargs.nclusters))
+    if cmdargs.bands:
+        prep += " --bands {}".format(cmdargs.bands)
+    stitch = "{} --outname {}".format(common, cmdargs.outname)
+    if cmdargs.statsbands:
+        stitch += " --statsbands {}".format(cmdargs.statsbands)
+    return prep, common, stitch
+
+
 def submit_slurm(cmdargs):
     os.makedirs(cmdargs.emit_dir, exist_ok=True)
-    common = "--store {}".format(cmdargs.store)
+    prep, tiles, stitch = _phaseArgs(cmdargs)
     jobs = [
-        ("psseg_prepare", "do_prepare.py",
-         "--infile {} {} --tilesize {} --overlapsize {} --nclusters {}"
-         .format(cmdargs.infile, common, cmdargs.tilesize,
-                 cmdargs.overlapsize, cmdargs.nclusters)),
-        ("psseg_tiles", "do_tile.py", common),
-        ("psseg_stitch", "do_stitch.py",
-         "{} --outname {}".format(common, cmdargs.outname)),
+        ("psseg_prepare", "do_prepare.py", prep),
+        ("psseg_tiles", "do_tile.py", tiles),
+        ("psseg_stitch", "do_stitch.py", stitch),
     ]
     for name, script, args in jobs:
         body = SLURM_TEMPLATE.format(
@@ -166,13 +181,11 @@ GCP_TEMPLATE = """{{
 
 def submit_gcpbatch(cmdargs):
     os.makedirs(cmdargs.emit_dir, exist_ok=True)
-    common = "--store {}".format(cmdargs.store)
+    prep, tiles, stitch = _phaseArgs(cmdargs)
     specs = [
-        ("psseg_prepare", "do_prepare.py", 1,
-         "--infile {} {}".format(cmdargs.infile, common)),
-        ("psseg_tiles", "do_tile.py", "NUMTILES", common),
-        ("psseg_stitch", "do_stitch.py", 1,
-         "{} --outname {}".format(common, cmdargs.outname)),
+        ("psseg_prepare", "do_prepare.py", 1, prep),
+        ("psseg_tiles", "do_tile.py", "NUMTILES", tiles),
+        ("psseg_stitch", "do_stitch.py", 1, stitch),
     ]
     for name, script, count, args in specs:
         path = os.path.join(cmdargs.emit_dir, name + ".json")

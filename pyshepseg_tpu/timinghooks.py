@@ -32,8 +32,12 @@ class Timers:
     def interval(self, intervalName, sync=False):
         """
         Context manager timing one named interval. If ``sync`` is True,
-        waits for all outstanding JAX device work before reading the end
-        time (use around device compute phases).
+        waits for outstanding JAX device work before reading the end
+        time (use around device compute phases): effects_barrier drains
+        effectful computations, and fetching a freshly-dispatched
+        trivial value rides the device's in-order execution stream
+        behind any pure dispatches still in flight (plain
+        effects_barrier alone returns immediately for pure programs).
         """
         startTime = time.time()
         try:
@@ -42,7 +46,9 @@ class Timers:
             if sync:
                 try:
                     import jax
+                    import jax.numpy as jnp
                     jax.effects_barrier()
+                    float(jnp.zeros(()))
                 except Exception:
                     pass
             endTime = time.time()
@@ -58,9 +64,15 @@ class Timers:
         return None
 
     def merge(self, other):
-        """Merge another Timers object into this one."""
+        """Merge another Timers object into this one. ``other`` is
+        snapshotted under ITS lock first, so merging a Timers that
+        worker threads are still updating neither raises (dict resized
+        during iteration) nor drops a concurrent append."""
+        with other.lock:
+            snapshot = {name: list(pairs)
+                        for name, pairs in other.pairs.items()}
         with self.lock:
-            for name, pairs in other.pairs.items():
+            for name, pairs in snapshot.items():
                 self.pairs.setdefault(name, []).extend(pairs)
 
     def makeSummaryDict(self):

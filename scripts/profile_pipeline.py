@@ -22,7 +22,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from pyshepseg_tpu import shepseg, utils  # noqa: E402
-from pyshepseg_tpu.ops.elim_small import round_capacity  # noqa: E402
+from pyshepseg_tpu.ops.elim_small import (  # noqa: E402
+    round_capacity, round_capacity_fine)
 from bench import make_image  # noqa: E402
 
 utils.setupCompilationCache(
@@ -116,7 +117,9 @@ def main():
 
     out["d2a_single_and_edge_sort_ms"] = round(timeit(d2a) * 1000, 1)
     seg1, size, spect, ea, eb, first, sc1 = d2a()
-    eCap2 = round_capacity(int(np.asarray(sc1)[1]) + 1)
+    # quarter-step bucket, matching the production fallback
+    # (shepseg.py uses round_capacity_fine for the edge capacity)
+    eCap2 = round_capacity_fine(int(np.asarray(sc1)[1]) + 1)
 
     def d2b():
         seg2, sc2 = shepseg._elim_small_finish_device(
