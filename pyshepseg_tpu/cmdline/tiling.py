@@ -226,7 +226,11 @@ def mainCmd():
 
 
 def doPerSegmentStats(cmdargs):
-    """Calculate the requested per-segment statistics RAT columns."""
+    """Calculate the requested per-segment statistics RAT columns —
+    every band in ONE pass over the segmentation raster
+    (calcPerSegmentStatsTiledMultiBand), instead of the reference's
+    re-read of the whole segmentation per band."""
+    statsSelectionList = []
     for statsBand in cmdargs.statsbands:
         statsSelection = []
         for statsSpec in cmdargs.statspec:
@@ -238,10 +242,12 @@ def doPerSegmentStats(cmdargs):
                 name = "Band_{}_{}".format(statsBand, statsSpec)
                 selection = (name, statsSpec)
             statsSelection.append(selection)
+        statsSelectionList.append(statsSelection)
 
-        rtn = tilingstats.calcPerSegmentStatsTiled(
-            cmdargs.infile, statsBand, cmdargs.outfile, statsSelection,
-            numReadWorkers=cmdargs.statsreadworkers)
+    if statsSelectionList:
+        rtn = tilingstats.calcPerSegmentStatsTiledMultiBand(
+            cmdargs.infile, cmdargs.statsbands, cmdargs.outfile,
+            statsSelectionList, numReadWorkers=cmdargs.statsreadworkers)
 
         if cmdargs.verbose:
             print(utils.formatTimingRpt(rtn.timings.makeSummaryDict())

@@ -554,7 +554,16 @@ def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
     handles — GDAL handles are not thread-safe, and Band handles dangle
     if their parent Dataset is garbage-collected); consumed results are
     dropped immediately so memory stays bounded. Serial otherwise.
+
+    ``imgbandnum`` and ``compactFn`` may each be aligned LISTS: the seg
+    tile is then read once per window and compacted against every band,
+    and each yield is the list of per-band results (the one-pass
+    multi-band mode). Scalars yield one result per tile as before.
     """
+    multi = isinstance(imgbandnum, (list, tuple))
+    bandNums = list(imgbandnum) if multi else [imgbandnum]
+    compactFns = list(compactFn) if multi else [compactFn]
+
     windows = [(min(tileSize, npix - leftPix),
                 min(tileSize, nlines - topLine), leftPix, topLine)
                for topLine in range(0, nlines, tileSize)
@@ -567,12 +576,18 @@ def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
     if not (isinstance(segfile, str) and isinstance(imgfile, str)):
         numReadWorkers = 0
 
+    segb0, imgb0 = serialBands
+    serialBands = (segb0, list(imgb0) if multi else [imgb0])
+
     def readAndCompact(window, bands):
         (xsize, ysize, leftPix, topLine) = window
-        (segb, imgb) = bands
+        (segb, imgbs) = bands
         tileSegments = segb.ReadAsArray(leftPix, topLine, xsize, ysize)
-        tileImageData = imgb.ReadAsArray(leftPix, topLine, xsize, ysize)
-        return compactFn(tileSegments, tileImageData, window)
+        out = [fn(tileSegments,
+                  imgb.ReadAsArray(leftPix, topLine, xsize, ysize),
+                  window)
+               for fn, imgb in zip(compactFns, imgbs)]
+        return out if multi else out[0]
 
     if numReadWorkers <= 0:
         for window in windows:
@@ -591,8 +606,9 @@ def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
             segdsW = rio.open(segfile)
             imgdsW = rio.open(imgfile)
             tlocal.datasets = (segdsW, imgdsW)
-            tlocal.bands = bands = (segdsW.GetRasterBand(1),
-                                    imgdsW.GetRasterBand(imgbandnum))
+            tlocal.bands = bands = (
+                segdsW.GetRasterBand(1),
+                [imgdsW.GetRasterBand(b) for b in bandNums])
         return readAndCompact(window, bands)
 
     pool = futures.ThreadPoolExecutor(max_workers=numReadWorkers)
@@ -693,70 +709,114 @@ def calcPerSegmentStatsTiled(imgfile, imgbandnum, segfile,
     runs: 'host', 'device' (TPU two-key sort + run scatter — identical
     runs, so identical statistics), or 'auto' (see _resolveStatsEngine).
     """
+    return calcPerSegmentStatsTiledMultiBand(
+        imgfile, [imgbandnum], segfile, [statsSelection],
+        missingStatsValue=missingStatsValue,
+        numReadWorkers=numReadWorkers, engine=engine)
+
+
+def calcPerSegmentStatsTiledMultiBand(imgfile, bandNumbers, segfile,
+        statsSelectionList, missingStatsValue=-9999, numReadWorkers=None,
+        engine='auto'):
+    """
+    Per-segment statistics for SEVERAL image bands in ONE pass over the
+    segmentation raster. The reference computes one band per call
+    (reference: tilingstats.py:85-216), re-reading and re-streaming the
+    entire segmentation for every band; for the common multi-band
+    workload (e.g. mean/stddev per band of an 8-band scene) this
+    variant reads each segmentation tile once and accumulates every
+    requested band against it, so the segmentation I/O, the tile loop,
+    and the RAT paging are paid once instead of once per band.
+
+    ``bandNumbers`` is a list of 1-based image band numbers and
+    ``statsSelectionList`` an aligned list of per-band statsSelection
+    lists (column names must be unique across bands). Column contents
+    are identical to the corresponding single-band calls. Per-band
+    nodata values are honoured individually.
+    """
+    if len(bandNumbers) != len(statsSelectionList):
+        raise PyShepSegStatsError(
+            "bandNumbers and statsSelectionList must align")
+    if len(bandNumbers) == 0:
+        raise PyShepSegStatsError("no bands requested")
     numReadWorkers = _defaultReadWorkers(numReadWorkers, segfile)
     timings = timinghooks.Timers()
 
-    segds, segband, imgds, imgband = doImageAlignmentChecks(
-        segfile, imgfile, imgbandnum)
+    segds, segband, imgds, _ = doImageAlignmentChecks(
+        segfile, imgfile, bandNumbers[0])
 
     attrTbl = segband.GetDefaultRAT()
     existingColNames = [attrTbl.GetNameOfCol(i)
                         for i in range(attrTbl.GetColumnCount())]
 
-    imgNullVal = imgband.GetNoDataValue()
-    if imgNullVal is not None:
-        imgNullVal = imageValueType(imgNullVal)
-
     histColNdx = checkHistColumn(existingColNames)
     segSize = attrTbl.ReadAsArray(histColNdx).astype(numpy.int64)
-
-    colIndexList = createStatColumns(statsSelection, attrTbl,
-                                     existingColNames)
-    (statsSelection_fast, numIntCols, numFloatCols) = (
-        makeFastStatsSelection(colIndexList, statsSelection))
-
     numSeg = len(segSize)
-    acc = SegmentHistAccumulator(numSeg, imgNullVal)
-    pagedRat = createPagedRat()
+
+    # Several compactions run concurrently with read workers; split
+    # the dense-bincount memory budget between them so transient
+    # memory stays bounded on multi-core hosts.
+    nbinsBudget = (1 << 25) // max(1, numReadWorkers)
+
+    perBand = []        # one accumulation context per requested band
+    compactFns = []
+    for bandNum, statsSelection in zip(bandNumbers, statsSelectionList):
+        imgband = imgds.GetRasterBand(bandNum)
+        if imgband.DataType in (rio.GDT_Float32, rio.GDT_Float64):
+            raise PyShepSegStatsError("Float image types not supported")
+        imgNullVal = imgband.GetNoDataValue()
+        if imgNullVal is not None:
+            imgNullVal = imageValueType(imgNullVal)
+
+        colIndexList = createStatColumns(statsSelection, attrTbl,
+                                         existingColNames)
+        (fastSel, numIntCols, numFloatCols) = (
+            makeFastStatsSelection(colIndexList, statsSelection))
+        acc = SegmentHistAccumulator(numSeg, imgNullVal)
+        pagedRat = createPagedRat()
+        perBand.append((acc, pagedRat, fastSel, numIntCols, numFloatCols))
+
+        if _resolveStatsEngine(engine, imgband):
+            from .ops.segstats import compactTileDevice
+
+            def compactFn(tileSegments, tileImageData, window,
+                          _null=imgNullVal):
+                return compactTileDevice(tileSegments, tileImageData,
+                                         _null, numSeg)
+        else:
+            def compactFn(tileSegments, tileImageData, window,
+                          _null=imgNullVal):
+                return compactTile(tileSegments, tileImageData, _null,
+                                   numSeg, nbinsBudget)
+
+        compactFns.append(compactFn)
 
     tileSize = tiling.TILESIZE
     (nlines, npix) = (segband.YSize, segband.XSize)
-
-    if _resolveStatsEngine(engine, imgband):
-        from .ops.segstats import compactTileDevice
-
-        def compactFn(tileSegments, tileImageData, window):
-            return compactTileDevice(tileSegments, tileImageData,
-                                     imgNullVal, numSeg)
-    else:
-        # Several compactions run concurrently with read workers; split
-        # the dense-bincount memory budget between them so transient
-        # memory stays bounded on multi-core hosts.
-        nbinsBudget = (1 << 25) // max(1, numReadWorkers)
-
-        def compactFn(tileSegments, tileImageData, window):
-            return compactTile(tileSegments, tileImageData, imgNullVal,
-                               numSeg, nbinsBudget)
+    serialImgBands = [imgds.GetRasterBand(b) for b in bandNumbers]
 
     stream = _compactedTileStream(
-        nlines, npix, tileSize, segfile, imgfile, imgbandnum,
-        (segband, imgband), compactFn, numReadWorkers, timings)
-    for compacted in stream:
-        with timings.interval('accumulation'):
-            acc.merge(compacted)
+        nlines, npix, tileSize, segfile, imgfile, list(bandNumbers),
+        (segband, serialImgBands), compactFns, numReadWorkers, timings)
+    for compactedList in stream:
+        for compacted, (acc, pagedRat, fastSel, numIntCols,
+                        numFloatCols) in zip(compactedList, perBand):
+            with timings.interval('accumulation'):
+                acc.merge(compacted)
 
-        with timings.interval('statscompletion'):
-            _calcStatsForCompletedSegs(acc, segSize, missingStatsValue,
-                                       pagedRat, statsSelection_fast,
-                                       numIntCols, numFloatCols)
+            with timings.interval('statscompletion'):
+                _calcStatsForCompletedSegs(acc, segSize,
+                                           missingStatsValue, pagedRat,
+                                           fastSel, numIntCols,
+                                           numFloatCols)
 
-        with timings.interval('writing'):
-            writeCompletePages(pagedRat, attrTbl, statsSelection_fast)
+            with timings.interval('writing'):
+                writeCompletePages(pagedRat, attrTbl, fastSel)
 
     with timings.interval('writing'):
         segds.FlushCache()
 
-    if len(pagedRat) > 0:
+    if any(len(pagedRat) > 0 for (_, pagedRat, _, _, _) in perBand):
         raise PyShepSegStatsError('Not all pixels found during processing')
 
     rtn = TiledStatsResult()

@@ -735,3 +735,62 @@ def test_dict_compat_spatial_pipeline(rng):
         gotN = page.getRatVal(s, tilingstats.STAT_DTYPE_FLOAT, 1)
         assert gotE == pytest.approx(wantE, abs=1e-3)
         assert gotN == pytest.approx(wantN, abs=1e-3)
+
+
+def test_multiband_one_pass_matches_single_band_calls(tmp_path, rng):
+    # calcPerSegmentStatsTiledMultiBand reads each seg tile once and
+    # accumulates every band; columns must equal N single-band calls,
+    # with per-band nodata honoured individually
+    h, w = 90, 110
+    segpath, imgpath, seg, img1 = make_seg_and_img(
+        tmp_path, rng, shape=(h, w))
+    # grow the image to 3 bands with distinct content + nodata values
+    imgds = rio.open(imgpath, rio.GA_Update)
+    img2 = rng.integers(0, 500, size=(h, w)).astype(np.uint16)
+    img3 = rng.integers(0, 50, size=(h, w)).astype(np.uint16)
+    img3[rng.random((h, w)) < 0.1] = 49  # second band nodata value
+    import numpy
+    multipath = str(tmp_path / "multi.npseg")
+    mds = rio.create(multipath, w, h, 3, numpy.uint16)
+    for i, (arr, nd) in enumerate(
+            [(img1, NODATA), (img2, None), (img3, 49)], start=1):
+        b = mds.GetRasterBand(i)
+        b.WriteArray(arr)
+        if nd is not None:
+            b.SetNoDataValue(nd)
+    mds.FlushCache()
+
+    sel = [[("b1_mean", "mean"), ("b1_p75", "percentile", 75)],
+           [("b2_mean", "mean"), ("b2_max", "max")],
+           [("b3_mode", "mode"), ("b3_std", "stddev")]]
+
+    segpath2 = str(tmp_path / "seg2.npseg")
+    import shutil
+    shutil.copytree(segpath, segpath2)
+
+    tilingstats.calcPerSegmentStatsTiledMultiBand(
+        multipath, [1, 2, 3], segpath, sel, engine='host')
+    for band, s in zip([1, 2, 3], sel):
+        tilingstats.calcPerSegmentStatsTiled(
+            multipath, band, segpath2, s, engine='host')
+
+    ratA = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    ratB = rio.open(segpath2).GetRasterBand(1).GetDefaultRAT()
+    for s in sel:
+        for colName in [t[0] for t in s]:
+            ia = [ratA.GetNameOfCol(i) for i in
+                  range(ratA.GetColumnCount())].index(colName)
+            ib = [ratB.GetNameOfCol(i) for i in
+                  range(ratB.GetColumnCount())].index(colName)
+            np.testing.assert_array_equal(
+                ratA.ReadAsArray(ia), ratB.ReadAsArray(ib), err_msg=colName)
+
+
+def test_multiband_validation(tmp_path, rng):
+    segpath, imgpath, _, _ = make_seg_and_img(tmp_path, rng)
+    with pytest.raises(tilingstats.PyShepSegStatsError):
+        tilingstats.calcPerSegmentStatsTiledMultiBand(
+            imgpath, [1, 2], segpath, [[("m", "mean")]])
+    with pytest.raises(tilingstats.PyShepSegStatsError):
+        tilingstats.calcPerSegmentStatsTiledMultiBand(
+            imgpath, [], segpath, [])
