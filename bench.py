@@ -66,6 +66,11 @@ utils.setupCompilationCache(
 # CPU on this workload.
 REF_BASELINE_MPIX_S = 0.7
 
+# Scene edge for configs 3-5 (must be a multiple of the 1600-px base
+# pattern). The default is the BASELINE config; a smaller value (e.g.
+# BENCH_SCENE_SIZE=1600) makes the whole bench smokable on a CPU host.
+SCENE_SIZE = int(os.environ.get("BENCH_SCENE_SIZE", "6400"))
+
 
 def make_image(h, w, nbands, ncells=400, seed=7):
     """Synthetic Landsat-like tile: Voronoi patches + noise, uint16."""
@@ -203,7 +208,7 @@ def _run_config3(results, tempDir):
     CONC_THREADS overlapping reads with device compute."""
     from pyshepseg_tpu import tiling
 
-    imgfile = _make_scene(tempDir)
+    imgfile = _make_scene(tempDir, size=SCENE_SIZE)
     segfile = os.path.join(tempDir, "seg.npseg")
     # tileCompletionTimeout covers the first tile's one-off XLA compile
     # (minutes through the tunnel when the kernels changed this round)
@@ -216,9 +221,10 @@ def _run_config3(results, tempDir):
         numClusters=60, minSegmentSize=50, fixedKMeansInit=True,
         fourConnected=True, concurrencyCfg=cfg)
     elapsed = time.time() - t0
-    mpix_s = (6400 * 6400 / 1e6) / elapsed
+    mpix_s = (SCENE_SIZE * SCENE_SIZE / 1e6) / elapsed
     results.append({
-        "name": "config3-cold: doTiledShepherdSegmentation 6400x6400 "
+        "name": f"config3-cold: doTiledShepherdSegmentation "
+                f"{SCENE_SIZE}x{SCENE_SIZE} "
                 "4-band (tileSize=1024, overlap=256, CONC_THREADS x3), "
                 "first run in the process — includes one-off XLA "
                 "compiles (dominated by the whole-file k-means fit's "
@@ -232,7 +238,7 @@ def _run_config3(results, tempDir):
         numClusters=60, minSegmentSize=50, fixedKMeansInit=True,
         fourConnected=True, concurrencyCfg=cfg)
     elapsed = time.time() - t0
-    mpix_s = (6400 * 6400 / 1e6) / elapsed
+    mpix_s = (SCENE_SIZE * SCENE_SIZE / 1e6) / elapsed
     results.append({
         "name": "config3: same tiled run, warm executables (the "
                 "steady-state production figure)",
@@ -254,7 +260,7 @@ def _run_config3(results, tempDir):
         numClusters=60, minSegmentSize=50, fixedKMeansInit=True,
         fourConnected=True, concurrencyCfg=cfgM)
     elapsed = time.time() - t0
-    mpix_s_m = (6400 * 6400 / 1e6) / elapsed
+    mpix_s_m = (SCENE_SIZE * SCENE_SIZE / 1e6) / elapsed
     results.append({
         "name": "config3-mesh: same scene via CONC_MESH tilesPerDevice=4 "
                 "(the multi-chip backend on the one available chip; "
@@ -270,7 +276,7 @@ def _run_config4(results, imgfile, segfile):
     from pyshepseg_tpu import tilingstats
     from pyshepseg_tpu import io as rio
 
-    npix = 6400 * 6400 / 1e6
+    npix = SCENE_SIZE * SCENE_SIZE / 1e6
     t0 = time.time()
     tilingstats.calcPerSegmentStatsTiled(
         imgfile, 1, segfile,
@@ -279,9 +285,34 @@ def _run_config4(results, imgfile, segfile):
     stats_rate = npix / (time.time() - t0)
     results.append({
         "name": "config4: calcPerSegmentStatsTiled mean/stddev/p75 over "
-                "41 Mpix scene (host engine)",
+                f"{npix:.0f} Mpix scene (host engine)",
         "value": round(stats_rate, 3), "unit": "Mpix/s",
         "vs_baseline": None})
+
+    # Multi-band one-pass vs per-band passes (the reference's only
+    # mode): same columns, one read+stream of the segmentation.
+    def selFor(b, tag):
+        return [(f"mb{b}_mean_{tag}", "mean"),
+                (f"mb{b}_p75_{tag}", "percentile", 75)]
+
+    t0 = time.time()
+    tilingstats.calcPerSegmentStatsTiledMultiBand(
+        imgfile, [1, 2, 3, 4], segfile,
+        [selFor(b, "one") for b in range(1, 5)], engine='host')
+    onePass = time.time() - t0
+    t0 = time.time()
+    for b in range(1, 5):
+        tilingstats.calcPerSegmentStatsTiled(
+            imgfile, b, segfile, selFor(b, "per"), engine='host')
+    perBand = time.time() - t0
+    results.append({
+        "name": "config4-multiband: mean/p75 of 4 bands, one pass over "
+                f"the {npix:.0f} Mpix segmentation vs 4 single-band passes",
+        "value": round(4 * npix / onePass, 3), "unit": "Mpix/s",
+        "vs_baseline": None,
+        "one_pass_s": round(onePass, 2),
+        "per_band_s": round(perBand, 2),
+        "speedup_vs_per_band": round(perBand / onePass, 2)})
 
     # Device engine: same columns bit-for-bit, compaction on the TPU —
     # exercises the Mosaic-compiled sort path every round. Measured on a
@@ -325,7 +356,7 @@ def _run_config4(results, imgfile, segfile):
     sp_rate = npix / (time.time() - t0)
     results.append({
         "name": "config4b: calcPerSegmentSpatialStatsTiled mean coords "
-                "over 41 Mpix scene",
+                f"over {npix:.0f} Mpix scene",
         "value": round(sp_rate, 3), "unit": "Mpix/s",
         "vs_baseline": None})
 
@@ -335,8 +366,9 @@ def _run_config5(results, segfile, tempDir):
     from pyshepseg_tpu import subset
 
     subfile = os.path.join(tempDir, "sub.npseg")
+    off = max(0, min(1600, SCENE_SIZE - 1600))  # stay inside small scenes
     t0 = time.time()
-    subset.subsetImage(segfile, subfile, 1600, 1600, 1600, 1600, None,
+    subset.subsetImage(segfile, subfile, off, off, 1600, 1600, None,
                        origSegIdColName="orig_segid")
     elapsed = time.time() - t0
     results.append({
