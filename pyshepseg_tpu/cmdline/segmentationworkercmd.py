@@ -94,7 +94,7 @@ def remoteSegmentationWorker(workerID, host, port, authkey):
                     dataChan.readSemaphore.release()
             img = numpy.array(lyrDataList)
 
-            with timings.interval('segmentation', sync=True):
+            with timings.interval('segmentation'):
                 segResult = shepseg.doShepherdSegmentation(
                     img, minSegmentSize=minSegmentSize,
                     maxSpectralDiff=maxSpectralDiff,

@@ -116,7 +116,7 @@ def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
                     inDs.GetRasterBand(b).ReadAsArray(xpos, ypos,
                                                       xsize, ysize)
                     for b in bandNumbers])
-            with timings.interval('segmentation', sync=True):
+            with timings.interval('segmentation'):
                 segResult = shepseg.doShepherdSegmentation(
                     img, minSegmentSize=minSegmentSize,
                     maxSpectralDiff=maxSpectralDiff,
@@ -166,7 +166,7 @@ def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
                 while len(imgs) < chunkSize:
                     imgs.append(imgs[-1])
                 batch = np.stack(imgs)
-            with timings.interval('segmentation', sync=True):
+            with timings.interval('segmentation'):
                 batch_j = jax.device_put(batch, sharding)
                 segs = segment_tile_batch(
                     batch_j, centers, nullVal, maxDiff, minSegmentSize,

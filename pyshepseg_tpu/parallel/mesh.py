@@ -157,7 +157,7 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
                     batch = (jnp.stack(imgs) if self.sceneCache is not None
                              else np.stack(imgs))
 
-                with self.timings.interval('segmentation', sync=True):
+                with self.timings.interval('segmentation'):
                     # Two dispatches with ONE batch-wide scalar sync
                     # (segment capacity from the max clump count; edge
                     # capacity from the planarity bound) — every sync is

@@ -1169,7 +1169,7 @@ class SegNoConcurrencyMgr(SegmentationConcurrencyMgr):
             with self.timings.interval('reading'):
                 img = self.readTileImage(inDs, col, row)
 
-            with self.timings.interval('segmentation', sync=True):
+            with self.timings.interval('segmentation'):
                 segResult = shepseg.doShepherdSegmentation(
                     img, minSegmentSize=self.minSegmentSize,
                     maxSpectralDiff=self.maxSpectralDiff,
@@ -1265,7 +1265,7 @@ class SegThreadsMgr(SegmentationConcurrencyMgr):
                         import jax
                         img = jax.device_put(img, device)
 
-                with self.timings.interval('segmentation', sync=True):
+                with self.timings.interval('segmentation'):
                     segResult = shepseg.doShepherdSegmentation(
                         img, minSegmentSize=self.minSegmentSize,
                         maxSpectralDiff=self.maxSpectralDiff,

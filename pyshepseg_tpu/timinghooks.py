@@ -38,6 +38,8 @@ class Timers:
         trivial value rides the device's in-order execution stream
         behind any pure dispatches still in flight (plain
         effects_barrier alone returns immediately for pure programs).
+        A block that already materializes its results (numpy out) does
+        not need sync — it would only add one device round trip.
         """
         startTime = time.time()
         try:
