@@ -161,6 +161,18 @@ def run_seed(seed):
         return "BUG", f"clump mismatch seed={seed}"
     maxSegId = nxt - 1
 
+    # Capped-clump parity (the reference's DEFAULT MAX_CLUMP_SIZE
+    # behaviour, shepseg.py:481): the C++ scan-order flood fill must
+    # reproduce the oracle's split geometry exactly. A small cap so
+    # splits actually trigger at these image scales.
+    cap = int(40 + (seed % 3) * 37)
+    segC, nxtC = clump(clusters, 0, fourConnected=fourConnected,
+                       maxClumpSize=cap)
+    refC, refNxtC = oracle_clump(clusters, 0, fourConnected=fourConnected,
+                                 maxClumpSize=cap)
+    if not np.array_equal(segC, refC) or nxtC != refNxtC:
+        return "BUG", f"capped-clump mismatch seed={seed} cap={cap}"
+
     ref = np.asarray(ref_seg).copy()
     ref_n1 = oracle_eliminate_single_pixels(
         img, ref, np.bincount(ref.ravel().astype(np.int64)), 1,
