@@ -125,3 +125,76 @@ def compactTileDevice(tileSegments, tileImageData, imgNullVal, numSeg,
         keep = ~isNull
         runSeg, runVal, runCnt = runSeg[keep], runVal[keep], runCnt[keep]
     return (seen, noData, runSeg, runVal, runCnt)
+
+
+_sort_pairs_batch = jax.jit(jax.vmap(_sort_pairs))
+
+
+def _compact_runs_batched_impl(s, v, valid_s, first, runpos, r_cap):
+    return jax.vmap(
+        lambda a, b, c, d, e: _compact_runs(a, b, c, d, e, r_cap))(
+            s, v, valid_s, first, runpos)
+
+
+_compact_runs_batch = jax.jit(_compact_runs_batched_impl,
+                              static_argnames=("r_cap",))
+
+
+def compactTileDeviceMultiBand(tileSegments, tileImageList, imgNullVals,
+                               numSeg, imageValueType=np.int64):
+    """
+    One vmapped dispatch pair (+ ONE scalar sync) compacting ALL bands
+    of one tile window: the (segId, value) sort runs batched over the
+    band axis, with a shared run bucket from the max measured run count.
+    Returns a list aligned with ``tileImageList`` whose entries match
+    compactTileDevice's output exactly (including None for an all-null
+    tile).
+    """
+    seg_flat = np.ascontiguousarray(tileSegments).ravel().astype(np.uint32)
+    n = seg_flat.size
+    bucket = round_capacity(n)
+    if bucket > n:
+        seg_flat = np.pad(seg_flat, (0, bucket - n))
+    nb = len(tileImageList)
+    segB = np.broadcast_to(seg_flat, (nb, bucket))
+    valB = np.zeros((nb, bucket), np.int32)
+    for i, tileImageData in enumerate(tileImageList):
+        v = np.ascontiguousarray(tileImageData).ravel().astype(np.int32)
+        valB[i, :n] = v
+
+    s, v, valid_s, first, runpos, n_runs = _sort_pairs_batch(
+        jnp.asarray(segB), jnp.asarray(valB))
+    nRuns = np.asarray(n_runs)        # one sync for every band
+    if not nRuns.any():
+        return [None] * nb
+    rCap = round_capacity(int(nRuns.max()))
+    run_seg, run_val, run_cnt = _compact_runs_batch(
+        s, v, valid_s, first, runpos, r_cap=rCap)
+    run_seg = np.asarray(run_seg)
+    run_val = np.asarray(run_val)
+    run_cnt = np.asarray(run_cnt)
+
+    out = []
+    for i in range(nb):
+        k = int(nRuns[i])
+        if k == 0:
+            out.append(None)
+            continue
+        runSeg = run_seg[i, :k].astype(np.int64)
+        runVal = run_val[i, :k].astype(imageValueType)
+        runCnt = run_cnt[i, :k].astype(np.int64)
+        seen = np.bincount(runSeg, weights=runCnt,
+                           minlength=numSeg).astype(np.int64)[:numSeg]
+        noData = None
+        imgNullVal = imgNullVals[i]
+        if imgNullVal is not None:
+            isNull = runVal == imageValueType(imgNullVal)
+            if isNull.any():
+                noData = np.bincount(
+                    runSeg[isNull], weights=runCnt[isNull],
+                    minlength=numSeg).astype(np.int64)[:numSeg]
+            keep = ~isNull
+            runSeg, runVal, runCnt = (runSeg[keep], runVal[keep],
+                                      runCnt[keep])
+        out.append((seen, noData, runSeg, runVal, runCnt))
+    return out

@@ -546,7 +546,8 @@ def _concatRuns(arr, start, end, lengths):
 
 def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
                          imgbandnum, serialBands, compactFn,
-                         numReadWorkers, timings):
+                         numReadWorkers, timings,
+                         batchedCompactFn=None):
     """
     Yield ``compactFn(segTile, imgTile, window)`` per 1024^2 tile in
     strict row-major order. With numReadWorkers > 0 the read+compact
@@ -583,6 +584,11 @@ def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
         (xsize, ysize, leftPix, topLine) = window
         (segb, imgbs) = bands
         tileSegments = segb.ReadAsArray(leftPix, topLine, xsize, ysize)
+        if batchedCompactFn is not None and multi:
+            # all bands in one device dispatch pair
+            tiles = [imgb.ReadAsArray(leftPix, topLine, xsize, ysize)
+                     for imgb in imgbs]
+            return batchedCompactFn(tileSegments, tiles, window)
         out = [fn(tileSegments,
                   imgb.ReadAsArray(leftPix, topLine, xsize, ysize),
                   window)
@@ -760,6 +766,8 @@ def calcPerSegmentStatsTiledMultiBand(imgfile, bandNumbers, segfile,
 
     perBand = []        # one accumulation context per requested band
     compactFns = []
+    deviceFlags = []
+    nullVals = []
     for bandNum, statsSelection in zip(bandNumbers, statsSelectionList):
         imgband = imgds.GetRasterBand(bandNum)
         if imgband.DataType in (rio.GDT_Float32, rio.GDT_Float64):
@@ -776,7 +784,10 @@ def calcPerSegmentStatsTiledMultiBand(imgfile, bandNumbers, segfile,
         pagedRat = createPagedRat()
         perBand.append((acc, pagedRat, fastSel, numIntCols, numFloatCols))
 
-        if _resolveStatsEngine(engine, imgband):
+        useDevice = _resolveStatsEngine(engine, imgband)
+        deviceFlags.append(useDevice)
+        nullVals.append(imgNullVal)
+        if useDevice:
             from .ops.segstats import compactTileDevice
 
             def compactFn(tileSegments, tileImageData, window,
@@ -791,13 +802,24 @@ def calcPerSegmentStatsTiledMultiBand(imgfile, bandNumbers, segfile,
 
         compactFns.append(compactFn)
 
+    batchedCompactFn = None
+    if len(bandNumbers) > 1 and all(deviceFlags):
+        # every band on device: one vmapped dispatch pair (and ONE
+        # capacity sync) compacts the whole window's band set
+        from .ops.segstats import compactTileDeviceMultiBand
+
+        def batchedCompactFn(tileSegments, tileImageList, window):
+            return compactTileDeviceMultiBand(
+                tileSegments, tileImageList, nullVals, numSeg)
+
     tileSize = tiling.TILESIZE
     (nlines, npix) = (segband.YSize, segband.XSize)
     serialImgBands = [imgds.GetRasterBand(b) for b in bandNumbers]
 
     stream = _compactedTileStream(
         nlines, npix, tileSize, segfile, imgfile, list(bandNumbers),
-        (segband, serialImgBands), compactFns, numReadWorkers, timings)
+        (segband, serialImgBands), compactFns, numReadWorkers, timings,
+        batchedCompactFn=batchedCompactFn)
     for compactedList in stream:
         for compacted, (acc, pagedRat, fastSel, numIntCols,
                         numFloatCols) in zip(compactedList, perBand):

@@ -794,3 +794,41 @@ def test_multiband_validation(tmp_path, rng):
     with pytest.raises(tilingstats.PyShepSegStatsError):
         tilingstats.calcPerSegmentStatsTiledMultiBand(
             imgpath, [], segpath, [])
+
+
+def test_multiband_device_engine_matches_host(tmp_path, rng):
+    # all-bands-on-device batches the compaction into ONE vmapped
+    # dispatch pair per window; columns must equal the host engine's
+    h, w = 80, 100
+    segpath, imgpath, seg, img1 = make_seg_and_img(
+        tmp_path, rng, shape=(h, w))
+    img2 = rng.integers(0, 300, size=(h, w)).astype(np.uint16)
+    multipath = str(tmp_path / "multi.npseg")
+    mds = rio.create(multipath, w, h, 2, np.uint16)
+    for i, (arr, nd) in enumerate([(img1, NODATA), (img2, None)], start=1):
+        b = mds.GetRasterBand(i)
+        b.WriteArray(arr)
+        if nd is not None:
+            b.SetNoDataValue(nd)
+    mds.FlushCache()
+
+    import shutil
+    segpath2 = str(tmp_path / "seg2.npseg")
+    shutil.copytree(segpath, segpath2)
+
+    sel = [[("d1_mean", "mean"), ("d1_med", "median")],
+           [("d2_min", "min"), ("d2_p25", "percentile", 25)]]
+    tilingstats.calcPerSegmentStatsTiledMultiBand(
+        multipath, [1, 2], segpath, sel, engine='device')
+    tilingstats.calcPerSegmentStatsTiledMultiBand(
+        multipath, [1, 2], segpath2, sel, engine='host')
+
+    ratA = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    ratB = rio.open(segpath2).GetRasterBand(1).GetDefaultRAT()
+    namesA = [ratA.GetNameOfCol(i) for i in range(ratA.GetColumnCount())]
+    namesB = [ratB.GetNameOfCol(i) for i in range(ratB.GetColumnCount())]
+    for s in sel:
+        for colName in [t[0] for t in s]:
+            np.testing.assert_array_equal(
+                ratA.ReadAsArray(namesA.index(colName)),
+                ratB.ReadAsArray(namesB.index(colName)), err_msg=colName)
