@@ -66,6 +66,9 @@ def test_local_batch_pipeline(scene, tmp_path):
     names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
     assert "Histogram" in names and "Band_1_mean" in names
     hist = rat.ReadAsArray(names.index("Histogram"))
+    assert len(hist) > int(seg.max())   # a row for every ID
+    np.testing.assert_array_equal(
+        np.unique(seg[seg > 0]), np.arange(1, seg.max() + 1))
     counts = np.bincount(seg.ravel(), minlength=len(hist))
     np.testing.assert_array_equal(hist[1:].astype(np.int64),
                                   counts[1:len(hist)])

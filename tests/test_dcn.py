@@ -94,7 +94,14 @@ def test_dcn_matches_serial(tmp_path, rng, nproc, localdev, tpd):
         universal_newlines=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for pid in range(nproc)]
-    outs = [p.communicate(timeout=300) for p in procs]
+    try:
+        outs = [p.communicate(timeout=300) for p in procs]
+    finally:
+        # a hung fake host (e.g. a barrier bug) must not leak workers
+        # that hold the coordinator port for the rest of the suite
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"proc failed:\n{out}\n{err}"
 
@@ -134,7 +141,12 @@ def test_dcn_worker_error_surfaces(tmp_path, rng):
         universal_newlines=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for pid in range(2)]
-    outs = [p.communicate(timeout=300) for p in procs]
+    try:
+        outs = [p.communicate(timeout=300) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     # process 0 must fail, reporting the injected error
     assert procs[0].returncode != 0
     assert "injected shard failure" in outs[0][1]

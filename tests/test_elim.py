@@ -222,10 +222,13 @@ def test_eliminate_single_pixels_honours_min_seg_id():
                           maxSegId=int(segA.max()), fourConnected=True)
     eliminateSinglePixels(img, segB, sizeB, minSegId=3,
                           maxSegId=int(segB.max()), fourConnected=True)
-    # base-1 relabel compacts below ID 3; base-3 must keep IDs 1..3
-    # un-compacted exactly as the reference's relabelSegments does
-    subA = segA[segB >= 3]
-    subB = segB[segB >= 3]
-    assert (subB >= subA).all()
+    # for this seed, segment IDs 1 and 2 are single pixels that merge
+    # away: base-1 relabel compacts them out, base-3 must NOT (the
+    # reference's relabelSegments only counts unused IDs >= minSegId) —
+    # so the outputs must genuinely differ, with base-3 labels strictly
+    # larger somewhere and a higher max ID
+    assert (segA != segB).any()
+    assert int(segB.max()) == int(segA.max()) + 2
+    assert (segB[segB >= 3] >= segA[segB >= 3]).all()
     # merged pixel geometry identical; only labels differ
     assert ((segA == 0) == (segB == 0)).all()

@@ -117,7 +117,7 @@ def test_fargate_reports_container_exit_code(monkeypatch, capsys):
     mgr.startWorkers()
     mgr.shutdown()
     err = capsys.readouterr().err
-    assert "exited with 3" in err.replace("\n", " ") or "3" in err
+    assert "exited with 3" in err.replace("\n", " ")
 
 
 def test_fargate_log_group_wiring(monkeypatch):

@@ -100,7 +100,9 @@ def test_subset_with_mask(tmp_path, seg_with_rat, rng):
                        maskImage=maskpath)
     outseg = rio.open(outpath).GetRasterBand(1).ReadAsArray()
     assert (outseg[mask == 0] == 0).all()
-    assert (outseg[mask == 1] > 0).sum() > 0
+    # the window holds no null source pixels, so EVERY masked-in pixel
+    # must come out labelled
+    assert (outseg[mask == 1] > 0).all()
 
 
 def test_subset_out_of_bounds(tmp_path, seg_with_rat):

@@ -123,10 +123,21 @@ def test_tiled_serial(serial_case):
 def test_tiled_with_nodata(paths, rng):
     inpath, outpath = paths
     img, true_seg = make_voronoi_raster(inpath, rng, nodata=0)
+    # punch an actual hole so nodata handling is exercised, not just the
+    # metadata read (the palette never produces 0 on its own)
+    ds_in = rio.open(inpath, rio.GA_Update)
+    for b in range(1, ds_in.RasterCount + 1):
+        band = ds_in.GetRasterBand(b)
+        arr = band.ReadAsArray()
+        arr[40:60, 50:80] = 0
+        band.WriteArray(arr)
+    ds_in.FlushCache()
     res = run_tiled(inpath, outpath, imgNullVal=None)  # read from file
     ds = rio.open(outpath)
     seg = ds.GetRasterBand(1).ReadAsArray()
     assert seg.max() == res.maxSegId
+    assert (seg[40:60, 50:80] == shepseg.SEGNULLVAL).all()
+    assert (seg[:40, :] != shepseg.SEGNULLVAL).all()
 
 
 def test_simple_tile_recode(paths, rng):
@@ -210,7 +221,7 @@ def test_three_phase_api_matches_monolithic(serial_case, tmp_path):
         fn = str(tmp_path / f"tile_{col}_{row}.npseg")
         tiling.doTiledShepherdSegmentation_doOne(
             inDs, fn, tileInfo, col, row, bandNumbers, imgNullVal,
-            kmeansObj, minSegmentSize=10)
+            kmeansObj, minSegmentSize=10, maxSpectralDiff=30.0)
         tileFilenames[(col, row)] = fn
 
     out3 = str(tmp_path / "out3.npseg")
