@@ -15,7 +15,7 @@ A single-host test drive:
 
 import argparse
 
-from pyshepseg_tpu import tiling
+from pyshepseg_tpu import tiling, utils
 from pyshepseg_tpu.parallel.dcn import (
     doTiledShepherdSegmentationDistributed)
 
@@ -70,6 +70,7 @@ def getCmdargs():
 
 def mainCmd():
     args = getCmdargs()
+    utils.honourJaxPlatformsEnv()
     bandNumbers = None
     if args.bands is not None:
         bandNumbers = [int(b) for b in args.bands.split(",")]

@@ -85,6 +85,7 @@ def getCmdargs():
 
 def mainCmd():
     cmdargs = getCmdargs()
+    utils.honourJaxPlatformsEnv()
 
     t0 = time.time()
     print("Reading ... ", end='')

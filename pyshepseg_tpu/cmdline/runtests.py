@@ -229,12 +229,7 @@ def checkSubset(outsegfile, subset_segfile):
 
 def mainCmd():
     cmdargs = getCmdargs()
-    # Some site customizations (e.g. accelerator tunnels) override the
-    # JAX_PLATFORMS env var; honour the caller's intent through the
-    # config API, which wins (same pattern as __graft_entry__).
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    utils.honourJaxPlatformsEnv()
     # The axon tunnel can wedge a fresh process's first device dispatch;
     # wait out such a phase before generating the scene (only probes
     # when a non-CPU backend is configured — tests on the CPU mesh skip

@@ -19,7 +19,7 @@ from pyshepseg_tpu import shepseg
 from pyshepseg_tpu import io as rio
 from pyshepseg_tpu.tiling import NetworkDataChannel
 from pyshepseg_tpu.timinghooks import Timers
-from pyshepseg_tpu.utils import WorkerErrorRecord
+from pyshepseg_tpu.utils import WorkerErrorRecord, honourJaxPlatformsEnv
 
 
 def getCmdargs():
@@ -34,6 +34,7 @@ def getCmdargs():
 
 def mainCmd():
     cmdargs = getCmdargs()
+    honourJaxPlatformsEnv()
     if cmdargs.channaddrfile is not None:
         addrStr = open(cmdargs.channaddrfile).readline().strip()
     else:

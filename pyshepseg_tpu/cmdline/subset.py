@@ -7,7 +7,7 @@ grid-alignment checks for the mask case.
 import math
 import argparse
 
-from pyshepseg_tpu import subset, tilingstats
+from pyshepseg_tpu import subset, tilingstats, utils
 from pyshepseg_tpu import io as rio
 
 DFLT_OUTPUT_DRIVER = 'KEA'
@@ -98,6 +98,7 @@ def getExtentOfMaskForInfile(infile, maskfile):
 
 def mainCmd():
     cmdargs = getCmdargs()
+    utils.honourJaxPlatformsEnv()
 
     if cmdargs.srcwin is not None:
         tlx, tly, xsize, ysize = cmdargs.srcwin

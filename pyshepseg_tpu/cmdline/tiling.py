@@ -90,6 +90,12 @@ def getCmdargs():
     statsGroup.add_argument("--statsreadworkers", type=int, default=None,
         help="Read+compact worker threads for the stats pass "
              "(default: min(4, cpu_count - 1))")
+    statsGroup.add_argument("--statsengine", default="auto",
+        choices=["auto", "host", "device"],
+        help="Where the stats pass compacts each tile's (segment, value) "
+             "pairs into histogram runs: 'host' (numpy), 'device' (TPU "
+             "two-key sort + run-length scatter, bit-identical columns), "
+             "or 'auto' to pick per-environment (default=%(default)s)")
     statsGroup.add_argument("--colortablebands",
         help="Comma-separated list of 3 band numbers (red,green,blue) "
              "whose per-segment means colour the segments")
@@ -169,6 +175,7 @@ def getCmdargs():
 
 def mainCmd():
     cmdargs = getCmdargs()
+    utils.honourJaxPlatformsEnv()
 
     creationOptions = GDAL_DRIVER_CREATION_OPTIONS.get(cmdargs.format, [])
 
@@ -247,7 +254,8 @@ def doPerSegmentStats(cmdargs):
     if statsSelectionList:
         rtn = tilingstats.calcPerSegmentStatsTiledMultiBand(
             cmdargs.infile, cmdargs.statsbands, cmdargs.outfile,
-            statsSelectionList, numReadWorkers=cmdargs.statsreadworkers)
+            statsSelectionList, numReadWorkers=cmdargs.statsreadworkers,
+            engine=cmdargs.statsengine)
 
         if cmdargs.verbose:
             print(utils.formatTimingRpt(rtn.timings.makeSummaryDict())

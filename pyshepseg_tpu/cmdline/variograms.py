@@ -5,7 +5,7 @@ function (reference: pyshepseg/cmdline/variograms.py).
 
 import argparse
 
-from pyshepseg_tpu import tilingstats
+from pyshepseg_tpu import tilingstats, utils
 from pyshepseg_tpu import io as rio
 
 
@@ -24,6 +24,7 @@ def getCmdargs():
 
 def mainCmd():
     cmdargs = getCmdargs()
+    utils.honourJaxPlatformsEnv()
     cols = [("variogram{}".format(n + 1), rio.GFT_Real)
             for n in range(cmdargs.numvariograms)]
     tilingstats.calcPerSegmentSpatialStatsTiled(

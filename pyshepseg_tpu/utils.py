@@ -6,6 +6,7 @@ driver abstraction in :mod:`pyshepseg_tpu.io`, so these work with both
 GDAL datasets and numpy-driver datasets.
 """
 
+import os
 import sys
 import inspect
 import traceback
@@ -64,6 +65,22 @@ def compilationCacheBypassOnAxon():
             yield
         finally:
             jax.config.update("jax_compilation_cache_dir", cacheDir)
+
+
+def honourJaxPlatformsEnv():
+    """
+    Pin the platform named by the JAX_PLATFORMS env var through the
+    config API. Site customizations (e.g. accelerator tunnel plugins)
+    can override the env var at import time, so a CPU-intended process
+    would otherwise register — and possibly wedge on — the accelerator
+    backend it is deliberately avoiding; the config API wins over both.
+    Call before the first jax dispatch (every console script does).
+    No-op when the variable is unset.
+    """
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        import jax
+        jax.config.update("jax_platforms", p)
 
 
 # Honour a JAX_PLATFORMS request through the config API inside the
