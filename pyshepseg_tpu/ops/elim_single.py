@@ -95,10 +95,39 @@ def _distance_fields(planes, offsets):
     return d2s
 
 
+def _singleton_masks_from_image(seg, four_connected: bool):
+    """
+    The initial ``single`` (my segment has exactly 1 pixel) and ``nbr_ok``
+    (my segment has size > 1) masks derived WITHOUT a segment-size
+    histogram or a full-image gather, purely from neighbour shifts:
+    a pixel of a labelled CONNECTED component has component size > 1 iff
+    some connectivity neighbour carries the same label. Valid only when
+    every non-null label is one connected component under the same
+    connectivity (true for clump output — the fused pipelines' case).
+
+    The null "segment" (label 0) is NOT a connected component — its size
+    is the global null-pixel count, handled via one cheap reduction so
+    the reference's quirk semantics hold exactly (a size>1 null segment
+    IS an eligible merge target, and a lone null pixel IS a singleton —
+    reference shepseg.py:726 checks segSize without a null test).
+    """
+    pad = jnp.uint32(0xFFFFFFFF)   # matches no real label
+    has_same = None
+    for dy, dx in offsets_for(four_connected):
+        same = shift(seg, dy, dx, pad) == seg
+        has_same = same if has_same is None else (has_same | same)
+    is_null = seg == jnp.uint32(0)
+    null_count = jnp.sum(is_null.astype(jnp.uint32))
+    single = jnp.where(is_null, null_count == 1, ~has_same)
+    nbr_ok = jnp.where(is_null, null_count > 1, has_same)
+    return single, nbr_ok
+
+
 def eliminate_single_pixels_device(img_f, seg, seg_size,
                                    four_connected: bool,
                                    return_sizes: bool = False,
-                                   do_relabel: bool = True):
+                                   do_relabel: bool = True,
+                                   capacity: int = None):
     """
     Device: run merge passes to fixpoint, then relabel to contiguous IDs
     (the reference's eliminateSinglePixels driver, shepseg.py:572-615).
@@ -117,6 +146,12 @@ def eliminate_single_pixels_device(img_f, seg, seg_size,
     preserved under monotone maps), empty segments are never candidates
     nor targets, and its own final relabel composes to the identical
     contiguous result.
+
+    ``seg_size=None`` (fused pipelines): derive the initial masks from
+    neighbour shifts instead of a size histogram + full-image gather —
+    sound when ``seg`` is clump output (every label one connected
+    component; see _singleton_masks_from_image). ``capacity`` must then
+    be given when sizes are needed for the relabel/return.
     """
     planes = band_planes(img_f)
     offsets = offsets_for(four_connected)
@@ -130,9 +165,13 @@ def eliminate_single_pixels_device(img_f, seg, seg_size,
     else:
         d2s = None
 
-    sizes_at = seg_size[seg.astype(jnp.int32)]  # the only full-size gather
-    single0 = sizes_at == 1
-    nbr_ok0 = sizes_at > 1
+    if seg_size is None:
+        single0, nbr_ok0 = _singleton_masks_from_image(seg, four_connected)
+    else:
+        capacity = seg_size.shape[0]
+        sizes_at = seg_size[seg.astype(jnp.int32)]  # full-size gather
+        single0 = sizes_at == 1
+        nbr_ok0 = sizes_at > 1
 
     def cond(carry):
         return carry[4] > 0
@@ -148,7 +187,8 @@ def eliminate_single_pixels_device(img_f, seg, seg_size,
     seg, _, _, total, _ = jax.lax.while_loop(
         cond, body, (seg, single0, nbr_ok0, jnp.uint32(0), jnp.uint32(1)))
 
-    capacity = seg_size.shape[0]
+    if not (do_relabel or return_sizes):
+        return seg, total
     seg_size = seg_sizes(seg, capacity)
     if do_relabel:
         sub = relabel_subtract(seg_size, MINSEGID)
@@ -170,7 +210,8 @@ def eliminate_single_pixels_device(img_f, seg, seg_size,
 
 _elim_single_jit = jax.jit(
     eliminate_single_pixels_device,
-    static_argnames=("four_connected", "return_sizes", "do_relabel"))
+    static_argnames=("four_connected", "return_sizes", "do_relabel",
+                     "capacity"))
 
 
 def eliminateSinglePixels(img, seg, segSize, minSegId=MINSEGID,

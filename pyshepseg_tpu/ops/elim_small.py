@@ -119,14 +119,24 @@ def edge_sort_keys(seg, four_connected: bool):
 _edge_sort_jit = jax.jit(edge_sort_keys, static_argnames=("four_connected",))
 
 
-def compact_edges(a, b, first, e_cap: int):
+def compact_edges(a, b, first, e_cap: int, id_bound: int = None):
     """
     Device: scatter the flagged unique pairs into fixed-size (e_cap,)
     endpoint arrays (undirected, canonical lo/hi order). Unused slots are
     (0, 0), which the pass masks out via the null-segment check.
+
+    ``id_bound`` (static, optional): a bound on the endpoint IDs. When
+    it fits 16 bits the two endpoints pack into ONE uint32 scatter
+    instead of two — the scatter runs over the full-size sorted arrays
+    (O(H*W) elements), so halving it saves real milliseconds per tile.
     """
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1
     pos = jnp.where(first, pos, e_cap)  # dump non-unique past the end
+    if id_bound is not None and id_bound <= (1 << 16):
+        packed = (a << 16) | (b & jnp.uint32(0xFFFF))
+        keys = jnp.zeros(e_cap + 1, jnp.uint32).at[pos].set(
+            packed, mode="drop")[:e_cap]
+        return keys >> 16, keys & jnp.uint32(0xFFFF)
     ea = jnp.zeros(e_cap + 1, jnp.uint32).at[pos].set(
         a, mode="drop").astype(jnp.uint32)[:e_cap]
     eb = jnp.zeros(e_cap + 1, jnp.uint32).at[pos].set(
@@ -134,60 +144,74 @@ def compact_edges(a, b, first, e_cap: int):
     return ea, eb
 
 
-def _merge_pass_edges(ea, eb, remap, seg_size, spect_bm, target,
+def _merge_pass_edges(ids2, remap, seg_size, spect_bm, target,
                       max_diff_sqr):
     """
     One find+apply pass for segments of exactly ``target`` pixels, on the
-    segment-adjacency graph. ea/eb are ORIGINAL ids; remap maps original
-    id -> current id. Mirrors reference findMergeSegment + doMerge
-    (shepseg.py:1003-1123) semantics on frozen per-pass state.
+    segment-adjacency graph. ``ids2`` is the pre-concatenated (2E,)
+    ORIGINAL endpoint vector [ea | eb] (hoisted out of the loop by the
+    caller); remap maps original id -> current id. Mirrors reference
+    findMergeSegment + doMerge (shepseg.py:1003-1123) semantics on frozen
+    per-pass state.
 
-    ``spect_bm`` is BAND-MAJOR (nBands, capacity): the per-edge mean
-    gathers then read 1D rows with the big dim minor. The band-minor
-    (capacity, nBands) form pads the 4-wide minor dim to 128 lanes, so
-    every row gather streams 32x the bytes — measured ~1 ms/pass extra
-    at 16k edges, dominating the whole elimination loop.
+    Gather economy is the whole game here (each pass runs ~40+ times per
+    tile and a gather's fixed cost dominates at these sizes — measured):
+
+    - ONE (2E,) gather maps both endpoints through remap;
+    - ONE stacked gather reads size + every band sum for both endpoints:
+      the per-segment state is stacked as a (nBands+1, capacity) table
+      (big dim minor, lane-friendly) and gathered along the minor axis —
+      a multi-row gather costs the same as a single-row one (measured:
+      2.9 vs 2.7 ms at 16K indices for 8 rows vs 1);
+    - ONE more (2E,) gather reads back the per-segment best distance.
+
+    Sizes ride the float32 table: candidacy (size == target) stays exact
+    for ANY size (an integer < 2^24 is exactly representable; one >= 2^24
+    can never round to a small target), and the strictly-larger test
+    compares a candidate's exact small size with a neighbour whose
+    rounded size only moves toward other >= 2^24 values. The mean
+    arithmetic (sum / size in float32) is bit-identical to before.
     """
     capacity = seg_size.shape[0]
+    E2 = ids2.shape[0]
+    E = E2 // 2
     inf = jnp.float32(jnp.inf)
     big_id = jnp.uint32(0xFFFFFFFF)
     ids = jnp.arange(capacity, dtype=jnp.uint32)
 
     is_cand = (seg_size == target) & (ids >= MINSEGID)
+    ftarget = target.astype(jnp.float32)
 
-    # Undirected edges: distances, sizes, and candidacy gathered ONCE per
-    # pair, then mirrored into both directions by concatenation (a given
-    # pair's d2 is direction-independent).
-    cur_a = remap[ea.astype(jnp.int32)].astype(jnp.int32)   # (E,)
-    cur_b = remap[eb.astype(jnp.int32)].astype(jnp.int32)
+    cur2 = remap[ids2].astype(jnp.int32)                # (2E,) gather #1
+    cur_a, cur_b = cur2[:E], cur2[E:]
     live = (cur_a != cur_b) & (cur_a != SEGNULLVAL) & (cur_b != SEGNULLVAL)
-    size_a = seg_size[cur_a]
-    size_b = seg_size[cur_b]
-    # candidacy re-derived from the sizes already gathered (saves two
-    # more E-sized gathers: is_cand[cur] == (size == target) & (id >= 1))
-    cand_a = (size_a == target) & (cur_a >= MINSEGID)
-    cand_b = (size_b == target) & (cur_b >= MINSEGID)
+
+    # Stacked per-segment state table: row 0 = size (f32), rows 1.. =
+    # band sums. One gather serves every per-endpoint read.
+    table = jnp.stack((seg_size.astype(jnp.float32),) + spect_bm)
+    g2 = table[:, cur2]                                 # gather #2
+    size2 = g2[0]
+    size_a, size_b = size2[:E], size2[E:]
+    cand_a = (size_a == ftarget) & (cur_a >= MINSEGID)
+    cand_b = (size_b == ftarget) & (cur_b >= MINSEGID)
     # division (not reciprocal-multiply) keeps the arithmetic identical
-    # to the band-minor mean = sum/size formulation
-    fsize_a = jnp.maximum(size_a, 1).astype(jnp.float32)
-    fsize_b = jnp.maximum(size_b, 1).astype(jnp.float32)
-    d2u = jnp.zeros(cur_a.shape, jnp.float32)
-    for band_sum in spect_bm:                        # static nBands loop
-        diff = band_sum[cur_a] / fsize_a - band_sum[cur_b] / fsize_b
-        d2u = d2u + diff * diff
+    # to the original mean = sum/size formulation
+    fsize2 = jnp.maximum(size2, 1.0)
+    means = g2[1:] / fsize2                             # (nBands, 2E)
+    diff = means[:, :E] - means[:, E:]
+    d2u = jnp.sum(diff * diff, axis=0)
 
     ok_ab = live & cand_a & (size_b > size_a)        # a merges into b
     ok_ba = live & cand_b & (size_a > size_b)        # b merges into a
     d2 = jnp.concatenate([jnp.where(ok_ab, d2u, inf),
                           jnp.where(ok_ba, d2u, inf)])
-    src = jnp.concatenate([cur_a, cur_b])
     nbr = jnp.concatenate([
         jnp.where(ok_ab, cur_b.astype(jnp.uint32), big_id),
         jnp.where(ok_ba, cur_a.astype(jnp.uint32), big_id)])
 
-    d_best = jax.ops.segment_min(d2, src, num_segments=capacity)
-    nb_hit = jnp.where(d2 == d_best[src], nbr, big_id)
-    best_nbr = jax.ops.segment_min(nb_hit, src, num_segments=capacity)
+    d_best = jax.ops.segment_min(d2, cur2, num_segments=capacity)
+    nb_hit = jnp.where(d2 == d_best[cur2], nbr, big_id)  # gather #3
+    best_nbr = jax.ops.segment_min(nb_hit, cur2, num_segments=capacity)
 
     # Spectral-difference limit (reference: shepseg.py:1060-1061, strict >)
     merge_to = jnp.where(
@@ -204,14 +228,15 @@ def _merge_pass_edges(ea, eb, remap, seg_size, spect_bm, target,
     inc_size = jax.ops.segment_sum(moved_size, tgt, num_segments=capacity)
     seg_size_new = seg_size - moved_size + inc_size
 
-    spect_bm_new = []
-    for band_sum in spect_bm:
-        moved = jnp.where(move, band_sum, 0.0)
-        inc = jax.ops.segment_sum(moved, tgt, num_segments=capacity)
-        spect_bm_new.append(band_sum - moved + inc)
+    # one multi-channel capacity-sized scatter updates every band sum
+    moved_bm = jnp.where(move[None, :], jnp.stack(spect_bm), 0.0)
+    inc_bm = jax.ops.segment_sum(moved_bm.T, tgt,
+                                 num_segments=capacity).T
+    spect_stack = jnp.stack(spect_bm) - moved_bm + inc_bm
+    spect_bm_new = tuple(spect_stack[i] for i in range(len(spect_bm)))
 
     n_merged = move.sum().astype(jnp.uint32)
-    return remap_new, seg_size_new, tuple(spect_bm_new), n_merged
+    return remap_new, seg_size_new, spect_bm_new, n_merged
 
 
 def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
@@ -242,6 +267,8 @@ def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
     # band-major tuple of (capacity,) vectors for lane-friendly gathers
     # in the pass (see _merge_pass_edges)
     spect_bm = tuple(spect_sum[:, i] for i in range(spect_sum.shape[1]))
+    # both endpoint vectors concatenated ONCE, outside every pass
+    ids2 = jnp.concatenate([ea, eb]).astype(jnp.int32)
 
     def count_at(seg_size, target):
         return jnp.count_nonzero(seg_size == target).astype(jnp.int32)
@@ -257,7 +284,7 @@ def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
         def body(c):
             remap_c, size_c, spect_c, count, prev, passes, elim = c
             remap_n, size_n, spect_n, n = _merge_pass_edges(
-                ea, eb, remap_c, size_c, spect_c, target_u, max_diff_sqr)
+                ids2, remap_c, size_c, spect_c, target_u, max_diff_sqr)
             return (remap_n, size_n, spect_n, count_at(size_n, target_u),
                     count, passes + 1, elim + n)
 
@@ -311,7 +338,7 @@ def eliminate_small_segments_device(seg, seg_size, spect_sum,
                 jnp.bool_(False))
     a, b, first, n_unique = edge_sort_keys(seg, four_connected)
     overflow = n_unique > jnp.uint32(e_cap)
-    ea, eb = compact_edges(a, b, first, e_cap)
+    ea, eb = compact_edges(a, b, first, e_cap, id_bound=capacity)
     remap, seg_size_out, num_elim, _ = eliminate_small_segments_graph(
         ea, eb, seg_size, spect_sum, min_seg_size, max_spectral_diff)
     seg = _remap_and_relabel(seg, remap, seg_size_out)
@@ -331,7 +358,8 @@ def _elim_small_from_sorted(seg, a, b, first, seg_size, spect_sum,
     keys — the host API measures n_unique with the same sort, so reusing
     its output avoids paying the dominant full-image sort twice.
     """
-    ea, eb = compact_edges(a, b, first, e_cap)
+    ea, eb = compact_edges(a, b, first, e_cap,
+                           id_bound=seg_size.shape[0])
     remap, seg_size_out, num_elim, _ = eliminate_small_segments_graph(
         ea, eb, seg_size, spect_sum, min_seg_size, max_spectral_diff)
     seg = _remap_and_relabel(seg, remap, seg_size_out)

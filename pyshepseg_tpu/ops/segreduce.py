@@ -66,6 +66,32 @@ def seg_spectral_sums_planes(seg, band_planes, capacity: int):
     return jax.ops.segment_sum(vals, flat_seg, num_segments=capacity)
 
 
+def seg_sizes_and_spectral_sums_planes(seg, band_planes, capacity: int):
+    """
+    Device: per-segment pixel counts AND per-band sums in ONE scatter.
+
+    The count rides as an extra all-ones channel of the multi-channel
+    segment_sum, halving the big O(H*W) scatter traffic vs separate
+    seg_sizes + seg_spectral_sums_planes calls. Safe only while counts
+    stay exactly representable in float32 (pixels < 2^24); larger tiles
+    fall back to the two-scatter form. The per-band accumulation order
+    is identical to seg_spectral_sums_planes (same index sequence,
+    channels independent), so the sums are bit-identical.
+
+    Returns (sizes uint32 (capacity,), spect float32 (capacity, nBands)).
+    """
+    flat_seg = seg.ravel().astype(jnp.int32)
+    n = flat_seg.shape[0]
+    if n >= (1 << 24):
+        return (seg_sizes(seg, capacity),
+                seg_spectral_sums_planes(seg, band_planes, capacity))
+    vals = jnp.stack([jnp.ones(n, jnp.float32)] +
+                     [p.ravel().astype(jnp.float32) for p in band_planes],
+                     axis=1)                           # (N, nBands+1)
+    out = jax.ops.segment_sum(vals, flat_seg, num_segments=capacity)
+    return out[:, 0].astype(jnp.uint32), out[:, 1:]
+
+
 def relabel_subtract(seg_size, min_seg_id: int = MINSEGID):
     """
     Device: per-ID decrement making labels contiguous. For each ID k, the

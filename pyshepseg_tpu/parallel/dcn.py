@@ -153,6 +153,7 @@ def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
         groups.setdefault((ysize, xsize), []).append(colRow)
 
     for members in groups.values():
+        specBuckets = None   # capacity buckets are per tile shape
         for startNdx in range(0, len(members), chunkSize):
             chunk = members[startNdx:startNdx + chunkSize]
             with timings.interval('reading'):
@@ -168,9 +169,9 @@ def _segmentTileShard(ctx, inDs, tileInfo, myTiles, bandNumbers,
                 batch = np.stack(imgs)
             with timings.interval('segmentation'):
                 batch_j = jax.device_put(batch, sharding)
-                segs = segment_tile_batch(
+                segs, specBuckets = segment_tile_batch(
                     batch_j, centers, nullVal, maxDiff, minSegmentSize,
-                    fourConnected, hasNull)
+                    fourConnected, hasNull, specBuckets=specBuckets)
             for i, colRow in enumerate(chunk):
                 writeTile(colRow, segs[i])
     return filenames

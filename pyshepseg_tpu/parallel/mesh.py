@@ -29,21 +29,40 @@ from ..ops.elim_small import round_capacity
 
 
 def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
-                       fourConnected, hasNull, segCapacity=None):
+                       fourConnected, hasNull, segCapacity=None,
+                       specBuckets=None):
     """
-    Segment one sharded batch of tiles: cluster+clump+edges dispatch,
-    ONE batch-wide scalar sync to bucket the segment capacity (max clump
-    count) and the edge capacity (max measured clump-adjacency count — a
-    contraction bound), then the FUSED elimination dispatch. Any tile
-    tripping the edge-overflow flag re-runs the batch through the
-    measured-post-elimination phase1/phase2 pair. Returns the segmented
-    batch as numpy uint32 (B, H, W).
+    Segment one sharded batch of tiles. Steady state (``specBuckets``
+    from an earlier batch of this scene): the whole batch runs as ONE
+    speculative fused program with NO host sync beyond the result fetch
+    (parallel.pipeline.segment_tiles_one_shot); a tripped overflow flag
+    discards it and re-runs the measured flow. First batch (or after an
+    overflow): cluster+clump+edges dispatch, ONE batch-wide scalar sync
+    to bucket the segment capacity (max clump count) and the edge
+    capacity (max measured clump-adjacency count — a contraction bound),
+    then the FUSED elimination dispatch.
+
+    Returns (segs numpy (B, H, W), buckets) where ``buckets`` is the
+    (capacity, eCap) pair to speculate with next batch.
 
     Shared by the CONC_MESH backend and the per-host shard path of the
     DCN backend.
     """
-    from .pipeline import cluster_clump_edges_tiles
+    from .pipeline import (cluster_clump_edges_tiles,
+                           segment_tiles_one_shot)
     from .. import shepseg as _shepseg
+
+    if specBuckets is not None:
+        capacity, eCap = specBuckets
+        segsS, scalars = segment_tiles_one_shot(
+            batch_j, centers, nullVal, maxDiff,
+            min_seg_size=minSegmentSize, four_connected=fourConnected,
+            has_null=hasNull, capacity=capacity, e_cap=eCap)
+        scalars = np.asarray(scalars)
+        if not scalars[:, 7].any():
+            buckets = (round_capacity(int(scalars[:, 0].max()) + 1),
+                       _shepseg._edgeCapForCount(int(scalars[:, 1].max())))
+            return np.asarray(segsS), buckets
 
     segs, a, b, first, sc0 = cluster_clump_edges_tiles(
         batch_j, centers, nullVal,
@@ -51,13 +70,14 @@ def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
     sc0 = np.asarray(sc0)
     capacity = segCapacity or round_capacity(int(sc0[:, 0].max()) + 1)
     eCap = _shepseg._edgeCapForCount(int(sc0[:, 1].max()))
+    buckets = (capacity, eCap)
     segsF, scalars = eliminate_tiles_fused(
         batch_j, segs, a, b, first, maxDiff,
         min_seg_size=minSegmentSize,
         four_connected=fourConnected, capacity=capacity, e_cap=eCap)
     scalars = np.asarray(scalars)
     if not scalars[:, 2].any():
-        return np.asarray(segsF)
+        return np.asarray(segsF), buckets
     # fallback: measured edge capacity (adjacency beyond the planarity
     # bound — not possible for true grid adjacency, but stay safe)
     segs2, sizes, spects, ea, eb, first, sc1 = eliminate_tiles_phase1(
@@ -66,7 +86,7 @@ def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
     segs2, _ = eliminate_tiles_phase2(
         segs2, sizes, spects, ea, eb, first, maxDiff,
         min_seg_size=minSegmentSize, e_cap=eCap)
-    return np.asarray(segs2)
+    return np.asarray(segs2), (capacity, eCap)
 
 
 class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
@@ -135,6 +155,7 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
 
         for (ysize, xsize), members in groups.items():
             sharding = NamedSharding(mesh, P("data"))
+            specBuckets = None   # capacity buckets are per tile shape
 
             for start in range(0, len(members), chunkSize):
                 chunk = members[start:start + chunkSize]
@@ -158,15 +179,15 @@ class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):
                              else np.stack(imgs))
 
                 with self.timings.interval('segmentation'):
-                    # Two dispatches with ONE batch-wide scalar sync
-                    # (segment capacity from the max clump count; edge
-                    # capacity from the planarity bound) — every sync is
-                    # a full host round trip with the device idle.
+                    # First batch: two dispatches + ONE batch-wide
+                    # capacity sync. Every later batch of the scene:
+                    # ONE speculative fused program with the learned
+                    # buckets and NO sync beyond the result fetch.
                     batch_j = jax.device_put(batch, sharding)
-                    segs = segment_tile_batch(
+                    segs, specBuckets = segment_tile_batch(
                         batch_j, centers, nullVal, maxDiff,
                         self.minSegmentSize, self.fourConnected, hasNull,
-                        self.segCapacity)
+                        self.segCapacity, specBuckets=specBuckets)
 
                 for i, (col, row) in enumerate(chunk):
                     filename = os.path.join(

@@ -22,8 +22,7 @@ import jax.numpy as jnp
 from ..ops.constants import SEGNULLVAL
 from ..ops.kmeans import assign_clusters  # noqa: F401  (re-export)
 from ..ops.clump import clump_labels
-from ..ops.segreduce import (seg_sizes, seg_spectral_sums_planes,
-                             band_planes)
+from ..ops.segreduce import seg_spectral_sums_planes, band_planes
 from ..ops.elim_single import eliminate_single_pixels_device
 from ..ops.elim_small import eliminate_small_segments_device, round_capacity
 
@@ -53,9 +52,9 @@ def segment_tile(img_f, centers, img_null_val, max_spectral_diff,
                              four_connected=four_connected)
     # per-band planes: avoids band-minor layout copies on large tiles
     planes = band_planes(img_f.astype(jnp.float32))
-    size = seg_sizes(seg, capacity)
     seg, _, size = eliminate_single_pixels_device(
-        planes, seg, size, four_connected, return_sizes=True)
+        planes, seg, None, four_connected, return_sizes=True,
+        capacity=capacity)
     spect = seg_spectral_sums_planes(seg, planes, capacity)
     # e_cap at the hard bound on unique adjacencies (one per adjacent
     # pixel pair: 2*H*W for 4-conn, 4*H*W for 8-conn) can NEVER overflow,
@@ -174,12 +173,12 @@ def eliminate_tiles_phase1(imgs, segs, four_connected: bool,
         planes = band_planes(img.astype(jnp.float32))
         from ..ops.elim_small import edge_sort_keys
         from ..ops.constants import MINSEGID
-        size = seg_sizes(seg, capacity)
-        seg, _, size = eliminate_single_pixels_device(
-            planes, seg, size, four_connected,
-            return_sizes=True, do_relabel=False)
+        from ..ops.segreduce import seg_sizes_and_spectral_sums_planes
+        seg, _ = eliminate_single_pixels_device(
+            planes, seg, None, four_connected, do_relabel=False)
+        size, spect = seg_sizes_and_spectral_sums_planes(
+            seg, planes, capacity)
         n_after = jnp.count_nonzero(size[MINSEGID:]).astype(jnp.uint32)
-        spect = seg_spectral_sums_planes(seg, planes, capacity)
         a, b, first, n_unique = edge_sort_keys(seg, four_connected)
         return (seg, size, spect, a, b, first,
                 jnp.stack([n_after, n_unique.astype(jnp.uint32)]))
@@ -189,7 +188,12 @@ def eliminate_tiles_phase1(imgs, segs, four_connected: bool,
 
 @functools.partial(
     jax.jit, static_argnames=("min_seg_size", "four_connected",
-                              "capacity", "e_cap"))
+                              "capacity", "e_cap"),
+    # the sorted edge-key buffers (O(H*W) each, per tile) die here —
+    # donating them caps the batch's HBM peak (the tilesPerDevice=8
+    # regression of round 2); imgs/segs stay: the overflow fallback
+    # re-runs from them
+    donate_argnums=(2, 3, 4))
 def eliminate_tiles_fused(imgs, segs, a, b, first, max_spectral_diff,
                           min_seg_size: int, four_connected: bool,
                           capacity: int, e_cap: int):
@@ -208,18 +212,18 @@ def eliminate_tiles_fused(imgs, segs, a, b, first, max_spectral_diff,
                                   _remap_and_relabel)
 
     def one(img, seg, aa, bb, ff):
+        from ..ops.segreduce import seg_sizes_and_spectral_sums_planes
         planes = band_planes(img.astype(jnp.float32))
         seg_clump = seg
-        size = seg_sizes(seg, capacity)
-        seg, _, size = eliminate_single_pixels_device(
-            planes, seg, size, four_connected,
-            return_sizes=True, do_relabel=False)
-        spect = seg_spectral_sums_planes(seg, planes, capacity)
+        seg, _ = eliminate_single_pixels_device(
+            planes, seg, None, four_connected, do_relabel=False)
+        size, spect = seg_sizes_and_spectral_sums_planes(
+            seg, planes, capacity)
         remap0 = jnp.arange(capacity, dtype=jnp.uint32).at[
             seg_clump.ravel().astype(jnp.int32)].set(seg.ravel())
         n_unique = jnp.sum(ff.astype(jnp.uint32))
         overflow = (n_unique > jnp.uint32(e_cap)).astype(jnp.uint32)
-        ea, eb = compact_edges(aa, bb, ff, e_cap)
+        ea, eb = compact_edges(aa, bb, ff, e_cap, id_bound=capacity)
         remap, size_out, _, passes = eliminate_small_segments_graph(
             ea, eb, size, spect, min_seg_size, max_spectral_diff,
             remap_init=remap0)
@@ -228,6 +232,34 @@ def eliminate_tiles_fused(imgs, segs, a, b, first, max_spectral_diff,
                                passes.astype(jnp.uint32), overflow])
 
     return jax.vmap(one)(imgs, segs, a, b, first)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_seg_size", "four_connected", "has_null",
+                     "capacity", "e_cap"))
+def segment_tiles_one_shot(imgs, centers, img_null_val,
+                           max_spectral_diff, min_seg_size: int,
+                           four_connected: bool, has_null: bool,
+                           capacity: int, e_cap: int):
+    """
+    Batched SPECULATIVE one-shot pipeline: the whole per-tile flow
+    (cluster -> clump -> edges -> eliminations -> relabel) vmapped over
+    a tile batch in ONE program with static capacity buckets learned
+    from an earlier batch of the same scene — no per-batch host sync at
+    all (the mesh backend's steady state). Returns (segs — uint16 when
+    capacity allows, scalars (B, 8) as shepseg._segment_one_shot_device;
+    any overflow flag set => discard and re-run the measured flow).
+    """
+    from ..shepseg import _segment_one_shot_device
+
+    def one(img):
+        return _segment_one_shot_device(
+            img, centers, img_null_val, max_spectral_diff,
+            has_null=has_null, four_connected=four_connected,
+            min_seg_size=min_seg_size, capacity=capacity, e_cap=e_cap)
+
+    return jax.vmap(one)(imgs)
 
 
 @functools.partial(
@@ -245,7 +277,7 @@ def eliminate_tiles_phase2(segs, sizes, spects, a, b, first,
                                   _remap_and_relabel)
 
     def one(seg, size, spect, aa, bb, ff):
-        ea, eb = compact_edges(aa, bb, ff, e_cap)
+        ea, eb = compact_edges(aa, bb, ff, e_cap, id_bound=size.shape[0])
         remap, size_out, _, _ = eliminate_small_segments_graph(
             ea, eb, size, spect, min_seg_size, max_spectral_diff)
         seg = _remap_and_relabel(seg, remap, size_out)

@@ -85,7 +85,10 @@ def test_fused_edge_overflow_falls_back(rng, monkeypatch):
                                      minSegmentSize=5,
                                      maxSpectralDiff=None,
                                      fixedKMeansInit=True)
-    # shrink the edge bucket below the true unique-edge count
+    # shrink the edge bucket below the true unique-edge count; drop the
+    # speculative buckets res1 recorded so the next run takes the
+    # measured path (whose overflow fallback this test exercises)
+    ss._SPEC_BUCKETS.clear()
     monkeypatch.setattr(ss, "_edgeCapForCount", lambda n: 1024)
     calls = []
     orig = ss._elim_single_and_edges_device
@@ -102,6 +105,47 @@ def test_fused_edge_overflow_falls_back(rng, monkeypatch):
     assert len(calls) == 1, "overflow fallback did not run"
     np.testing.assert_array_equal(res1.segimg, res2.segimg)
     assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated
+
+
+def test_one_shot_speculative_matches_measured(rng):
+    """The second run of the same configuration takes the speculative
+    one-dispatch path (no mid-pipeline sync) and must produce output
+    identical to the measured two-dispatch first run, including with
+    null pixels present."""
+    from pyshepseg_tpu import shepseg as ss
+    img = (rng.integers(1, 40, size=(3, 96, 96)) * 8).astype(np.uint16)
+    img[:, :5, :5] = 0   # null margin
+    kwargs = dict(numClusters=8, minSegmentSize=6, maxSpectralDiff=None,
+                  imgNullVal=0, fixedKMeansInit=True)
+    assert not ss._SPEC_BUCKETS
+    res1 = ss.doShepherdSegmentation(img, **kwargs)
+    assert ss._SPEC_BUCKETS, "measured run did not record buckets"
+    res2 = ss.doShepherdSegmentation(img, **kwargs)
+    np.testing.assert_array_equal(res1.segimg, res2.segimg)
+    assert res1.singlePixelsEliminated == res2.singlePixelsEliminated
+    assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated
+    assert res1.elimPasses == res2.elimPasses
+
+
+def test_one_shot_overflow_falls_back_to_measured(rng, monkeypatch):
+    """A speculative bucket too small for the data trips the one-shot
+    overflow flag; the run must transparently fall back to the measured
+    path and still produce the correct result."""
+    from pyshepseg_tpu import shepseg as ss
+    img = (rng.integers(0, 30, size=(3, 128, 128)) * 8).astype(np.uint16)
+    kwargs = dict(numClusters=8, minSegmentSize=5, maxSpectralDiff=None,
+                  fixedKMeansInit=True)
+    res1 = ss.doShepherdSegmentation(img, **kwargs)
+    key = next(iter(ss._SPEC_BUCKETS))
+    # plant a too-small edge bucket: the speckle image has far more than
+    # 1024 unique adjacencies
+    ss._SPEC_BUCKETS[key] = (ss._SPEC_BUCKETS[key][0], 1024)
+    res2 = ss.doShepherdSegmentation(img, **kwargs)
+    np.testing.assert_array_equal(res1.segimg, res2.segimg)
+    assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated
+    # the failed speculation must have been evicted and replaced by the
+    # measured buckets
+    assert ss._SPEC_BUCKETS[key][1] > 1024
 
 
 # ------------------- reference kernel compat layer (sequential host)
