@@ -24,7 +24,7 @@ Public modules (mirroring the reference package layout):
 import os as _os
 
 # Explicit platform pin for worker subprocesses: site customizations (e.g.
-# the axon TPU tunnel) can override the JAX_PLATFORMS environment variable,
+# a remote-TPU tunnel) can override the JAX_PLATFORMS environment variable,
 # so spawned workers that must run on a specific backend (CI, tests) set
 # PYSHEPSEG_TPU_PLATFORM instead — the config API wins over site defaults.
 if _os.environ.get("PYSHEPSEG_TPU_PLATFORM"):

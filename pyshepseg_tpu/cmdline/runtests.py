@@ -78,10 +78,10 @@ def _voronoiOnDevice(centres, nRows, nCols, stripRows=256):
         return jnp.argmin(d, axis=-1).astype(jnp.uint32) + 1
 
     out = numpy.empty((nRows, nCols), dtype=shepseg.SegIdType)
-    # the axon tunnel can stall for minutes LOADING this program's
+    # the remote tunnel can stall for minutes LOADING this program's
     # cached executable (fresh compiles are seconds) — bypass the cache
-    from pyshepseg_tpu.utils import compilationCacheBypassOnAxon
-    with compilationCacheBypassOnAxon():
+    from pyshepseg_tpu._backend_quirks import compilationCacheBypass
+    with compilationCacheBypass():
         for r0 in range(0, nRows, stripRows):
             rows = min(stripRows, nRows - r0)
             out[r0:r0 + rows] = numpy.asarray(strip(jnp.float32(r0), rows))
@@ -230,7 +230,7 @@ def checkSubset(outsegfile, subset_segfile):
 def mainCmd():
     cmdargs = getCmdargs()
     utils.honourJaxPlatformsEnv()
-    # The axon tunnel can wedge a fresh process's first device dispatch;
+    # The remote tunnel can wedge a fresh process's first device dispatch;
     # wait out such a phase before generating the scene (only probes
     # when a non-CPU backend is configured — tests on the CPU mesh skip
     # the subprocess entirely)

@@ -231,14 +231,14 @@ class TPUKMeans:
         self.n_iter_ = None
 
     def fit(self, X):
-        # On the axon tunnel, loading THIS program's cached executable
+        # On the remote tunnel, loading THIS program's cached executable
         # stalls for minutes on first execution while a fresh HLO
         # compile takes ~22 s (the opposite holds for the segmentation
         # programs) — so bypass the persistent cache for the fit's own
         # compiles there (a process-global flip, serialised behind a
         # lock inside the context manager).
-        from ..utils import compilationCacheBypassOnAxon
-        with compilationCacheBypassOnAxon():
+        from .._backend_quirks import compilationCacheBypass
+        with compilationCacheBypass():
             return self._fit(X)
 
     def _fit(self, X):
