@@ -20,6 +20,8 @@ pixels are kept as ordinary runs on device and split out on the host, so
 no per-segment-capacity arrays ever cross the link.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -81,6 +83,37 @@ def _compact_runs(s, v, valid_s, first, runpos, r_cap: int):
 _compact_runs_jit = jax.jit(_compact_runs, static_argnames=("r_cap",))
 
 
+def _finish_runs(sorted_state, imgNullVal, numSeg,
+                 imageValueType=np.int64):
+    """Shared tail: bucket the measured run count, scatter the runs,
+    download, and split out the nodata runs host-side. Returns the
+    compactTile-format tuple or None for an all-null window."""
+    s, v, valid_s, first, runpos, n_runs = sorted_state
+    nRuns = int(n_runs)  # scalar sync picks the run bucket
+    if nRuns == 0:
+        return None
+    rCap = round_capacity(nRuns)
+    run_seg, run_val, run_cnt = _compact_runs_jit(
+        s, v, valid_s, first, runpos, r_cap=rCap)
+
+    runSeg = np.asarray(run_seg)[:nRuns].astype(np.int64)
+    runVal = np.asarray(run_val)[:nRuns].astype(imageValueType)
+    runCnt = np.asarray(run_cnt)[:nRuns].astype(np.int64)
+
+    seen = np.bincount(runSeg, weights=runCnt,
+                       minlength=numSeg).astype(np.int64)[:numSeg]
+    noData = None
+    if imgNullVal is not None:
+        isNull = runVal == imageValueType(imgNullVal)
+        if isNull.any():
+            noData = np.bincount(
+                runSeg[isNull], weights=runCnt[isNull],
+                minlength=numSeg).astype(np.int64)[:numSeg]
+        keep = ~isNull
+        runSeg, runVal, runCnt = runSeg[keep], runVal[keep], runCnt[keep]
+    return (seen, noData, runSeg, runVal, runCnt)
+
+
 def compactTileDevice(tileSegments, tileImageData, imgNullVal, numSeg,
                       imageValueType=np.int64):
     """
@@ -100,19 +133,98 @@ def compactTileDevice(tileSegments, tileImageData, imgNullVal, numSeg,
         seg_flat = np.pad(seg_flat, (0, bucket - n))
         val_flat = np.pad(val_flat, (0, bucket - n))
 
-    s, v, valid_s, first, runpos, n_runs = _sort_pairs(
-        jnp.asarray(seg_flat), jnp.asarray(val_flat))
-    nRuns = int(n_runs)  # scalar sync picks the run bucket
-    if nRuns == 0:
-        return None
-    rCap = round_capacity(nRuns)
-    run_seg, run_val, run_cnt = _compact_runs_jit(
+    state = _sort_pairs(jnp.asarray(seg_flat), jnp.asarray(val_flat))
+    return _finish_runs(state, imgNullVal, numSeg, imageValueType)
+
+
+# ------------------------------------------ scene-resident device feed
+#
+# Per-tile host->device uploads dominate the device engine's cost on any
+# link (and serialize against the compaction). When the whole scene fits
+# HBM, upload the segmentation and the requested bands ONCE and cut each
+# stats window out on device with dynamic_slice — the host then only
+# receives the (small) compacted runs per window.
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bucket"))
+def _sort_pairs_window(segDev, valDev, top, left, h: int, w: int,
+                       bucket: int):
+    """Slice one (h, w) window out of the device-resident scene, flatten,
+    pad to the pixel bucket with null pixels, and sort its pairs."""
+    seg_t = jax.lax.dynamic_slice(segDev, (top, left), (h, w))
+    val_t = jax.lax.dynamic_slice(valDev, (top, left), (h, w))
+    seg_f = jnp.pad(seg_t.ravel().astype(jnp.uint32),
+                    (0, bucket - h * w))
+    val_f = jnp.pad(val_t.ravel().astype(jnp.int32),
+                    (0, bucket - h * w))
+    return _sort_pairs(seg_f, val_f)
+
+
+def compactSceneWindowDevice(segDev, valDev, window, imgNullVal, numSeg,
+                             imageValueType=np.int64):
+    """compactTileDevice, fed from device-resident whole-scene arrays
+    (segDev uint32 (H, W), valDev int32 (H, W)); ``window`` is the stats
+    grid's (xsize, ysize, leftPix, topLine)."""
+    (xsize, ysize, leftPix, topLine) = window
+    bucket = round_capacity(xsize * ysize)
+    state = _sort_pairs_window(segDev, valDev, topLine, leftPix,
+                               h=ysize, w=xsize, bucket=bucket)
+    return _finish_runs(state, imgNullVal, numSeg, imageValueType)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bucket"))
+def _sort_pairs_window_batch(segDev, valsDev, top, left, h: int, w: int,
+                             bucket: int):
+    """Batched window sort over the band axis of a device-resident
+    (nBands, H, W) scene."""
+    seg_t = jax.lax.dynamic_slice(segDev, (top, left), (h, w))
+    seg_f = jnp.pad(seg_t.ravel().astype(jnp.uint32),
+                    (0, bucket - h * w))
+
+    def one(valPlane):
+        val_t = jax.lax.dynamic_slice(valPlane, (top, left), (h, w))
+        val_f = jnp.pad(val_t.ravel().astype(jnp.int32),
+                        (0, bucket - h * w))
+        return _sort_pairs(seg_f, val_f)
+
+    return jax.vmap(one)(valsDev)
+
+
+def compactSceneWindowDeviceMultiBand(segDev, valsDev, window,
+                                      imgNullVals, numSeg,
+                                      imageValueType=np.int64):
+    """Multi-band window compaction from device-resident scene arrays:
+    one vmapped dispatch pair + ONE scalar sync for all bands. Output
+    entries match compactTileDevice exactly."""
+    (xsize, ysize, leftPix, topLine) = window
+    bucket = round_capacity(xsize * ysize)
+    s, v, valid_s, first, runpos, n_runs = _sort_pairs_window_batch(
+        segDev, valsDev, topLine, leftPix,
+        h=ysize, w=xsize, bucket=bucket)
+    nRuns = np.asarray(n_runs)          # one sync for every band
+    nb = valsDev.shape[0]
+    if not nRuns.any():
+        return [None] * nb
+    rCap = round_capacity(int(nRuns.max()))
+    run_seg, run_val, run_cnt = _compact_runs_batch(
         s, v, valid_s, first, runpos, r_cap=rCap)
+    run_seg = np.asarray(run_seg)
+    run_val = np.asarray(run_val)
+    run_cnt = np.asarray(run_cnt)
+    return [_split_band_runs(run_seg[i], run_val[i], run_cnt[i],
+                             int(nRuns[i]), imgNullVals[i], numSeg,
+                             imageValueType)
+            for i in range(nb)]
 
-    runSeg = np.asarray(run_seg)[:nRuns].astype(np.int64)
-    runVal = np.asarray(run_val)[:nRuns].astype(imageValueType)
-    runCnt = np.asarray(run_cnt)[:nRuns].astype(np.int64)
 
+def _split_band_runs(run_seg, run_val, run_cnt, k, imgNullVal, numSeg,
+                     imageValueType):
+    """Host tail for one band of a batched compaction."""
+    if k == 0:
+        return None
+    runSeg = run_seg[:k].astype(np.int64)
+    runVal = run_val[:k].astype(imageValueType)
+    runCnt = run_cnt[:k].astype(np.int64)
     seen = np.bincount(runSeg, weights=runCnt,
                        minlength=numSeg).astype(np.int64)[:numSeg]
     noData = None
@@ -173,28 +285,7 @@ def compactTileDeviceMultiBand(tileSegments, tileImageList, imgNullVals,
     run_seg = np.asarray(run_seg)
     run_val = np.asarray(run_val)
     run_cnt = np.asarray(run_cnt)
-
-    out = []
-    for i in range(nb):
-        k = int(nRuns[i])
-        if k == 0:
-            out.append(None)
-            continue
-        runSeg = run_seg[i, :k].astype(np.int64)
-        runVal = run_val[i, :k].astype(imageValueType)
-        runCnt = run_cnt[i, :k].astype(np.int64)
-        seen = np.bincount(runSeg, weights=runCnt,
-                           minlength=numSeg).astype(np.int64)[:numSeg]
-        noData = None
-        imgNullVal = imgNullVals[i]
-        if imgNullVal is not None:
-            isNull = runVal == imageValueType(imgNullVal)
-            if isNull.any():
-                noData = np.bincount(
-                    runSeg[isNull], weights=runCnt[isNull],
-                    minlength=numSeg).astype(np.int64)[:numSeg]
-            keep = ~isNull
-            runSeg, runVal, runCnt = (runSeg[keep], runVal[keep],
-                                      runCnt[keep])
-        out.append((seen, noData, runSeg, runVal, runCnt))
-    return out
+    return [_split_band_runs(run_seg[i], run_val[i], run_cnt[i],
+                             int(nRuns[i]), imgNullVals[i], numSeg,
+                             imageValueType)
+            for i in range(nb)]
