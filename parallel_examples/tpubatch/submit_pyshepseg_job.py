@@ -47,6 +47,16 @@ def getCmdargs():
                    help="local backend: concurrent tile subprocesses")
     p.add_argument("--emit-dir", default="batch_jobs",
                    help="slurm/gcpbatch: where to write job artifacts")
+    p.add_argument("--machine-type", default="ct5lp-hightpu-1t",
+                   help="gcpbatch: TPU-VM machine type when no "
+                        "--instance-template is given")
+    p.add_argument("--instance-template",
+                   help="gcpbatch: worker instance template (the "
+                        "Terraform stack's instance_template output)")
+    p.add_argument("--container-image",
+                   help="gcpbatch: worker container (the Makefile's "
+                        "pushed image); default runs the phase scripts "
+                        "directly on the VM image")
     return p.parse_args()
 
 
@@ -161,22 +171,31 @@ def submit_slurm(cmdargs):
           "dependencies are wired at submission time).")
 
 
+# Script variant: runs the phase scripts from an image that already
+# carries them (or a TPU-VM boot image with the package installed).
+# --instance-template points the allocationPolicy at the worker shape
+# administered by the Terraform stack (template/main.tf
+# instance_template output); --container-image switches the runnable to
+# the worker container built by the Makefile.
 GCP_TEMPLATE = """{{
   "taskGroups": [{{
     "taskCount": "{count}",
     "taskSpec": {{
       "runnables": [{{
-        "script": {{ "text": "python {script} {args}" }}
+        {runnable}
       }}]
     }}
   }}],
   "allocationPolicy": {{
-    "instances": [{{ "installGpuDrivers": false,
-                     "policy": {{ "machineType": "ct5lp-hightpu-1t" }} }}]
+    "instances": [{{ {instances} }}]
   }},
   "logsPolicy": {{ "destination": "CLOUD_LOGGING" }}
 }}
 """
+
+GCP_RUNNABLE_SCRIPT = '"script": {{ "text": "python {script} {args}" }}'
+GCP_RUNNABLE_CONTAINER = ('"container": {{ "imageUri": "{image}", '
+                          '"commands": ["{script}"{argitems}] }}')
 
 
 def submit_gcpbatch(cmdargs):
@@ -187,11 +206,27 @@ def submit_gcpbatch(cmdargs):
         ("psseg_tiles", "do_tile.py", "NUMTILES", tiles),
         ("psseg_stitch", "do_stitch.py", 1, stitch),
     ]
+    if cmdargs.instance_template:
+        instances = ('"instanceTemplate": "{}"'
+                     .format(cmdargs.instance_template))
+    else:
+        instances = ('"installGpuDrivers": false, "policy": '
+                     '{{ "machineType": "{}" }}'
+                     .format(cmdargs.machine_type))
     for name, script, count, args in specs:
+        if cmdargs.container_image:
+            # container workers run the scripts at the image's WORKDIR
+            argitems = "".join(', "{}"'.format(a) for a in args.split())
+            runnable = GCP_RUNNABLE_CONTAINER.format(
+                image=cmdargs.container_image, script=script,
+                argitems=argitems)
+        else:
+            runnable = GCP_RUNNABLE_SCRIPT.format(
+                script=os.path.join(HERE, script), args=args)
         path = os.path.join(cmdargs.emit_dir, name + ".json")
         with open(path, "w") as f:
             f.write(GCP_TEMPLATE.format(
-                count=count, script=os.path.join(HERE, script), args=args))
+                count=count, runnable=runnable, instances=instances))
         print("wrote", path)
     print("Submit with: gcloud batch jobs submit <name> "
           "--config <spec>.json (set taskCount from the prepare output; "
