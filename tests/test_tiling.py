@@ -414,9 +414,12 @@ def test_tiled_threads_all_devices_matches_serial(serial_case, tmp_path):
     import jax
     assert len(jax.local_devices()) == 8
     out2 = str(tmp_path / "out_threads_alldev.npseg")
+    # each worker's device needs its own fresh XLA:CPU compile of the
+    # per-tile program (executables are cached per device set); without
+    # the opt-in persistent cache the first tile can take minutes
     cfg = tiling.SegmentationConcurrencyConfig(
         concurrencyType=tiling.CONC_THREADS, numWorkers=4,
-        workerDevices='all')
+        workerDevices='all', tileCompletionTimeout=900)
     res2 = run_tiled(serial_case["inpath"], out2, concurrencyCfg=cfg)
     seg2 = rio.open(out2).GetRasterBand(1).ReadAsArray()
     np.testing.assert_array_equal(serial_case["seg"], seg2)
