@@ -270,11 +270,31 @@ def _run_config3(results, tempDir):
         fourConnected=True, concurrencyCfg=cfg)
     elapsed = time.time() - t0
     mpix_s = (SCENE_SIZE * SCENE_SIZE / 1e6) / elapsed
+    summary = res.timings.makeSummaryDict()
+    phase_s = {k: round(v["total"], 2) for k, v in summary.items()
+               if k in ("reading", "segmentation", "stitchtiles",
+                        "stitchwait")}
+    # pure host stitch work = stitch loop minus time spent waiting on
+    # worker tiles
+    if "stitchtiles" in phase_s:
+        phase_s["stitchwork"] = round(
+            phase_s["stitchtiles"] - phase_s.get("stitchwait", 0.0), 2)
     results.append({
         "name": "config3: same tiled run, warm executables (the "
                 "steady-state production figure)",
         "value": round(mpix_s, 3), "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / REF_BASELINE_MPIX_S, 2)})
+        "vs_baseline": round(mpix_s / REF_BASELINE_MPIX_S, 2),
+        "phase_seconds": phase_s})
+
+    # TUNNEL-INSENSITIVE tiled metric: the pure device tile loop — the
+    # scene resident in HBM (as the production scene cache holds it),
+    # every tile's one-shot pipeline dispatched back-to-back with NO
+    # per-tile downloads, one sync at the end, bare RTT subtracted —
+    # plus the measured host stitch time from the warm run above. On a
+    # directly-attached TPU VM the production pipeline overlaps the two
+    # (the stitcher consumes tiles while workers compute), so the
+    # pipelined estimate divides the scene by max(loop, stitch).
+    results.append(_config3_device_tile_loop(imgfile, res, phase_s))
 
     # The multi-chip backend's single-chip health check: CONC_MESH with
     # tilesPerDevice=4 (the measured single-chip sweet spot — see
@@ -300,6 +320,100 @@ def _run_config3(results, tempDir):
         "vs_baseline": round(mpix_s_m / REF_BASELINE_MPIX_S, 2),
         "maxSegId_matches_threads": resM.maxSegId == res.maxSegId})
     return imgfile, segfile, res
+
+
+def _config3_device_tile_loop(imgfile, res, phase_s, repeats=2):
+    """Device-only throughput of the tiled segmentation's compute: all
+    tiles' one-shot pipelines dispatched back-to-back against the
+    HBM-resident scene, results left on device, one scalar fetch at the
+    end, bare sync RTT subtracted. This is the number a directly-
+    attached TPU VM's tile loop approaches; combined with the host
+    stitch time (measured above) it bounds the end-to-end figure there."""
+    import jax
+    import jax.numpy as jnp
+    from pyshepseg_tpu import io as rio
+    from pyshepseg_tpu import tiling
+    from pyshepseg_tpu import shepseg as ss
+
+    inDs = rio.open(imgfile)
+    bandNumbers = list(range(1, inDs.RasterCount + 1))
+    tileInfo = tiling.getTilesForFile(inDs, 1024, 256)
+    imgNullVal = tiling.getImgNullValue(inDs, bandNumbers)
+    cache = tiling.DeviceSceneCache(inDs, bandNumbers)
+    centers = jnp.asarray(np.asarray(res.kmeans.cluster_centers_,
+                                     dtype=np.float32))
+    hasNull = imgNullVal is not None
+    nullVal = ss.null_scalar(imgNullVal if hasNull else 0,
+                             cache.scene.dtype)
+    # the tiled result reports the configured setting ('auto' here);
+    # resolve it to the numeric threshold the per-tile runs used
+    maxDiff = jnp.float32(ss.autoMaxSpectralDiff(
+        res.kmeans, res.maxSpectralDiff, 50))
+    colRows = sorted(tileInfo.tiles.keys(), key=lambda x: (x[1], x[0]))
+
+    # measured buckets from the first tile (worst case is interior
+    # tiles; take the max over a row to be safe, one sync)
+    sc0s = []
+    for (col, row) in colRows[:tileInfo.ncols]:
+        (xpos, ypos, xsize, ysize) = tileInfo.getTile(col, row)
+        img = cache.getTile(xpos, ypos, xsize, ysize)
+        sc0s.append(ss._cluster_and_clump_device(
+            img, centers, nullVal, has_null=hasNull,
+            four_connected=True)[5])
+    sc0s = np.stack([np.asarray(s) for s in sc0s])
+    capacity = ss.round_capacity(int(sc0s[:, 0].max()) * 2 + 1)
+    eCap = ss._edgeCapForCount(int(sc0s[:, 1].max() * 2))
+
+    def loop():
+        outs = []
+        for (col, row) in colRows:
+            (xpos, ypos, xsize, ysize) = tileInfo.getTile(col, row)
+            img = cache.getTile(xpos, ypos, xsize, ysize)
+            outs.append(ss._segment_one_shot_device(
+                img, centers, nullVal, maxDiff, has_null=hasNull,
+                four_connected=True, min_seg_size=50,
+                capacity=capacity, e_cap=eCap))
+        return outs
+
+    outs = loop()  # warm (compile)
+    scalars = np.stack([np.asarray(sc) for _, sc in outs])
+    assert not scalars[:, 7].any(), "bucket overflow in device tile loop"
+
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    bump = jax.jit(lambda x: x + 1.0)
+    np.asarray(bump(tiny)[0, 0])
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(bump(tiny)[0, 0])
+        rtts.append(time.time() - t0)
+    rtt = min(rtts)
+
+    best = None
+    for _ in range(repeats):
+        t0 = time.time()
+        outs = loop()
+        np.asarray(outs[-1][1])   # one sync drains the in-order stream
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    loop_s = max(best - rtt, 1e-9)
+    del outs, cache
+
+    scene_mpix = SCENE_SIZE * SCENE_SIZE / 1e6
+    loop_rate = scene_mpix / loop_s
+    stitch_s = phase_s.get("stitchwork", phase_s.get("stitchtiles", 0.0))
+    est = scene_mpix / max(loop_s, stitch_s) if stitch_s else None
+    return {
+        "name": "config3-device-tile-loop: all tiles' one-shot pipelines "
+                "back-to-back on the HBM-resident scene, no per-tile "
+                "downloads, sync RTT subtracted (tunnel-insensitive)",
+        "value": round(loop_rate, 3), "unit": "Mpix/s",
+        "vs_baseline": round(loop_rate / REF_BASELINE_MPIX_S, 2),
+        "device_loop_s": round(loop_s, 3),
+        "host_stitch_s": stitch_s,
+        "tpuvm_pipelined_estimate_mpix_s":
+            round(est, 3) if est else None,
+        "num_tiles": len(colRows)}
 
 
 def _run_config4(results, imgfile, segfile):

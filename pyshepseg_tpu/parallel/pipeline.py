@@ -188,12 +188,7 @@ def eliminate_tiles_phase1(imgs, segs, four_connected: bool,
 
 @functools.partial(
     jax.jit, static_argnames=("min_seg_size", "four_connected",
-                              "capacity", "e_cap"),
-    # the sorted edge-key buffers (O(H*W) each, per tile) die here —
-    # donating them caps the batch's HBM peak (the tilesPerDevice=8
-    # regression of round 2); imgs/segs stay: the overflow fallback
-    # re-runs from them
-    donate_argnums=(2, 3, 4))
+                              "capacity", "e_cap"))
 def eliminate_tiles_fused(imgs, segs, a, b, first, max_spectral_diff,
                           min_seg_size: int, four_connected: bool,
                           capacity: int, e_cap: int):

@@ -909,7 +909,12 @@ class SegmentationConcurrencyMgr:
                 print("Stitching tile row {}".format(row))
                 reportedRow = row
 
-            tileData = self.getTileSegmentation(col, row)
+            # 'stitchwait' separates time spent WAITING for the tile
+            # (worker compute/transfer, or the temp-file load) from the
+            # stitcher's own recode/write work, so timing reports show
+            # whether the pipelined stitch is the bottleneck
+            with self.timings.interval('stitchwait'):
+                tileData = self.getTileSegmentation(col, row)
             if tileData is None:
                 self.checkWorkerExceptions()
                 raise PyShepSegTilingError(

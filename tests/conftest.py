@@ -56,6 +56,20 @@ if os.environ.get("PYSHEPSEG_TEST_CACHE") == "1":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _free_compiled_programs():
+    """XLA:CPU segfaults sporadically once a long-lived process has
+    accumulated gigabytes of JIT-compiled executables: full-suite runs
+    crashed inside native compile / executable (de)serialization from
+    ~150 tests onward (RSS ~4.5 GB of live code), while every crashing
+    program compiles fine in isolation. Dropping compiled programs at
+    module boundaries keeps the live JIT footprint bounded; the
+    recompile cost is small because almost all executable reuse happens
+    within a module."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
