@@ -56,6 +56,17 @@ if os.environ.get("PYSHEPSEG_TEST_CACHE") == "1":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def _rss_bytes():
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 0
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _free_compiled_programs():
     """XLA:CPU segfaults sporadically once a long-lived process has
@@ -63,11 +74,13 @@ def _free_compiled_programs():
     crashed inside native compile / executable (de)serialization from
     ~150 tests onward (RSS ~4.5 GB of live code), while every crashing
     program compiles fine in isolation. Dropping compiled programs at
-    module boundaries keeps the live JIT footprint bounded; the
-    recompile cost is small because almost all executable reuse happens
-    within a module."""
+    module boundaries once RSS passes a threshold keeps the live JIT
+    footprint bounded without giving up cross-module executable reuse
+    early in the run (unconditional clearing is also green, just
+    slower)."""
     yield
-    jax.clear_caches()
+    if _rss_bytes() > 2 << 30:
+        jax.clear_caches()
 
 
 @pytest.fixture
