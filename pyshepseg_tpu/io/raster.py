@@ -249,7 +249,7 @@ class NumpyBand:
         if mode is None:
             mode = "r+" if self._ds._update else "r"
         path = self._ds._band_path(self._idx)
-        return np.lib.format.open_memmap(path, mode=mode)
+        return self._ds._cachedMmap(path, mode)
 
     def ReadAsArray(self, xoff=0, yoff=0, win_xsize=None, win_ysize=None):
         m = self._mmap(mode="r")
@@ -262,7 +262,6 @@ class NumpyBand:
     def WriteArray(self, arr, xoff=0, yoff=0):
         m = self._mmap()
         m[yoff:yoff + arr.shape[0], xoff:xoff + arr.shape[1]] = arr
-        m.flush()
         return 0
 
     def SetNoDataValue(self, val):
@@ -343,14 +342,14 @@ class NumpyOverviewBand:
 
     @property
     def XSize(self):
-        return np.lib.format.open_memmap(self._path(), mode="r").shape[1]
+        return self._ds._cachedMmap(self._path(), mode="r").shape[1]
 
     @property
     def YSize(self):
-        return np.lib.format.open_memmap(self._path(), mode="r").shape[0]
+        return self._ds._cachedMmap(self._path(), mode="r").shape[0]
 
     def ReadAsArray(self, xoff=0, yoff=0, win_xsize=None, win_ysize=None):
-        m = np.lib.format.open_memmap(self._path(), mode="r")
+        m = self._ds._cachedMmap(self._path(), mode="r")
         if win_xsize is None:
             win_xsize = m.shape[1] - xoff
         if win_ysize is None:
@@ -358,9 +357,8 @@ class NumpyOverviewBand:
         return np.array(m[yoff:yoff + win_ysize, xoff:xoff + win_xsize])
 
     def WriteArray(self, arr, xoff=0, yoff=0):
-        m = np.lib.format.open_memmap(self._path(), mode="r+")
+        m = self._ds._cachedMmap(self._path(), mode="r+")
         m[yoff:yoff + arr.shape[0], xoff:xoff + arr.shape[1]] = arr
-        m.flush()
         return 0
 
 
@@ -373,6 +371,27 @@ class NumpyDataset:
         with builtins.open(os.path.join(path, "meta.json")) as f:
             self._meta = json.load(f)
         self._dtype = np.dtype(self._meta["dtype"])
+        # (file path, mode) -> live memmap. Opening a fresh memmap per
+        # window access costs an open+header parse, and msync'ing after
+        # every window write costs a full-file writeback (the stitcher
+        # writes 64+ windows into a multi-hundred-MB band: per-write
+        # flush() was ~60% of its host time). Same-host readers see the
+        # writes through the shared page cache without msync; dirty
+        # pages reach disk on FlushCache()/close/GC in any case.
+        self._mmaps = {}
+
+    def _cachedMmap(self, path, mode):
+        key = (path, mode)
+        m = self._mmaps.get(key)
+        if m is None:
+            m = np.lib.format.open_memmap(path, mode=mode)
+            self._mmaps[key] = m
+        return m
+
+    def _dropMmap(self, path):
+        """Forget cached maps of a file about to be re-created."""
+        for key in [k for k in self._mmaps if k[0] == path]:
+            del self._mmaps[key]
 
     # --- creation
     @classmethod
@@ -457,9 +476,10 @@ class NumpyDataset:
                     continue
                 oy = max(1, self.RasterYSize // level)
                 ox = max(1, self.RasterXSize // level)
+                ovrPath = os.path.join(self._path, f"ovr_{bi}_{level}.npy")
+                self._dropMmap(ovrPath)  # file is being re-created
                 m = np.lib.format.open_memmap(
-                    os.path.join(self._path, f"ovr_{bi}_{level}.npy"),
-                    mode="w+", dtype=self._dtype, shape=(oy, ox))
+                    ovrPath, mode="w+", dtype=self._dtype, shape=(oy, ox))
                 if method and method.upper().startswith("NEAREST"):
                     full = band._mmap(mode="r")
                     o = level // 2
@@ -480,6 +500,9 @@ class NumpyDataset:
         return 0
 
     def FlushCache(self):
+        for (path, mode), m in self._mmaps.items():
+            if mode != "r":
+                m.flush()
         return 0
 
 
