@@ -528,17 +528,24 @@ def _deviceStatsChipRate(segfile, imgfile, k=8):
     n = 1024
     seg = rio.open(segfile).GetRasterBand(1).ReadAsArray(0, 0, n, n)
     img = rio.open(imgfile).GetRasterBand(1).ReadAsArray(0, 0, n, n)
+    numSeg = int(seg.max()) + 1
     segDev = jax.device_put(np.ascontiguousarray(seg).astype(np.uint32))
-    valDev = jax.device_put(np.ascontiguousarray(img).astype(np.int32))
+    # native dtype + packed single-key sort when eligible — exactly what
+    # the production scene-resident feed runs
+    bias = segstats.packBias(img.dtype, numSeg)
+    valDev = jax.device_put(np.ascontiguousarray(
+        img if bias is not None else img.astype(np.int32)))
     bucket = n * n
 
     state = segstats._sort_pairs_window(segDev, valDev, 0, 0,
-                                        h=n, w=n, bucket=bucket)
+                                        h=n, w=n, bucket=bucket,
+                                        bias=bias)
     rCap = segstats.round_capacity(int(state[5]))
 
     def one():
         st = segstats._sort_pairs_window(segDev, valDev, 0, 0,
-                                         h=n, w=n, bucket=bucket)
+                                         h=n, w=n, bucket=bucket,
+                                         bias=bias)
         return segstats._compact_runs_jit(st[0], st[1], st[2], st[3],
                                           st[4], r_cap=rCap)
 

@@ -62,6 +62,58 @@ def _sort_pairs(seg_flat, val_flat):
     return s, v, valid_s, first, runpos, n_runs
 
 
+_PACK_BIAS = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 0,
+              np.dtype(np.int8): 128, np.dtype(np.int16): 32768}
+
+
+def packBias(dtype, numSeg):
+    """Bias for the PACKED single-key sort, or None when packing does
+    not apply. When the imagery dtype fits 16 bits and segment IDs fit
+    below 0xFFFF (reserved for the null sentinel), the (segId, value)
+    pair packs into ONE uint32 key — a single-key sort over half the
+    key bytes. Measured on a v5e chip: only ~3% faster than the
+    two-key lax.sort (the TPU sort is comparator-compute-bound, not
+    key-bandwidth-bound), so the packing's real value is letting the
+    scene-resident feed keep 16-bit imagery in its NATIVE dtype on
+    device (half the HBM and upload). The bias maps signed values onto
+    unsigned order (order-preserving), so run order matches the
+    two-key sort exactly."""
+    if numSeg >= 0xFFFF:
+        return None
+    return _PACK_BIAS.get(np.dtype(dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("bias",))
+def _sort_pairs_packed(seg_flat, val_flat, bias: int):
+    """_sort_pairs via one packed uint32 key: (segId << 16) | biased
+    value. Identical outputs (same run order — the biased value keeps
+    numeric order; same flags and counts) for inputs satisfying
+    packBias's conditions."""
+    valid = seg_flat != SEGNULLVAL
+    v_u = (val_flat.astype(jnp.int32) + jnp.int32(bias)).astype(jnp.uint32)
+    key = jnp.where(valid, (seg_flat << 16) | v_u,
+                    jnp.uint32(0xFFFFFFFF))
+    key = jax.lax.sort(key)
+    valid_s = key != jnp.uint32(0xFFFFFFFF)
+    s = jnp.where(valid_s, key >> 16, jnp.uint32(0xFFFFFFFF))
+    v = jnp.where(valid_s,
+                  (key & jnp.uint32(0xFFFF)).astype(jnp.int32) -
+                  jnp.int32(bias),
+                  jnp.int32(0x7FFFFFFF))
+    n = key.shape[0]
+    first = valid_s & ((jnp.arange(n) == 0) | (key != jnp.roll(key, 1)))
+    runpos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_runs = jnp.sum(first.astype(jnp.uint32))
+    return s, v, valid_s, first, runpos, n_runs
+
+
+def _sorted_state(seg_flat, val_flat, bias):
+    """Dispatch to the packed single-key sort when ``bias`` is set."""
+    if bias is None:
+        return _sort_pairs(seg_flat, val_flat)
+    return _sort_pairs_packed(seg_flat, val_flat, bias=bias)
+
+
 def _compact_runs(s, v, valid_s, first, runpos, r_cap: int):
     """
     Device dispatch #2 (static r_cap bucketed from the measured run
@@ -123,6 +175,7 @@ def compactTileDevice(tileSegments, tileImageData, imgNullVal, numSeg,
     identical output to the host path for any imagery whose dtype passes
     deviceCompactSupported.
     """
+    bias = packBias(tileImageData.dtype, numSeg)
     seg_flat = np.ascontiguousarray(tileSegments).ravel().astype(np.uint32)
     val_flat = np.ascontiguousarray(tileImageData).ravel().astype(np.int32)
     # pad to a power-of-two pixel bucket with null pixels, so every tile
@@ -133,7 +186,8 @@ def compactTileDevice(tileSegments, tileImageData, imgNullVal, numSeg,
         seg_flat = np.pad(seg_flat, (0, bucket - n))
         val_flat = np.pad(val_flat, (0, bucket - n))
 
-    state = _sort_pairs(jnp.asarray(seg_flat), jnp.asarray(val_flat))
+    state = _sorted_state(jnp.asarray(seg_flat), jnp.asarray(val_flat),
+                          bias)
     return _finish_runs(state, imgNullVal, numSeg, imageValueType)
 
 
@@ -146,35 +200,41 @@ def compactTileDevice(tileSegments, tileImageData, imgNullVal, numSeg,
 # receives the (small) compacted runs per window.
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "bucket"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "bucket", "bias"))
 def _sort_pairs_window(segDev, valDev, top, left, h: int, w: int,
-                       bucket: int):
+                       bucket: int, bias=None):
     """Slice one (h, w) window out of the device-resident scene, flatten,
-    pad to the pixel bucket with null pixels, and sort its pairs."""
+    pad to the pixel bucket with null pixels, and sort its pairs. The
+    scene bands stay in their NATIVE dtype on device (half the HBM and
+    upload of an int32 copy for 16-bit imagery); values widen to int32
+    here — or pack into one uint32 sort key when ``bias`` is set."""
     seg_t = jax.lax.dynamic_slice(segDev, (top, left), (h, w))
     val_t = jax.lax.dynamic_slice(valDev, (top, left), (h, w))
     seg_f = jnp.pad(seg_t.ravel().astype(jnp.uint32),
                     (0, bucket - h * w))
     val_f = jnp.pad(val_t.ravel().astype(jnp.int32),
                     (0, bucket - h * w))
-    return _sort_pairs(seg_f, val_f)
+    if bias is None:
+        return _sort_pairs(seg_f, val_f)
+    return _sort_pairs_packed(seg_f, val_f, bias=bias)
 
 
 def compactSceneWindowDevice(segDev, valDev, window, imgNullVal, numSeg,
                              imageValueType=np.int64):
     """compactTileDevice, fed from device-resident whole-scene arrays
-    (segDev uint32 (H, W), valDev int32 (H, W)); ``window`` is the stats
-    grid's (xsize, ysize, leftPix, topLine)."""
+    (segDev uint32 (H, W), valDev native-integer-dtype (H, W));
+    ``window`` is the stats grid's (xsize, ysize, leftPix, topLine)."""
     (xsize, ysize, leftPix, topLine) = window
     bucket = round_capacity(xsize * ysize)
     state = _sort_pairs_window(segDev, valDev, topLine, leftPix,
-                               h=ysize, w=xsize, bucket=bucket)
+                               h=ysize, w=xsize, bucket=bucket,
+                               bias=packBias(valDev.dtype, numSeg))
     return _finish_runs(state, imgNullVal, numSeg, imageValueType)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "bucket"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "bucket", "bias"))
 def _sort_pairs_window_batch(segDev, valsDev, top, left, h: int, w: int,
-                             bucket: int):
+                             bucket: int, bias=None):
     """Batched window sort over the band axis of a device-resident
     (nBands, H, W) scene."""
     seg_t = jax.lax.dynamic_slice(segDev, (top, left), (h, w))
@@ -185,7 +245,9 @@ def _sort_pairs_window_batch(segDev, valsDev, top, left, h: int, w: int,
         val_t = jax.lax.dynamic_slice(valPlane, (top, left), (h, w))
         val_f = jnp.pad(val_t.ravel().astype(jnp.int32),
                         (0, bucket - h * w))
-        return _sort_pairs(seg_f, val_f)
+        if bias is None:
+            return _sort_pairs(seg_f, val_f)
+        return _sort_pairs_packed(seg_f, val_f, bias=bias)
 
     return jax.vmap(one)(valsDev)
 
@@ -200,7 +262,8 @@ def compactSceneWindowDeviceMultiBand(segDev, valsDev, window,
     bucket = round_capacity(xsize * ysize)
     s, v, valid_s, first, runpos, n_runs = _sort_pairs_window_batch(
         segDev, valsDev, topLine, leftPix,
-        h=ysize, w=xsize, bucket=bucket)
+        h=ysize, w=xsize, bucket=bucket,
+        bias=packBias(valsDev.dtype, numSeg))
     nRuns = np.asarray(n_runs)          # one sync for every band
     nb = valsDev.shape[0]
     if not nRuns.any():
@@ -242,6 +305,12 @@ def _split_band_runs(run_seg, run_val, run_cnt, k, imgNullVal, numSeg,
 _sort_pairs_batch = jax.jit(jax.vmap(_sort_pairs))
 
 
+@functools.partial(jax.jit, static_argnames=("bias",))
+def _sort_pairs_packed_batch(segB, valB, bias: int):
+    return jax.vmap(
+        lambda s, v: _sort_pairs_packed(s, v, bias=bias))(segB, valB)
+
+
 def _compact_runs_batched_impl(s, v, valid_s, first, runpos, r_cap):
     return jax.vmap(
         lambda a, b, c, d, e: _compact_runs(a, b, c, d, e, r_cap))(
@@ -274,8 +343,16 @@ def compactTileDeviceMultiBand(tileSegments, tileImageList, imgNullVals,
         v = np.ascontiguousarray(tileImageData).ravel().astype(np.int32)
         valB[i, :n] = v
 
-    s, v, valid_s, first, runpos, n_runs = _sort_pairs_batch(
-        jnp.asarray(segB), jnp.asarray(valB))
+    # pack iff every band maps to the SAME bias (the vmapped program has
+    # one static configuration)
+    biases = {packBias(t.dtype, numSeg) for t in tileImageList}
+    bias = biases.pop() if len(biases) == 1 else None
+    if bias is None:
+        s, v, valid_s, first, runpos, n_runs = _sort_pairs_batch(
+            jnp.asarray(segB), jnp.asarray(valB))
+    else:
+        s, v, valid_s, first, runpos, n_runs = _sort_pairs_packed_batch(
+            jnp.asarray(segB), jnp.asarray(valB), bias=bias)
     nRuns = np.asarray(n_runs)        # one sync for every band
     if not nRuns.any():
         return [None] * nb

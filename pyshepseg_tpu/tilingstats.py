@@ -711,6 +711,7 @@ def _deviceSceneStream(segband, imgbands, nullVals, numSeg, tileSize,
     device compaction from ONE whole-scene HBM upload (no per-tile
     host->device transfers)."""
     import jax
+    from .ops import segstats as segstats_ops
     from .ops.segstats import (compactSceneWindowDevice,
                                compactSceneWindowDeviceMultiBand)
 
@@ -719,9 +720,15 @@ def _deviceSceneStream(segband, imgbands, nullVals, numSeg, tileSize,
         segDev = jax.device_put(
             numpy.ascontiguousarray(seg).astype(numpy.uint32))
         del seg
-        planes = [numpy.ascontiguousarray(
-                      b.ReadAsArray(0, 0, npix, nlines)).astype(
-                          numpy.int32)
+        # bands stay in their NATIVE dtype on device: 16-bit imagery
+        # uploads (and holds) half the bytes of an int32 copy, and the
+        # window kernel widens — or packs the sort key — on device
+        def _native(arr):
+            a = numpy.ascontiguousarray(arr)
+            if a.dtype in segstats_ops._PACK_BIAS:
+                return a
+            return a.astype(numpy.int32)
+        planes = [_native(b.ReadAsArray(0, 0, npix, nlines))
                   for b in imgbands]
         if len(planes) > 1:
             valsDev = jax.device_put(numpy.stack(planes))

@@ -468,6 +468,39 @@ def test_device_compaction_matches_host(rng):
     assert segstats.deviceCompactSupported(np.uint16)
 
 
+def test_packed_sort_matches_unpacked(rng):
+    """The packed single-key sort (16-bit imagery, segIds < 0xFFFF)
+    must emit exactly the runs of the two-key sort, for unsigned AND
+    signed (biased) dtypes; ineligible inputs must decline to pack."""
+    from pyshepseg_tpu.ops import segstats
+
+    h, w = 64, 48
+    seg = rng.integers(0, 20, size=(h, w)).astype(np.uint32)
+    for dtype, lo, hi in ((np.uint16, 0, 60000), (np.int16, -30000, 30000),
+                          (np.uint8, 0, 255), (np.int8, -128, 127)):
+        bias = segstats.packBias(dtype, numSeg=20)
+        assert bias is not None
+        img = rng.integers(lo, hi, size=(h, w)).astype(dtype)
+        host = tilingstats.compactTile(seg, img.astype(np.int64), None, 20)
+        dev = segstats.compactTileDevice(seg, img, None, 20)
+        for a, b in zip(host, dev):
+            if a is None:
+                assert b is None
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # ineligible: wide dtypes, or too many segments for the 16-bit key
+    assert segstats.packBias(np.int32, numSeg=20) is None
+    assert segstats.packBias(np.int64, numSeg=20) is None
+    assert segstats.packBias(np.uint16, numSeg=0xFFFF) is None
+    # int32 imagery still compacts (two-key path), identically
+    img32 = rng.integers(-100000, 100000, size=(h, w)).astype(np.int32)
+    host = tilingstats.compactTile(seg, img32.astype(np.int64), None, 20)
+    dev = segstats.compactTileDevice(seg, img32, None, 20)
+    for a, b in zip(host, dev):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_stats_device_engine_matches_host(tmp_path, rng, small_tiles):
     """engine='device' must write bit-identical RAT columns."""
     import shutil
