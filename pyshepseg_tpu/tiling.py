@@ -560,9 +560,11 @@ def _segsCrossingMidline(overlapA, orientation):
     else:
         mid = ncols // 2
         before, after = overlapA[:, :mid], overlapA[:, mid:]
-    idsBefore = numpy.unique(before)
-    idsAfter = numpy.unique(after)
-    crossing = numpy.intersect1d(idsBefore, idsAfter)
+    # bounded-ID set intersection via bincounts (no sorts)
+    maxId = int(overlapA.max())
+    cntBefore = numpy.bincount(before.ravel(), minlength=maxId + 1)
+    cntAfter = numpy.bincount(after.ravel(), minlength=maxId + 1)
+    crossing = numpy.flatnonzero((cntBefore > 0) & (cntAfter > 0))
     return crossing[crossing != shepseg.SEGNULLVAL]
 
 
@@ -585,8 +587,10 @@ def _modeMatch(overlapA, overlapB, crossingIds):
     """
     if len(crossingIds) == 0:
         return {}
-    mask = numpy.isin(overlapA, crossingIds) & \
-        (overlapB != shepseg.SEGNULLVAL)
+    # bounded-ID membership lookup table instead of numpy.isin's sort
+    isCrossing = numpy.zeros(int(overlapA.max()) + 1, dtype=bool)
+    isCrossing[crossingIds] = True
+    mask = isCrossing[overlapA] & (overlapB != shepseg.SEGNULLVAL)
     a = overlapA[mask].astype(numpy.uint64)
     b = overlapB[mask].astype(numpy.uint64)
     if len(a) == 0:
@@ -1044,9 +1048,14 @@ class SegmentationConcurrencyMgr:
         where the reference's rule voids real pixels.
         """
         window = tileData[top:bottom, left:right]
-        inWindow = numpy.unique(window)
-        inWindow = inWindow[inWindow != shepseg.SEGNULLVAL]
         tileMax = int(tileData.max())
+        # bounded-ID unique: O(n) bincount + flatnonzero instead of a
+        # 1-Mpix sort (numpy.unique) per tile — ascending order, same
+        # result
+        winCounts = numpy.bincount(window.ravel(),
+                                   minlength=tileMax + 1)
+        winCounts[shepseg.SEGNULLVAL] = 0
+        inWindow = numpy.flatnonzero(winCounts)
 
         mapping = numpy.zeros(tileMax + 1, dtype=shepseg.SegIdType)
         recoded = numpy.zeros(tileMax + 1, dtype=bool)
