@@ -370,20 +370,20 @@ class SegmentationConcurrencyConfig:
     streams tiles from the file as the reference does.
 
     ``tilesPerDevice`` (CONC_MESH only) vmap-batches that many tiles
-    into each per-device dispatch. Every dispatch pays fixed costs —
-    host round trips for the capacity syncs and per-op overheads in the
-    fused programs — so batching several tiles amortizes them; the
-    trade-offs are that the batched fixpoint loops run until the
-    SLOWEST tile in the batch converges, and that the batch multiplies
-    the pipeline's working set (large batches can thrash HBM,
-    especially with the whole-scene cache resident). Results are
-    bit-identical for any value. Measured single-chip (6400^2 scene,
-    1024/256 tiles, one tunnel window): tilesPerDevice=4 ran 1.29x
-    faster than 1; 8 regressed below 1 (memory pressure) — prefer 2-4.
-    CONC_THREADS still beats single-chip CONC_MESH end-to-end when a
-    high-latency link separates host and device (it overlaps the link
-    round trips across in-flight tiles); CONC_MESH is the multi-chip
-    backend.
+    into each per-device dispatch. Results are bit-identical for any
+    value, but with the one-shot steady state (speculative capacity
+    buckets, no per-dispatch sync) the default 1 is also the FASTEST
+    measured: pipelined one-tile dispatches cost 173 ms/tile on-chip
+    vs 246/277/261 ms for batches of 2/4/8 (1024^2 4-band tiles, one
+    window) — the batched fixpoint loops run until the SLOWEST tile in
+    the batch converges, and the batch multiplies the pipeline's
+    working set against the resident scene cache. The round-2 guidance
+    to batch 2-4 tiles only applied to the retired per-dispatch
+    capacity-sync path, where batching amortized a ~25 ms host round
+    trip per dispatch. CONC_THREADS still beats single-chip CONC_MESH
+    end-to-end when a high-latency link separates host and device (it
+    overlaps the link round trips across in-flight tiles); CONC_MESH
+    is the multi-chip backend.
 
     ``workerDevices`` (CONC_THREADS only): 'default' dispatches every
     worker thread's tiles to the default device; 'all' assigns worker
