@@ -119,6 +119,76 @@ def edge_sort_keys(seg, four_connected: bool):
 _edge_sort_jit = jax.jit(edge_sort_keys, static_argnames=("four_connected",))
 
 
+def edge_sort_keys_compact(seg, four_connected: bool, b_cap: int,
+                           id_bound: int):
+    """
+    Device: edge_sort_keys with the valid boundary pairs scatter-compacted
+    into a static (b_cap,) buffer BEFORE sorting. The O(H*W)-key sort —
+    the most expensive single op in the one-shot pipeline (~14 ms per
+    Mpix on a v5e, two-key over 2 (4-conn) or 4 (8-conn) candidates per
+    pixel, almost all of them padding) — becomes an O(b_cap) sort plus a
+    cumsum and one full-size scatter, both bandwidth-priced.
+
+    ``b_cap`` (static) is a speculative bucket for the boundary-pair
+    count (pairs of adjacent pixels in DIFFERENT non-null segments,
+    duplicates included — the segments' total shared perimeter). The
+    measured count comes back as ``n_pairs``; n_pairs > b_cap means
+    pairs were dropped and the caller MUST treat every output as
+    overflowed (the one-shot dispatch folds this into its overflow flag
+    and falls back to the measured path, exactly like the capacity and
+    e_cap buckets).
+
+    When ``id_bound`` <= 2^16 each canonical (lo, hi) pair packs into
+    one uint32 (lo < hi strictly, so the 0xFFFFFFFF padding can never
+    collide with a real pair) and the scatter and sort run single-key;
+    otherwise the endpoints compact separately and sort two-key.
+
+    Returns (a, b, first, n_unique, n_pairs) with a/b/first of length
+    b_cap — same contract as edge_sort_keys plus the pair count.
+    """
+    offsets = [(dy, dx) for dy, dx in offsets_for(four_connected)
+               if (dy, dx) in ((0, 1), (1, 0), (1, 1), (1, -1))]
+    pad = jnp.uint32(0xFFFFFFFF)
+    packed = id_bound <= (1 << 16)
+    a_parts, b_parts = [], []
+    for dy, dx in offsets:
+        nbr = shift(seg, dy, dx, SEGNULLVAL)
+        ok = (seg != SEGNULLVAL) & (nbr != SEGNULLVAL) & (nbr != seg)
+        lo = jnp.minimum(seg, nbr)
+        hi = jnp.maximum(seg, nbr)
+        if packed:
+            a_parts.append(jnp.where(ok, (lo << 16) | hi, pad).ravel())
+        else:
+            a_parts.append(jnp.where(ok, lo, pad).ravel())
+            b_parts.append(jnp.where(ok, hi, pad).ravel())
+    a = jnp.concatenate(a_parts)
+    valid = a != pad
+    n_pairs = jnp.sum(valid.astype(jnp.uint32))
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    # invalid slots -> index b_cap (sliced off); valid slots past the
+    # bucket scatter out of range and drop — n_pairs > b_cap flags it
+    pos = jnp.where(valid, pos, b_cap)
+    if packed:
+        keys = jnp.full((b_cap + 1,), pad, jnp.uint32).at[pos].set(
+            a, mode="drop")[:b_cap]
+        keys = jax.lax.sort(keys)
+        ca, cb = keys >> 16, keys & jnp.uint32(0xFFFF)
+        ok_row = keys != pad
+        neq = keys != jnp.roll(keys, 1)
+    else:
+        b = jnp.concatenate(b_parts)
+        ca = jnp.full((b_cap + 1,), pad, jnp.uint32).at[pos].set(
+            a, mode="drop")[:b_cap]
+        cb = jnp.full((b_cap + 1,), pad, jnp.uint32).at[pos].set(
+            b, mode="drop")[:b_cap]
+        ca, cb = jax.lax.sort((ca, cb), num_keys=2)
+        ok_row = ca != pad
+        neq = (ca != jnp.roll(ca, 1)) | (cb != jnp.roll(cb, 1))
+    first = ok_row & ((jnp.arange(b_cap) == 0) | neq)
+    n_unique = jnp.sum(first.astype(jnp.uint32))
+    return ca, cb, first, n_unique, n_pairs
+
+
 def compact_edges(a, b, first, e_cap: int, id_bound: int = None):
     """
     Device: scatter the flagged unique pairs into fixed-size (e_cap,)
