@@ -364,6 +364,7 @@ def _config3_device_tile_loop(imgfile, res, phase_s, repeats=2):
     capacity = ss.round_capacity(int(sc0s[:, 0].max()) * 2 + 1)
     eCap = ss._edgeCapForCount(int(sc0s[:, 1].max() * 2))
     bCap = ss._boundaryCapForCount(int(sc0s[:, 3].max() * 2))
+    rCap = ss._rowCapForCount(int(sc0s[:, 4].max() * 2))
 
     def loop():
         outs = []
@@ -373,7 +374,8 @@ def _config3_device_tile_loop(imgfile, res, phase_s, repeats=2):
             outs.append(ss._segment_one_shot_device(
                 img, centers, nullVal, maxDiff, has_null=hasNull,
                 four_connected=True, min_seg_size=50,
-                capacity=capacity, e_cap=eCap, b_cap=bCap))
+                capacity=capacity, e_cap=eCap, b_cap=bCap,
+                r_cap=rCap))
         return outs
 
     outs = loop()  # warm (compile)

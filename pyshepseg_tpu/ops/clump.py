@@ -90,7 +90,8 @@ def _pallas_seed_labels(img, ignore_val, four_connected, valid, sentinel):
     return jnp.where(valid, ly * w + lx, sentinel)
 
 
-def clump_labels(img, ignore_val, four_connected=True, use_pallas=None):
+def clump_labels(img, ignore_val, four_connected=True, use_pallas=None,
+                 jump_every=8):
     """
     Device kernel: label connected components of equal-valued pixels.
 
@@ -105,6 +106,18 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None):
     use_pallas : bool or None (static)
         Seed the global loop with the Pallas block-local CCL kernel
         (None = yes; interpreted off-TPU).
+    jump_every : int (static)
+        Run the pointer-jumping hop on every ``jump_every``-th sweep.
+        The hop is a full-image gather (~7 ms/Mpix on a v5e — by far
+        the costliest op in the sweep), while a plain sweep is ~1.2 ms
+        of streaming run scans; typical scenes converge from the Pallas
+        block-local seeds in 3-4 sweeps WITHOUT ever jumping, so a
+        sparse schedule wins. Measured on the config-1 scene (v5e,
+        identical labels asserted): every-2nd-sweep 16.5 ms / 3 sweeps,
+        every-4th 16.3 ms / 4 sweeps (the jump still fired once),
+        every-8th 9.1 ms / 4 sweeps (never fired). Spiral-shaped label
+        chains still collapse multiplicatively, just starting sweeps
+        later — 8 keeps that backstop at zero typical-case cost.
 
     Returns
     -------
@@ -168,7 +181,8 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None):
                 [flat, jnp.array([sentinel], flat.dtype)])
             return flat_ext[flat].reshape(x.shape)
 
-        new = jax.lax.cond(sweep % 2 == 1, jump, lambda x: x, new)
+        new = jax.lax.cond(sweep % jump_every == jump_every - 1,
+                           jump, lambda x: x, new)
         new = jnp.where(valid, new, sentinel)
         changed = jnp.any(new != labels)
         return new, changed, sweep + 1
@@ -188,7 +202,8 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None):
 
 
 _clump_jit = jax.jit(clump_labels,
-                     static_argnames=("four_connected", "use_pallas"))
+                     static_argnames=("four_connected", "use_pallas",
+                                      "jump_every"))
 
 
 def clump(img, ignoreVal, fourConnected=True, clumpId=1, maxClumpSize=None):

@@ -119,74 +119,98 @@ def edge_sort_keys(seg, four_connected: bool):
 _edge_sort_jit = jax.jit(edge_sort_keys, static_argnames=("four_connected",))
 
 
-def edge_sort_keys_compact(seg, four_connected: bool, b_cap: int,
-                           id_bound: int):
+def boundary_row_stats(seg, four_connected: bool):
     """
-    Device: edge_sort_keys with the valid boundary pairs scatter-compacted
-    into a static (b_cap,) buffer BEFORE sorting. The O(H*W)-key sort —
-    the most expensive single op in the one-shot pipeline (~14 ms per
-    Mpix on a v5e, two-key over 2 (4-conn) or 4 (8-conn) candidates per
-    pixel, almost all of them padding) — becomes an O(b_cap) sort plus a
-    cumsum and one full-size scatter, both bandwidth-priced.
+    Device: (n_pairs, row_max) — the total boundary-pair count (adjacent
+    pixel pairs in different non-null segments, duplicates included) and
+    the maximum count attributable to a single image row. These size the
+    one-shot path's b_cap and r_cap speculation buckets (see
+    edge_sort_keys_compact); cheap mask reductions, no sort.
+    """
+    offsets = [(dy, dx) for dy, dx in offsets_for(four_connected)
+               if (dy, dx) in ((0, 1), (1, 0), (1, 1), (1, -1))]
+    per_row = 0
+    for dy, dx in offsets:
+        nbr = shift(seg, dy, dx, SEGNULLVAL)
+        ok = (seg != SEGNULLVAL) & (nbr != SEGNULLVAL) & (nbr != seg)
+        per_row = per_row + jnp.sum(ok.astype(jnp.uint32), axis=1)
+    return jnp.sum(per_row), jnp.max(per_row)
 
-    ``b_cap`` (static) is a speculative bucket for the boundary-pair
-    count (pairs of adjacent pixels in DIFFERENT non-null segments,
-    duplicates included — the segments' total shared perimeter). The
-    measured count comes back as ``n_pairs``; n_pairs > b_cap means
-    pairs were dropped and the caller MUST treat every output as
-    overflowed (the one-shot dispatch folds this into its overflow flag
-    and falls back to the measured path, exactly like the capacity and
-    e_cap buckets).
+
+def edge_sort_keys_compact(seg, four_connected: bool, b_cap: int,
+                           r_cap: int, id_bound: int):
+    """
+    Device: edge_sort_keys with the boundary pairs ROW-COMPACTED before
+    the dedup sort. The O(H*W)-key sort — the most expensive single op
+    in the one-shot pipeline (~14 ms per Mpix on a v5e, 2 (4-conn) or 4
+    (8-conn) key candidates per pixel, almost all padding) — becomes:
+
+    1. a batched PER-ROW sort of the (H, W*ndirs) candidate matrix along
+       its minor axis (pad keys sort last, so each row's valid pairs
+       compact to its front) — a sorting network over rows costs
+       O(log^2 W) cheap streaming stages and involves NO scatter (an
+       earlier variant compacted with a global cumsum + full-size
+       scatter; the 2M-element scatter serialises on TPU and cost more
+       than the sort it saved — measured);
+    2. a static slice to (H, r_cap) — ``r_cap`` (static) speculatively
+       bounds the boundary pairs in any single image row;
+    3. ONE global sort of the H*r_cap survivors, sliced to b_cap —
+       ``b_cap`` (static) speculatively bounds the total pair count.
+
+    The measured counts come back as (n_pairs, row_max); row_max > r_cap
+    or n_pairs > b_cap means pairs were dropped and the caller MUST
+    treat every output as overflowed (the one-shot dispatch folds both
+    into its overflow flag and falls back to the measured path, exactly
+    like the capacity and e_cap buckets).
 
     When ``id_bound`` <= 2^16 each canonical (lo, hi) pair packs into
     one uint32 (lo < hi strictly, so the 0xFFFFFFFF padding can never
-    collide with a real pair) and the scatter and sort run single-key;
-    otherwise the endpoints compact separately and sort two-key.
+    collide with a real pair) and both sorts run single-key; otherwise
+    the endpoints sort two-key.
 
-    Returns (a, b, first, n_unique, n_pairs) with a/b/first of length
-    b_cap — same contract as edge_sort_keys plus the pair count.
+    Returns (a, b, first, n_unique, n_pairs, row_max) with a/b/first of
+    length min(b_cap, H*r_cap) — same contract as edge_sort_keys plus
+    the measured counts.
     """
     offsets = [(dy, dx) for dy, dx in offsets_for(four_connected)
                if (dy, dx) in ((0, 1), (1, 0), (1, 1), (1, -1))]
     pad = jnp.uint32(0xFFFFFFFF)
     packed = id_bound <= (1 << 16)
-    a_parts, b_parts = [], []
+    a_parts, b_parts, per_row = [], [], 0
     for dy, dx in offsets:
         nbr = shift(seg, dy, dx, SEGNULLVAL)
         ok = (seg != SEGNULLVAL) & (nbr != SEGNULLVAL) & (nbr != seg)
+        per_row = per_row + jnp.sum(ok.astype(jnp.uint32), axis=1)
         lo = jnp.minimum(seg, nbr)
         hi = jnp.maximum(seg, nbr)
         if packed:
-            a_parts.append(jnp.where(ok, (lo << 16) | hi, pad).ravel())
+            a_parts.append(jnp.where(ok, (lo << 16) | hi, pad))
         else:
-            a_parts.append(jnp.where(ok, lo, pad).ravel())
-            b_parts.append(jnp.where(ok, hi, pad).ravel())
-    a = jnp.concatenate(a_parts)
-    valid = a != pad
-    n_pairs = jnp.sum(valid.astype(jnp.uint32))
-    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    # invalid slots -> index b_cap (sliced off); valid slots past the
-    # bucket scatter out of range and drop — n_pairs > b_cap flags it
-    pos = jnp.where(valid, pos, b_cap)
+            a_parts.append(jnp.where(ok, lo, pad))
+            b_parts.append(jnp.where(ok, hi, pad))
+    n_pairs = jnp.sum(per_row)
+    row_max = jnp.max(per_row)
+    h = seg.shape[0]
+    out_len = min(b_cap, h * r_cap)
     if packed:
-        keys = jnp.full((b_cap + 1,), pad, jnp.uint32).at[pos].set(
-            a, mode="drop")[:b_cap]
-        keys = jax.lax.sort(keys)
+        k = jnp.concatenate(a_parts, axis=1)        # (H, W*ndirs)
+        k = jax.lax.sort(k, dimension=1)[:, :r_cap].ravel()
+        keys = jax.lax.sort(k)[:out_len]
         ca, cb = keys >> 16, keys & jnp.uint32(0xFFFF)
         ok_row = keys != pad
         neq = keys != jnp.roll(keys, 1)
     else:
-        b = jnp.concatenate(b_parts)
-        ca = jnp.full((b_cap + 1,), pad, jnp.uint32).at[pos].set(
-            a, mode="drop")[:b_cap]
-        cb = jnp.full((b_cap + 1,), pad, jnp.uint32).at[pos].set(
-            b, mode="drop")[:b_cap]
-        ca, cb = jax.lax.sort((ca, cb), num_keys=2)
+        ka = jnp.concatenate(a_parts, axis=1)
+        kb = jnp.concatenate(b_parts, axis=1)
+        ka, kb = jax.lax.sort((ka, kb), dimension=1, num_keys=2)
+        ca, cb = jax.lax.sort(
+            (ka[:, :r_cap].ravel(), kb[:, :r_cap].ravel()), num_keys=2)
+        ca, cb = ca[:out_len], cb[:out_len]
         ok_row = ca != pad
         neq = (ca != jnp.roll(ca, 1)) | (cb != jnp.roll(cb, 1))
-    first = ok_row & ((jnp.arange(b_cap) == 0) | neq)
+    first = ok_row & ((jnp.arange(out_len) == 0) | neq)
     n_unique = jnp.sum(first.astype(jnp.uint32))
-    return ca, cb, first, n_unique, n_pairs
+    return ca, cb, first, n_unique, n_pairs, row_max
 
 
 def compact_edges(a, b, first, e_cap: int, id_bound: int = None):
@@ -214,8 +238,7 @@ def compact_edges(a, b, first, e_cap: int, id_bound: int = None):
     return ea, eb
 
 
-def _merge_pass_edges(ids2, remap, seg_size, spect_bm, target,
-                      max_diff_sqr):
+def _merge_pass_edges(ids2, remap, table, target, max_diff_sqr):
     """
     One find+apply pass for segments of exactly ``target`` pixels, on the
     segment-adjacency graph. ``ids2`` is the pre-concatenated (2E,)
@@ -224,50 +247,58 @@ def _merge_pass_edges(ids2, remap, seg_size, spect_bm, target,
     findMergeSegment + doMerge (shepseg.py:1003-1123) semantics on frozen
     per-pass state.
 
-    Gather economy is the whole game here (each pass runs ~40+ times per
-    tile and a gather's fixed cost dominates at these sizes — measured):
+    OP economy is the whole game here: each pass runs ~40+ times per
+    tile over arrays of a few thousand elements, where a TPU op's fixed
+    launch cost dominates its data movement (measured ~0.55 ms/pass at
+    e_cap 6K / capacity 4K before this layout; the loop is op-count-
+    bound, not bandwidth-bound). Hence:
 
-    - ONE (2E,) gather maps both endpoints through remap;
-    - ONE stacked gather reads size + every band sum for both endpoints:
-      the per-segment state is stacked as a (nBands+1, capacity) table
-      (big dim minor, lane-friendly) and gathered along the minor axis —
-      a multi-row gather costs the same as a single-row one (measured:
-      2.9 vs 2.7 ms at 16K indices for 8 rows vs 1);
-    - ONE more (2E,) gather reads back the per-segment best distance.
+    - the ENTIRE per-segment state lives in ONE (nBands+1, capacity)
+      float32 table (row 0 = size, rows 1.. = band sums) that is carried
+      through the loop — no per-pass re-stacking, no separate uint32
+      size vector, and the merge application is ONE multi-channel
+      segment_sum instead of two;
+    - per-segment MEANS are computed once on the (capacity,)-sized table
+      and gathered per-edge (same IEEE quotients as dividing after the
+      gather — bit-identical decisions), so the big (2E,) arrays see
+      only: one remap gather, one stacked mean/size gather, one
+      best-distance read-back gather, and two segment_min scatters.
 
-    Sizes ride the float32 table: candidacy (size == target) stays exact
-    for ANY size (an integer < 2^24 is exactly representable; one >= 2^24
-    can never round to a small target), and the strictly-larger test
-    compares a candidate's exact small size with a neighbour whose
-    rounded size only moves toward other >= 2^24 values. The mean
-    arithmetic (sum / size in float32) is bit-identical to before.
+    Sizes ride float32: candidacy (size == target) stays exact for ANY
+    size (an integer < 2^24 is exactly representable; one >= 2^24 can
+    never round to a small target), the strictly-larger test compares a
+    candidate's exact small size against a neighbour whose rounding
+    only moves it toward other huge values, and a merged-away segment's
+    size is exactly 0 (x - x + 0). Size ACCUMULATION (target += moved)
+    is exact while sizes stay below 2^24 pixels; beyond that the stored
+    size may round to an even neighbour — harmless for every decision
+    above, and flagged in eliminate_small_segments_graph's docstring.
     """
-    capacity = seg_size.shape[0]
+    capacity = table.shape[1]
     E2 = ids2.shape[0]
     E = E2 // 2
     inf = jnp.float32(jnp.inf)
     big_id = jnp.uint32(0xFFFFFFFF)
     ids = jnp.arange(capacity, dtype=jnp.uint32)
 
-    is_cand = (seg_size == target) & (ids >= MINSEGID)
+    size = table[0]
     ftarget = target.astype(jnp.float32)
+    is_cand = (size == ftarget) & (ids >= MINSEGID)
+    # division (not reciprocal-multiply) keeps the arithmetic identical
+    # to the original mean = sum/size formulation
+    mtab = jnp.concatenate(
+        [size[None], table[1:] / jnp.maximum(size, 1.0)[None]])
 
     cur2 = remap[ids2].astype(jnp.int32)                # (2E,) gather #1
     cur_a, cur_b = cur2[:E], cur2[E:]
     live = (cur_a != cur_b) & (cur_a != SEGNULLVAL) & (cur_b != SEGNULLVAL)
 
-    # Stacked per-segment state table: row 0 = size (f32), rows 1.. =
-    # band sums. One gather serves every per-endpoint read.
-    table = jnp.stack((seg_size.astype(jnp.float32),) + spect_bm)
-    g2 = table[:, cur2]                                 # gather #2
+    g2 = mtab[:, cur2]                                  # gather #2
     size2 = g2[0]
     size_a, size_b = size2[:E], size2[E:]
     cand_a = (size_a == ftarget) & (cur_a >= MINSEGID)
     cand_b = (size_b == ftarget) & (cur_b >= MINSEGID)
-    # division (not reciprocal-multiply) keeps the arithmetic identical
-    # to the original mean = sum/size formulation
-    fsize2 = jnp.maximum(size2, 1.0)
-    means = g2[1:] / fsize2                             # (nBands, 2E)
+    means = g2[1:]                                      # (nBands, 2E)
     diff = means[:, :E] - means[:, E:]
     d2u = jnp.sum(diff * diff, axis=0)
 
@@ -293,20 +324,15 @@ def _merge_pass_edges(ids2, remap, seg_size, spect_bm, target,
     merge_map = jnp.where(move, merge_to, ids)
     remap_new = merge_map[remap.astype(jnp.int32)]
 
+    # one multi-channel capacity-sized scatter updates size + every band
+    # sum (non-movers scatter zeros onto the null segment's row)
     tgt = merge_to.astype(jnp.int32)
-    moved_size = jnp.where(move, seg_size, 0).astype(jnp.uint32)
-    inc_size = jax.ops.segment_sum(moved_size, tgt, num_segments=capacity)
-    seg_size_new = seg_size - moved_size + inc_size
-
-    # one multi-channel capacity-sized scatter updates every band sum
-    moved_bm = jnp.where(move[None, :], jnp.stack(spect_bm), 0.0)
-    inc_bm = jax.ops.segment_sum(moved_bm.T, tgt,
-                                 num_segments=capacity).T
-    spect_stack = jnp.stack(spect_bm) - moved_bm + inc_bm
-    spect_bm_new = tuple(spect_stack[i] for i in range(len(spect_bm)))
+    moved = jnp.where(move[None, :], table, 0.0)
+    inc = jax.ops.segment_sum(moved.T, tgt, num_segments=capacity).T
+    table_new = table - moved + inc
 
     n_merged = move.sum().astype(jnp.uint32)
-    return remap_new, seg_size_new, spect_bm_new, n_merged
+    return remap_new, table_new, n_merged
 
 
 def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
@@ -324,6 +350,11 @@ def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
     totalPasses) — totalPasses counts every executed find+apply pass
     across all target sizes (each pass streams the edge arrays ~10x;
     the perf-relevant loop count, reported by bench).
+
+    The loop state is a single (nBands+1, capacity) float32 table (row 0
+    = sizes — see _merge_pass_edges for the exactness argument; the
+    returned seg_size is cast back to uint32, exact below 2^24 pixels
+    per segment).
     """
     capacity = seg_size.shape[0]
     max_diff_sqr = (jnp.float32(max_spectral_diff) ** 2)
@@ -334,40 +365,42 @@ def eliminate_small_segments_graph(ea, eb, seg_size, spect_sum,
     # reduces per pair). seg_size/spect_sum are indexed by CURRENT ids.
     remap0 = (jnp.arange(capacity, dtype=jnp.uint32)
               if remap_init is None else remap_init.astype(jnp.uint32))
-    # band-major tuple of (capacity,) vectors for lane-friendly gathers
-    # in the pass (see _merge_pass_edges)
-    spect_bm = tuple(spect_sum[:, i] for i in range(spect_sum.shape[1]))
+    # The whole per-segment state as ONE stacked table: row 0 = size
+    # (f32), rows 1.. = band sums, capacity minor (lane-friendly).
+    table = jnp.concatenate(
+        [seg_size.astype(jnp.float32)[None], spect_sum.T])
     # both endpoint vectors concatenated ONCE, outside every pass
     ids2 = jnp.concatenate([ea, eb]).astype(jnp.int32)
 
-    def count_at(seg_size, target):
-        return jnp.count_nonzero(seg_size == target).astype(jnp.int32)
+    def count_at(table, ftarget):
+        return jnp.count_nonzero(table[0] == ftarget).astype(jnp.int32)
 
     def per_target(target, carry):
-        remap, seg_size, spect_bm, num_elim, total_passes = carry
+        remap, table, num_elim, total_passes = carry
         target_u = target.astype(jnp.uint32)
+        ftarget = target.astype(jnp.float32)
 
         def cond(c):
-            _, _, _, count, prev, passes, _ = c
+            _, _, count, prev, passes, _ = c
             return (count > 0) & (count != prev) & (passes < 10)
 
         def body(c):
-            remap_c, size_c, spect_c, count, prev, passes, elim = c
-            remap_n, size_n, spect_n, n = _merge_pass_edges(
-                ids2, remap_c, size_c, spect_c, target_u, max_diff_sqr)
-            return (remap_n, size_n, spect_n, count_at(size_n, target_u),
+            remap_c, table_c, count, prev, passes, elim = c
+            remap_n, table_n, n = _merge_pass_edges(
+                ids2, remap_c, table_c, target_u, max_diff_sqr)
+            return (remap_n, table_n, count_at(table_n, ftarget),
                     count, passes + 1, elim + n)
 
-        init = (remap, seg_size, spect_bm, count_at(seg_size, target_u),
+        init = (remap, table, count_at(table, ftarget),
                 jnp.int32(-1), jnp.int32(0), num_elim)
-        (remap, seg_size, spect_bm, _, _, passes,
+        (remap, table, _, _, passes,
          num_elim) = jax.lax.while_loop(cond, body, init)
-        return remap, seg_size, spect_bm, num_elim, total_passes + passes
+        return remap, table, num_elim, total_passes + passes
 
-    remap, seg_size, spect_bm, num_elim, total_passes = jax.lax.fori_loop(
+    remap, table, num_elim, total_passes = jax.lax.fori_loop(
         1, min_seg_size, per_target,
-        (remap0, seg_size, spect_bm, jnp.uint32(0), jnp.int32(0)))
-    return remap, seg_size, num_elim, total_passes
+        (remap0, table, jnp.uint32(0), jnp.int32(0)))
+    return remap, table[0].astype(jnp.uint32), num_elim, total_passes
 
 
 def _remap_and_relabel(seg, remap, seg_size_out):

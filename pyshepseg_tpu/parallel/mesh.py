@@ -43,7 +43,7 @@ def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
     then the FUSED elimination dispatch.
 
     Returns (segs numpy (B, H, W), buckets) where ``buckets`` is the
-    (capacity, eCap, bCap) triple to speculate with next batch.
+    (capacity, eCap, bCap, rCap) tuple to speculate with next batch.
 
     Shared by the CONC_MESH backend and the per-host shard path of the
     DCN backend.
@@ -53,17 +53,19 @@ def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
     from .. import shepseg as _shepseg
 
     if specBuckets is not None:
-        capacity, eCap, bCap = specBuckets
+        capacity, eCap, bCap, rCap = specBuckets
         segsS, scalars = segment_tiles_one_shot(
             batch_j, centers, nullVal, maxDiff,
             min_seg_size=minSegmentSize, four_connected=fourConnected,
-            has_null=hasNull, capacity=capacity, e_cap=eCap, b_cap=bCap)
+            has_null=hasNull, capacity=capacity, e_cap=eCap, b_cap=bCap,
+            r_cap=rCap)
         scalars = np.asarray(scalars)
         if not scalars[:, 7].any():
             buckets = (round_capacity(int(scalars[:, 0].max()) + 1),
                        _shepseg._edgeCapForCount(int(scalars[:, 1].max())),
                        _shepseg._boundaryCapForCount(
-                           int(scalars[:, 8].max())))
+                           int(scalars[:, 8].max())),
+                       _shepseg._rowCapForCount(int(scalars[:, 9].max())))
             return np.asarray(segsS), buckets
 
     segs, a, b, first, sc0 = cluster_clump_edges_tiles(
@@ -73,7 +75,8 @@ def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
     capacity = segCapacity or round_capacity(int(sc0[:, 0].max()) + 1)
     eCap = _shepseg._edgeCapForCount(int(sc0[:, 1].max()))
     bCap = _shepseg._boundaryCapForCount(int(sc0[:, 2].max()))
-    buckets = (capacity, eCap, bCap)
+    rCap = _shepseg._rowCapForCount(int(sc0[:, 3].max()))
+    buckets = (capacity, eCap, bCap, rCap)
     segsF, scalars = eliminate_tiles_fused(
         batch_j, segs, a, b, first, maxDiff,
         min_seg_size=minSegmentSize,
@@ -89,7 +92,7 @@ def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
     segs2, _ = eliminate_tiles_phase2(
         segs2, sizes, spects, ea, eb, first, maxDiff,
         min_seg_size=minSegmentSize, e_cap=eCap)
-    return np.asarray(segs2), (capacity, eCap, bCap)
+    return np.asarray(segs2), (capacity, eCap, bCap, rCap)
 
 
 class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):

@@ -142,9 +142,10 @@ def cluster_clump_edges_tiles(imgs, centers, img_null_val,
     sorted clump-adjacency edge keys, whose measured unique counts size
     the fused dispatch's edge bucket (contraction bound — see
     shepseg._cluster_and_clump_device). Returns (segs, a, b, first,
-    scalars (B, 3) = [clumpCount, nUniqueEdges, nBoundaryPairs]).
+    scalars (B, 4) = [clumpCount, nUniqueEdges, nBoundaryPairs,
+    nRowMax]).
     """
-    from ..ops.elim_small import edge_sort_keys
+    from ..ops.elim_small import edge_sort_keys, boundary_row_stats
 
     def one(img):
         clusters = assign_clusters(img, centers, img_null_val, has_null)
@@ -152,10 +153,9 @@ def cluster_clump_edges_tiles(imgs, centers, img_null_val,
                                      SEGNULLVAL,
                                      four_connected=four_connected)
         a, b, first, n_unique = edge_sort_keys(seg, four_connected)
-        n_pairs = jnp.sum(
-            (a != jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32))
+        n_pairs, row_max = boundary_row_stats(seg, four_connected)
         return seg, a, b, first, jnp.stack(
-            [count, n_unique.astype(jnp.uint32), n_pairs])
+            [count, n_unique.astype(jnp.uint32), n_pairs, row_max])
 
     return jax.vmap(one)(imgs)
 
@@ -234,19 +234,21 @@ def eliminate_tiles_fused(imgs, segs, a, b, first, max_spectral_diff,
 @functools.partial(
     jax.jit,
     static_argnames=("min_seg_size", "four_connected", "has_null",
-                     "capacity", "e_cap", "b_cap"))
+                     "capacity", "e_cap", "b_cap", "r_cap"))
 def segment_tiles_one_shot(imgs, centers, img_null_val,
                            max_spectral_diff, min_seg_size: int,
                            four_connected: bool, has_null: bool,
-                           capacity: int, e_cap: int, b_cap: int):
+                           capacity: int, e_cap: int, b_cap: int,
+                           r_cap: int):
     """
     Batched SPECULATIVE one-shot pipeline: the whole per-tile flow
     (cluster -> clump -> edges -> eliminations -> relabel) vmapped over
     a tile batch in ONE program with static capacity buckets learned
     from an earlier batch of the same scene — no per-batch host sync at
     all (the mesh backend's steady state). Returns (segs — uint16 when
-    capacity allows, scalars (B, 9) as shepseg._segment_one_shot_device;
-    any overflow flag set => discard and re-run the measured flow).
+    capacity allows, scalars (B, 10) as
+    shepseg._segment_one_shot_device; any overflow flag set => discard
+    and re-run the measured flow).
     """
     from ..shepseg import _segment_one_shot_device
 
@@ -255,7 +257,7 @@ def segment_tiles_one_shot(imgs, centers, img_null_val,
             img, centers, img_null_val, max_spectral_diff,
             has_null=has_null, four_connected=four_connected,
             min_seg_size=min_seg_size, capacity=capacity, e_cap=e_cap,
-            b_cap=b_cap)
+            b_cap=b_cap, r_cap=r_cap)
 
     return jax.vmap(one)(imgs)
 

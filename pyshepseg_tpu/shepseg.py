@@ -88,10 +88,10 @@ def _cluster_and_clump_device(img_dev, centers, img_null_val,
     no second sync.
 
     Returns (band planes, seg, a, b, first, scalars =
-    [numClumps, nUniqueEdges, clumpSweeps, nBoundaryPairs]).
+    [numClumps, nUniqueEdges, clumpSweeps, nBoundaryPairs, nRowMax]).
     """
     from .ops.kmeans import assign_clusters
-    from .ops.elim_small import edge_sort_keys
+    from .ops.elim_small import edge_sort_keys, boundary_row_stats
 
     img_f = img_dev.astype(jnp.float32)
     clusters = assign_clusters(img_dev, centers, img_null_val, has_null)
@@ -99,12 +99,12 @@ def _cluster_and_clump_device(img_dev, centers, img_null_val,
         clusters.astype(jnp.int32), SEGNULLVAL,
         four_connected=four_connected)
     a, b, first, n_unique = edge_sort_keys(seg, four_connected)
-    # boundary-pair count (duplicates included): sizes the b_cap bucket
-    # that lets the NEXT run compact pairs before sorting (the one-shot
-    # path's edge_sort_keys_compact)
-    n_pairs = jnp.sum((a != jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32))
+    # boundary-pair count and per-row max (duplicates included): size
+    # the b_cap/r_cap buckets that let the NEXT run row-compact pairs
+    # before sorting (the one-shot path's edge_sort_keys_compact)
+    n_pairs, row_max = boundary_row_stats(seg, four_connected)
     scalars = jnp.stack([num_clumps, n_unique.astype(jnp.uint32),
-                         sweeps.astype(jnp.uint32), n_pairs])
+                         sweeps.astype(jnp.uint32), n_pairs, row_max])
     # Per-band 2D planes, NOT the 3D array (see segreduce.band_planes
     # for the lane-padding OOM this avoids)
     return band_planes_fn(img_f), seg, a, b, first, scalars
@@ -187,28 +187,40 @@ def _edgeCapForCount(nUniqueEdges: int) -> int:
 
 def _boundaryCapForCount(nBoundaryPairs: int) -> int:
     """Static boundary-pair bucket (b_cap) from a measured pair count.
-    Coarse power-of-two buckets: only ONE sort + scatter depend on
-    b_cap (cost ~linear but small), while every distinct bucket is a
-    fresh compile — fewer variants wins. The count varies tile-to-tile
-    within a scene, so pow-2 slack also keeps the overflow-refit rate
-    low."""
+    Coarse power-of-two buckets: only ONE sort depends on b_cap (cost
+    ~linear but small), while every distinct bucket is a fresh compile
+    — fewer variants wins. The count varies tile-to-tile within a
+    scene, so pow-2 slack also keeps the overflow-refit rate low."""
     return round_capacity(int(nBoundaryPairs) + 1)
 
 
+def _rowCapForCount(nRowMax: int) -> int:
+    """Static per-row boundary-pair bucket (r_cap) from the measured
+    max pairs in any single image row. Power-of-two from 64: row counts
+    are spiky (a row tracing along a segment boundary can hold several
+    times the mean), so generous slack keeps overflow refits rare while
+    the cost of slack is only the size of one intermediate sort."""
+    cap = 64
+    while cap < int(nRowMax) + 1:
+        cap *= 2
+    return cap
+
+
 # Speculative-capacity cache: (shape, dtype, nCentres, fourConnected) ->
-# (capacity, e_cap, b_cap) measured on the previous run of the same
-# configuration. Lets repeat runs (every tile of a scene after the
+# (capacity, e_cap, b_cap, r_cap) measured on the previous run of the
+# same configuration. Lets repeat runs (every tile of a scene after the
 # first, every timed repeat of a benchmark) run the WHOLE pipeline as a
 # single dispatch with no mid-pipeline host sync — the sync costs a full
 # host<->device round trip (~27 ms measured through the dev tunnel, a
 # seventh of config 1's whole compute budget) — and with the boundary
-# pairs compacted to b_cap BEFORE the dedup sort, which turns the
-# pipeline's costliest op (a 2-4-per-pixel-key sort, ~14 ms/Mpix) into
-# a b_cap-sized one. A run whose measured counts exceed the speculated
-# buckets trips the overflow flag and falls back to the measured
-# two-dispatch path (results of the speculative dispatch are discarded;
-# gathers clamp and scatters drop out-of-range indices, so the wasted
-# dispatch is harmless).
+# pairs row-compacted to (rows, r_cap) then b_cap BEFORE the dedup
+# sort, which turns the pipeline's costliest op (a 2-4-per-pixel-key
+# sort, ~14 ms/Mpix) into a batched per-row sort plus a b_cap-sized
+# one. A run whose measured counts exceed the speculated buckets trips
+# the overflow flag and falls back to the measured two-dispatch path
+# (results of the speculative dispatch are discarded; gathers clamp and
+# scatters drop out-of-range indices, so the wasted dispatch is
+# harmless).
 _SPEC_BUCKETS = {}
 
 
@@ -221,11 +233,12 @@ def _bucketKey(img_dev, centers, fourConnected, minSegmentSize):
 @functools.partial(
     jax.jit,
     static_argnames=("has_null", "four_connected", "min_seg_size",
-                     "capacity", "e_cap", "b_cap"))
+                     "capacity", "e_cap", "b_cap", "r_cap"))
 def _segment_one_shot_device(img_dev, centers, img_null_val,
                              max_spectral_diff, has_null: bool,
                              four_connected: bool, min_seg_size: int,
-                             capacity: int, e_cap: int, b_cap: int):
+                             capacity: int, e_cap: int, b_cap: int,
+                             r_cap: int):
     """
     The ENTIRE pipeline (cluster -> clump -> edge extraction ->
     single-pixel elim -> graph small-segment elim -> relabel) as ONE
@@ -234,13 +247,14 @@ def _segment_one_shot_device(img_dev, centers, img_null_val,
     carries the measured clump / unique-edge / boundary-pair counts plus
     an overflow flag; the caller discards the result and re-runs the
     measured two-dispatch path when any speculation was too small. The
-    b_cap bucket compacts the boundary pairs before the dedup sort
-    (edge_sort_keys_compact), replacing the measured path's
-    2-4-keys-per-pixel sort with a b_cap-sized one.
+    b_cap/r_cap buckets row-compact the boundary pairs before the dedup
+    sort (edge_sort_keys_compact), replacing the measured path's
+    2-4-keys-per-pixel sort with a per-row batched one plus a
+    b_cap-sized one.
 
     Returns (seg_out, scalars = [numClumps, nUniqueEdges, clumpSweeps,
     nAfterSingle, nSmallEliminated, maxSegId, elimPasses, overflow,
-    nBoundaryPairs]).
+    nBoundaryPairs, nRowMax]).
     """
     from .ops.kmeans import assign_clusters
     from .ops.elim_small import (edge_sort_keys_compact, compact_edges,
@@ -252,11 +266,12 @@ def _segment_one_shot_device(img_dev, centers, img_null_val,
     seg, num_clumps, sweeps = clump_labels(
         clusters.astype(jnp.int32), SEGNULLVAL,
         four_connected=four_connected)
-    a, b, first, n_unique, n_pairs = edge_sort_keys_compact(
-        seg, four_connected, b_cap, id_bound=capacity)
+    a, b, first, n_unique, n_pairs, row_max = edge_sort_keys_compact(
+        seg, four_connected, b_cap, r_cap, id_bound=capacity)
     overflow = ((num_clumps + 1 > jnp.uint32(capacity)) |
                 (n_unique > jnp.uint32(e_cap)) |
-                (n_pairs > jnp.uint32(b_cap)))
+                (n_pairs > jnp.uint32(b_cap)) |
+                (row_max > jnp.uint32(r_cap)))
 
     planes = band_planes_fn(img_dev.astype(jnp.float32))
     seg_clump = seg
@@ -280,7 +295,7 @@ def _segment_one_shot_device(img_dev, centers, img_null_val,
                          jnp.max(seg).astype(jnp.uint32),
                          passes.astype(jnp.uint32),
                          overflow.astype(jnp.uint32),
-                         n_pairs])
+                         n_pairs, row_max])
     if capacity <= 0xFFFF + 1:
         seg = seg.astype(jnp.uint16)
     return seg, scalars
@@ -390,15 +405,15 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     spec = _SPEC_BUCKETS.get(specKey)
     done = False
     if spec is not None:
-        capacity, eCap, bCap = spec
+        capacity, eCap, bCap, rCap = spec
         seg_out_dev, scalars_dev = _segment_one_shot_device(
             img_dev, centers, nullVal, jnp.float32(maxSpectralDiff),
             has_null=hasNull, four_connected=bool(fourConnected),
             min_seg_size=int(minSegmentSize),
-            capacity=capacity, e_cap=eCap, b_cap=bCap)
+            capacity=capacity, e_cap=eCap, b_cap=bCap, r_cap=rCap)
         (numClumps, nUniqueEdges, clumpSweeps, nAfterSingle,
          numElimSmall, finalMax, elimPasses, overflow,
-         nBoundaryPairs) = np.asarray(scalars_dev).tolist()
+         nBoundaryPairs, nRowMax) = np.asarray(scalars_dev).tolist()
         if overflow:
             # speculation too small: discard and re-run measured
             _SPEC_BUCKETS.pop(specKey, None)
@@ -407,7 +422,8 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
             _SPEC_BUCKETS[specKey] = (
                 round_capacity(maxSegId + 1),
                 _edgeCapForCount(int(nUniqueEdges)),
-                _boundaryCapForCount(int(nBoundaryPairs)))
+                _boundaryCapForCount(int(nBoundaryPairs)),
+                _rowCapForCount(int(nRowMax)))
             done = True
             if verbose:
                 print("One-shot dispatch found", maxSegId, "clumps, in",
@@ -422,7 +438,7 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
         # bucket (clump count) and the edge-capacity bucket (measured
         # clump-image adjacency count, a contraction bound for the loop).
         (numClumps, nUniqueEdges, clumpSweeps,
-         nBoundaryPairs) = np.asarray(scalars0_dev).tolist()
+         nBoundaryPairs, nRowMax) = np.asarray(scalars0_dev).tolist()
         maxSegId = int(numClumps)
         if verbose:
             print("Kmeans plus clump found", maxSegId, "clumps, in",
@@ -464,7 +480,8 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
             # record the measured buckets so the NEXT run of this
             # configuration takes the one-shot path
             _SPEC_BUCKETS[specKey] = (
-                capacity, eCap, _boundaryCapForCount(int(nBoundaryPairs)))
+                capacity, eCap, _boundaryCapForCount(int(nBoundaryPairs)),
+                _rowCapForCount(int(nRowMax)))
     # uint16 download invariant: the cast fires iff capacity bounds all
     # IDs below 2^16, so the final max must fit (VERDICT round-2 item)
     if seg_out_dev.dtype == jnp.uint16:
@@ -518,10 +535,11 @@ def deviceResidentThroughput(img, kmeansObj, maxSpectralDiff,
     planes, seg, a, b, first, sc0 = _cluster_and_clump_device(
         img_dev, centers, nullVal, has_null=hasNull,
         four_connected=bool(fourConnected))
-    num, nUnique, _, nPairs = np.asarray(sc0).tolist()
+    num, nUnique, _, nPairs, nRowMax = np.asarray(sc0).tolist()
     capacity = round_capacity(int(num) + 1)
     eCap = _edgeCapForCount(nUnique)
     bCap = _boundaryCapForCount(nPairs)
+    rCap = _rowCapForCount(nRowMax)
     _elim_fused_device(
         planes, seg, a, b, first, maxDiff,
         min_seg_size=int(minSegmentSize),
@@ -533,7 +551,7 @@ def deviceResidentThroughput(img, kmeansObj, maxSpectralDiff,
             img_dev, centers, nullVal, maxDiff,
             has_null=hasNull, four_connected=bool(fourConnected),
             min_seg_size=int(minSegmentSize),
-            capacity=capacity, e_cap=eCap, b_cap=bCap)
+            capacity=capacity, e_cap=eCap, b_cap=bCap, r_cap=rCap)
         # force a value fetch: block_until_ready can report early on the tunnel
         vals = np.asarray(sc)
         assert not vals[7], "speculative capacity overflow mid-benchmark"
@@ -578,17 +596,18 @@ def deviceOnlySeconds(img, kmeansObj, maxSpectralDiff, minSegmentSize=50,
     planes, seg, a, b, first, sc0 = _cluster_and_clump_device(
         img_dev, centers, nullVal, has_null=hasNull,
         four_connected=bool(fourConnected))
-    num, nUnique, _, nPairs = np.asarray(sc0).tolist()
+    num, nUnique, _, nPairs, nRowMax = np.asarray(sc0).tolist()
     capacity = round_capacity(int(num) + 1)
     eCap = _edgeCapForCount(nUnique)
     bCap = _boundaryCapForCount(nPairs)
+    rCap = _rowCapForCount(nRowMax)
 
     def one_shot():
         return _segment_one_shot_device(
             img_dev, centers, nullVal, maxDiff,
             has_null=hasNull, four_connected=bool(fourConnected),
             min_seg_size=int(minSegmentSize),
-            capacity=capacity, e_cap=eCap, b_cap=bCap)
+            capacity=capacity, e_cap=eCap, b_cap=bCap, r_cap=rCap)
 
     one_shot()  # compile + warm
 

@@ -90,7 +90,8 @@ def main():
 
     out["d1_cluster_clump_edges_ms"] = round(timeit(d1) * 1000, 1)
     planes, seg0, a0, b0, first0, sc0 = d1()
-    numClumps, nUniqueEdges, sweeps, nPairs = np.asarray(sc0).tolist()
+    (numClumps, nUniqueEdges, sweeps, nPairs,
+     nRowMax) = np.asarray(sc0).tolist()
     capacity = round_capacity(int(numClumps) + 1)
     eCap = shepseg._edgeCapForCount(int(nUniqueEdges))
     out["b_pairs"] = int(nPairs)

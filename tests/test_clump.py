@@ -120,3 +120,32 @@ def test_clump_capped_matches_oracle_on_large_uniform_region(rng):
     # and the exact kernel would NOT have split it
     seg_exact, _ = clump(img, 0, fourConnected=True)
     assert len(np.unique(seg_exact[25:125, 25:125])) == 1
+
+
+def test_clump_jump_schedule_invariant(rng):
+    """The pointer-jump hop only ACCELERATES label propagation — the
+    fixpoint (and so the scan-order labels) must be identical for any
+    jump schedule, including never jumping. Uses the serpentine image
+    (worst-case propagation depth) plus a random one."""
+    import jax
+    import functools
+    from pyshepseg_tpu.ops.clump import clump_labels
+    snake = np.zeros((20, 20), dtype=np.int32)
+    for r in range(0, 20, 2):
+        snake[r, :] = 1
+        if r + 1 < 20:
+            snake[r + 1, -1 if (r // 2) % 2 == 0 else 0] = 1
+    rand = _random_cluster_img(rng, shape=(64, 48))
+    for img in (snake, rand):
+        ref = None
+        for je in (2, 3, 8, 10_000):
+            f = jax.jit(functools.partial(
+                clump_labels, ignore_val=0, four_connected=True,
+                jump_every=je))
+            seg, num, sweeps = f(img)
+            seg = np.asarray(seg)
+            if ref is None:
+                ref = seg
+            else:
+                np.testing.assert_array_equal(seg, ref)
+            assert int(sweeps) < 60

@@ -235,14 +235,14 @@ def test_eliminate_single_pixels_honours_min_seg_id():
 
 
 def test_edge_sort_keys_compact_matches_full_sort(rng):
-    """edge_sort_keys_compact (scatter-compact the boundary pairs into a
-    static b_cap buffer BEFORE the dedup sort — the one-shot pipeline's
-    hot path) must produce the same unique edge set and pair count as
-    the full O(H*W)-key edge_sort_keys, in both the packed (ids fit 16
-    bits) and unpacked (two-key sort) variants, 4- and 8-connected."""
+    """edge_sort_keys_compact (row-compact the boundary pairs via a
+    batched per-row sort BEFORE the dedup sort — the one-shot pipeline's
+    hot path) must produce the same unique edge set and measured counts
+    as the full O(H*W)-key edge_sort_keys, in both the packed (ids fit
+    16 bits) and unpacked (two-key sort) variants, 4- and 8-connected."""
     import jax.numpy as jnp
     from pyshepseg_tpu.ops.elim_small import (
-        edge_sort_keys, edge_sort_keys_compact)
+        edge_sort_keys, edge_sort_keys_compact, boundary_row_stats)
 
     clusters = rng.integers(0, 6, size=(48, 64)).astype(np.uint32)
     seg, _ = clump(clusters, 0, fourConnected=True)
@@ -254,29 +254,40 @@ def test_edge_sort_keys_compact_matches_full_sort(rng):
         ref_pairs = int(np.sum(a != 0xFFFFFFFF))
         ref_edges = set(zip(a[first].tolist(), b[first].tolist()))
         assert ref_pairs > 0 and len(ref_edges) == int(n_unique)
+        sp, sr = boundary_row_stats(seg_j, four_connected)
+        assert int(sp) == ref_pairs
+        ref_rowmax = int(sr)
+        assert 0 < ref_rowmax <= ref_pairs
 
+        ndirs = 2 if four_connected else 4
         for id_bound in (int(seg.max()) + 1, (1 << 16) + 1):
-            b_cap = ref_pairs + 13   # loose bucket
-            ca, cb, cf, cn, cp = edge_sort_keys_compact(
-                seg_j, four_connected, b_cap, id_bound=id_bound)
+            b_cap = ref_pairs + 13   # loose buckets
+            r_cap = ref_rowmax + 5
+            ca, cb, cf, cn, cp, cr = edge_sort_keys_compact(
+                seg_j, four_connected, b_cap, r_cap, id_bound=id_bound)
             ca, cb, cf = np.asarray(ca), np.asarray(cb), np.asarray(cf)
             assert int(cp) == ref_pairs
+            assert int(cr) == ref_rowmax
             assert int(cn) == len(ref_edges)
             got = set(zip(ca[cf].tolist(), cb[cf].tolist()))
             assert got == ref_edges
 
-        # exact-size bucket must also work (boundary condition)
-        ca, cb, cf, cn, cp = edge_sort_keys_compact(
-            seg_j, four_connected, ref_pairs,
-            id_bound=int(seg.max()) + 1)
-        assert int(cp) == ref_pairs
-        got = set(zip(np.asarray(ca)[np.asarray(cf)].tolist(),
-                      np.asarray(cb)[np.asarray(cf)].tolist()))
-        assert got == ref_edges
+        # exact-size buckets must also work (boundary condition), and
+        # an r_cap past the candidate width must clamp harmlessly
+        for (b_cap, r_cap) in ((ref_pairs, ref_rowmax),
+                               (ref_pairs, seg.shape[1] * ndirs + 7)):
+            ca, cb, cf, cn, cp, cr = edge_sort_keys_compact(
+                seg_j, four_connected, b_cap, min(r_cap, ref_pairs),
+                id_bound=int(seg.max()) + 1)
+            assert int(cp) == ref_pairs and int(cn) == len(ref_edges)
+            got = set(zip(np.asarray(ca)[np.asarray(cf)].tolist(),
+                          np.asarray(cb)[np.asarray(cf)].tolist()))
+            assert got == ref_edges
 
-        # an undersized bucket must report n_pairs > b_cap (the one-shot
-        # dispatch folds this into its overflow flag)
-        _, _, _, _, cp = edge_sort_keys_compact(
+        # undersized buckets must report the true measured counts so the
+        # one-shot dispatch's overflow flag catches the drop
+        _, _, _, _, cp, cr = edge_sort_keys_compact(
             seg_j, four_connected, max(ref_pairs // 2, 1),
-            id_bound=int(seg.max()) + 1)
+            max(ref_rowmax // 2, 1), id_bound=int(seg.max()) + 1)
         assert int(cp) == ref_pairs
+        assert int(cr) == ref_rowmax

@@ -139,8 +139,8 @@ def test_one_shot_overflow_falls_back_to_measured(rng, monkeypatch):
     key = next(iter(ss._SPEC_BUCKETS))
     # plant a too-small edge bucket: the speckle image has far more than
     # 1024 unique adjacencies
-    cap0, eCap0, bCap0 = ss._SPEC_BUCKETS[key]
-    ss._SPEC_BUCKETS[key] = (cap0, 1024, bCap0)
+    cap0, eCap0, bCap0, rCap0 = ss._SPEC_BUCKETS[key]
+    ss._SPEC_BUCKETS[key] = (cap0, 1024, bCap0, rCap0)
     res2 = ss.doShepherdSegmentation(img, **kwargs)
     np.testing.assert_array_equal(res1.segimg, res2.segimg)
     assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated
@@ -159,13 +159,32 @@ def test_one_shot_boundary_bucket_overflow_falls_back(rng):
                   fixedKMeansInit=True)
     res1 = ss.doShepherdSegmentation(img, **kwargs)
     key = next(iter(ss._SPEC_BUCKETS))
-    cap0, eCap0, bCap0 = ss._SPEC_BUCKETS[key]
+    cap0, eCap0, bCap0, rCap0 = ss._SPEC_BUCKETS[key]
     assert bCap0 > 2048, "speckle image should have >2048 boundary pairs"
-    ss._SPEC_BUCKETS[key] = (cap0, eCap0, 2048)
+    ss._SPEC_BUCKETS[key] = (cap0, eCap0, 2048, rCap0)
     res2 = ss.doShepherdSegmentation(img, **kwargs)
     np.testing.assert_array_equal(res1.segimg, res2.segimg)
     assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated
     assert ss._SPEC_BUCKETS[key][2] > 2048
+
+
+def test_one_shot_row_bucket_overflow_falls_back(rng):
+    """A too-small per-row bucket (r_cap) drops pairs in the row-compact
+    slice; the overflow flag must catch it and the run must fall back to
+    the measured path transparently."""
+    from pyshepseg_tpu import shepseg as ss
+    img = (rng.integers(0, 30, size=(3, 128, 128)) * 8).astype(np.uint16)
+    kwargs = dict(numClusters=8, minSegmentSize=5, maxSpectralDiff=None,
+                  fixedKMeansInit=True)
+    res1 = ss.doShepherdSegmentation(img, **kwargs)
+    key = next(iter(ss._SPEC_BUCKETS))
+    cap0, eCap0, bCap0, rCap0 = ss._SPEC_BUCKETS[key]
+    assert rCap0 > 16, "speckle rows should exceed 16 boundary pairs"
+    ss._SPEC_BUCKETS[key] = (cap0, eCap0, bCap0, 16)
+    res2 = ss.doShepherdSegmentation(img, **kwargs)
+    np.testing.assert_array_equal(res1.segimg, res2.segimg)
+    assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated
+    assert ss._SPEC_BUCKETS[key][3] > 16
 
 
 # ------------------- reference kernel compat layer (sequential host)
