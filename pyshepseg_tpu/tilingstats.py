@@ -741,7 +741,10 @@ def _deviceSceneStream(segband, imgbands, nullVals, numSeg, tileSize,
                for topLine in range(0, nlines, tileSize)
                for leftPix in range(0, npix, tileSize)]
     for window in windows:
-        with timings.interval('reading'):
+        # device compute, not I/O: charged to its own interval so the
+        # timing report separates the scene upload ('reading') from the
+        # per-window compaction dispatches
+        with timings.interval('compaction'):
             if len(imgbands) > 1:
                 out = compactSceneWindowDeviceMultiBand(
                     segDev, valsDev, window, nullVals, numSeg)

@@ -222,7 +222,8 @@ def formatTimingRpt(summaryDict):
                      'segmentation', 'stitchtiles', 'stitchwait']
     elif isStats:
         hdr = "Per-segment Stats Timings (sec)"
-        timerList = ['reading', 'accumulation', 'statscompletion', 'writing']
+        timerList = ['reading', 'compaction', 'accumulation',
+                     'statscompletion', 'writing']
     else:
         hdr = "Timers (unknown set) (sec)"
         timerList = sorted(summaryDict.keys())

@@ -6,9 +6,16 @@ driver run on the real chip). Must set env vars before jax is imported.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") +
-    " --xla_force_host_platform_device_count=8")
+_xla_flags = (os.environ.get("XLA_FLAGS", "") +
+              " --xla_force_host_platform_device_count=8")
+# The suite is XLA:CPU COMPILE-dominated (hundreds of distinct kernel
+# programs, each used a handful of times): dropping the LLVM backend
+# optimization level for tests cuts suite wall ~1.7x (measured on the
+# heaviest modules) with identical results — it changes codegen effort,
+# not numerics (not a fast-math flag). Opt out by pre-setting the flag.
+if "--xla_backend_optimization_level" not in _xla_flags:
+    _xla_flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = _xla_flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np  # noqa: E402
@@ -95,5 +102,7 @@ def _clear_speculative_buckets():
     a deterministic first-run path (shepseg._SPEC_BUCKETS)."""
     from pyshepseg_tpu import shepseg
     shepseg._SPEC_BUCKETS.clear()
+    shepseg._SPEC_SHRINK.clear()
     yield
     shepseg._SPEC_BUCKETS.clear()
+    shepseg._SPEC_SHRINK.clear()

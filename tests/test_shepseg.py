@@ -187,6 +187,65 @@ def test_one_shot_row_bucket_overflow_falls_back(rng):
     assert ss._SPEC_BUCKETS[key][3] > 16
 
 
+def test_spec_bucket_policy_grow_only_on_alternation():
+    """Alternating same-shape inputs of differing complexity must NOT
+    thrash the speculative buckets: after the busy run ratchets them up,
+    the quiet run leaves them in place (no overflow on the next busy
+    run — each overflow costs a discarded dispatch + a measured rerun)."""
+    from pyshepseg_tpu import shepseg as ss
+    key = ("policy-test",)
+    ss._SPEC_BUCKETS.pop(key, None)
+    ss._SPEC_SHRINK.pop(key, None)
+    busy = (8192, 24576, 16384, 512)
+    quiet = (2048, 6144, 4096, 128)
+    ss._updateSpecBuckets(key, busy)
+    assert ss._SPEC_BUCKETS[key] == busy
+    for _ in range(2):
+        ss._updateSpecBuckets(key, quiet)
+        assert ss._SPEC_BUCKETS[key] == busy   # held (streak < threshold)
+        ss._updateSpecBuckets(key, busy)
+        assert ss._SPEC_BUCKETS[key] == busy
+        assert key not in ss._SPEC_SHRINK      # busy run reset the streak
+
+
+def test_spec_bucket_policy_shrinks_after_streak():
+    """A sustained run of quieter tiles shrinks the buckets to the
+    streak's element-wise max, so one pathologically busy first tile
+    doesn't tax the whole scene's dispatches (the graph loop's cost is
+    linear in e_cap)."""
+    from pyshepseg_tpu import shepseg as ss
+    key = ("policy-test-2",)
+    ss._SPEC_BUCKETS.pop(key, None)
+    ss._SPEC_SHRINK.pop(key, None)
+    busy = (8192, 24576, 16384, 512)
+    ss._updateSpecBuckets(key, busy)
+    quiets = [(2048, 6144, 4096, 128),
+              (2048, 7168, 4096, 128),
+              (1024, 6144, 2048, 64)]
+    for q in quiets[:-1]:
+        ss._updateSpecBuckets(key, q)
+        assert ss._SPEC_BUCKETS[key] == busy
+    ss._updateSpecBuckets(key, quiets[-1])
+    # shrunk to the streak's element-wise max, not the last run's values
+    assert ss._SPEC_BUCKETS[key] == (2048, 7168, 4096, 128)
+    assert key not in ss._SPEC_SHRINK
+
+
+def test_spec_bucket_policy_partial_growth_ratchets():
+    """A run larger in ANY dimension grows that dimension immediately
+    (element-wise max) and cancels any shrink streak."""
+    from pyshepseg_tpu import shepseg as ss
+    key = ("policy-test-3",)
+    ss._SPEC_BUCKETS.pop(key, None)
+    ss._SPEC_SHRINK.pop(key, None)
+    ss._updateSpecBuckets(key, (4096, 8192, 8192, 256))
+    ss._updateSpecBuckets(key, (2048, 4096, 4096, 128))  # streak 1
+    assert key in ss._SPEC_SHRINK
+    ss._updateSpecBuckets(key, (4096, 12288, 4096, 128))  # grows dim 1
+    assert ss._SPEC_BUCKETS[key] == (4096, 12288, 8192, 256)
+    assert key not in ss._SPEC_SHRINK
+
+
 # ------------------- reference kernel compat layer (sequential host)
 
 
