@@ -28,8 +28,27 @@ import os
 import sys
 import json
 import time
+import traceback
 
 os.environ.setdefault("XLA_FLAGS", "")
+
+
+def _guard(results, label, fn, *args, **kwargs):
+    """Run one config measurement; an exception records an error entry
+    and the bench CONTINUES — the driver contract is one rc=0 JSON line
+    with a record per config even when a config fails (a bench that can
+    rc=1 on a data-dependent count is not a benchmark harness — VERDICT
+    round-3 item 1). Returns the config's value, or None on failure."""
+    try:
+        return fn(*args, **kwargs)
+    except Exception:
+        tb = traceback.format_exc()
+        print(f"BENCH-ERROR in {label}:\n{tb}", file=sys.stderr, flush=True)
+        results.append({
+            "name": f"{label}: FAILED",
+            "value": None, "unit": None, "vs_baseline": None,
+            "error": tb.strip().splitlines()[-1]})
+        return None
 
 
 class _ProgressList(list):
@@ -294,31 +313,39 @@ def _run_config3(results, tempDir):
     # directly-attached TPU VM the production pipeline overlaps the two
     # (the stitcher consumes tiles while workers compute), so the
     # pipelined estimate divides the scene by max(loop, stitch).
-    results.append(_config3_device_tile_loop(imgfile, res, phase_s))
+    # Guarded individually: a failure here must not lose configs 4/5.
+    rec = _guard(results, "config3-device-tile-loop",
+                 _config3_device_tile_loop, imgfile, res, phase_s)
+    if rec is not None:
+        results.append(rec)
 
-    # The multi-chip backend's single-chip health check: CONC_MESH with
-    # tilesPerDevice=4 (the measured single-chip sweet spot — see
-    # BASELINE.md). Slower than CONC_THREADS through the tunnel (the
-    # thread pool hides link RTTs), but this keeps the mesh path's
-    # Mosaic-compiled batch programs validated and timed every round.
-    segfileM = os.path.join(tempDir, "seg_mesh.npseg")
-    cfgM = tiling.SegmentationConcurrencyConfig(
-        concurrencyType=tiling.CONC_MESH, tileCompletionTimeout=900,
-        tilesPerDevice=4)
-    t0 = time.time()
-    resM = tiling.doTiledShepherdSegmentation(
-        imgfile, segfileM, tileSize=1024, overlapSize=256,
-        numClusters=60, minSegmentSize=50, fixedKMeansInit=True,
-        fourConnected=True, concurrencyCfg=cfgM)
-    elapsed = time.time() - t0
-    mpix_s_m = (SCENE_SIZE * SCENE_SIZE / 1e6) / elapsed
-    results.append({
-        "name": "config3-mesh: same scene via CONC_MESH tilesPerDevice=4 "
-                "(the multi-chip backend on the one available chip; "
-                "includes its first-run compiles when cold)",
-        "value": round(mpix_s_m, 3), "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s_m / REF_BASELINE_MPIX_S, 2),
-        "maxSegId_matches_threads": resM.maxSegId == res.maxSegId})
+    def mesh_run():
+        # The multi-chip backend's single-chip health check: CONC_MESH
+        # with tilesPerDevice=4 (the measured single-chip sweet spot —
+        # see BASELINE.md). Slower than CONC_THREADS through the tunnel
+        # (the thread pool hides link RTTs), but this keeps the mesh
+        # path's Mosaic-compiled batch programs validated and timed.
+        segfileM = os.path.join(tempDir, "seg_mesh.npseg")
+        cfgM = tiling.SegmentationConcurrencyConfig(
+            concurrencyType=tiling.CONC_MESH, tileCompletionTimeout=900,
+            tilesPerDevice=4)
+        t0 = time.time()
+        resM = tiling.doTiledShepherdSegmentation(
+            imgfile, segfileM, tileSize=1024, overlapSize=256,
+            numClusters=60, minSegmentSize=50, fixedKMeansInit=True,
+            fourConnected=True, concurrencyCfg=cfgM)
+        elapsed = time.time() - t0
+        mpix_s_m = (SCENE_SIZE * SCENE_SIZE / 1e6) / elapsed
+        results.append({
+            "name": "config3-mesh: same scene via CONC_MESH "
+                    "tilesPerDevice=4 (the multi-chip backend on the one "
+                    "available chip; includes its first-run compiles "
+                    "when cold)",
+            "value": round(mpix_s_m, 3), "unit": "Mpix/s",
+            "vs_baseline": round(mpix_s_m / REF_BASELINE_MPIX_S, 2),
+            "maxSegId_matches_threads": resM.maxSegId == res.maxSegId})
+
+    _guard(results, "config3-mesh", mesh_run)
     return imgfile, segfile, res
 
 
@@ -351,16 +378,21 @@ def _config3_device_tile_loop(imgfile, res, phase_s, repeats=2):
         res.kmeans, res.maxSpectralDiff, 50))
     colRows = sorted(tileInfo.tiles.keys(), key=lambda x: (x[1], x[0]))
 
-    # measured buckets from the first tile (worst case is interior
-    # tiles; take the max over a row to be safe, one sync)
-    sc0s = []
-    for (col, row) in colRows[:tileInfo.ncols]:
-        (xpos, ypos, xsize, ysize) = tileInfo.getTile(col, row)
-        img = cache.getTile(xpos, ypos, xsize, ysize)
-        sc0s.append(ss._cluster_and_clump_device(
-            img, centers, nullVal, has_null=hasNull,
-            four_connected=True)[5])
-    sc0s = np.stack([np.asarray(s) for s in sc0s])
+    def measure_caps(sample):
+        """Exact per-tile counts via the measured (two-dispatch) path."""
+        scs = []
+        for (col, row) in sample:
+            (xpos, ypos, xsize, ysize) = tileInfo.getTile(col, row)
+            img = cache.getTile(xpos, ypos, xsize, ysize)
+            scs.append(ss._cluster_and_clump_device(
+                img, centers, nullVal, has_null=hasNull,
+                four_connected=True)[5])
+        return np.stack([np.asarray(s) for s in scs])
+
+    # speculative buckets from the first row of tiles x2 margin; a tile
+    # that still overflows triggers a refit from an exact measured pass
+    # over ALL tiles (the production path's behavior — never an assert)
+    sc0s = measure_caps(colRows[:tileInfo.ncols])
     capacity = ss.round_capacity(int(sc0s[:, 0].max()) * 2 + 1)
     eCap = ss._edgeCapForCount(int(sc0s[:, 1].max() * 2))
     bCap = ss._boundaryCapForCount(int(sc0s[:, 3].max() * 2))
@@ -380,7 +412,17 @@ def _config3_device_tile_loop(imgfile, res, phase_s, repeats=2):
 
     outs = loop()  # warm (compile)
     scalars = np.stack([np.asarray(sc) for _, sc in outs])
-    assert not scalars[:, 7].any(), "bucket overflow in device tile loop"
+    refit = False
+    if scalars[:, 7].any():
+        refit = True
+        scs = measure_caps(colRows)   # exact counts, every tile
+        capacity = ss.round_capacity(int(scs[:, 0].max()) + 1)
+        eCap = ss._edgeCapForCount(int(scs[:, 1].max()))
+        bCap = ss._boundaryCapForCount(int(scs[:, 3].max()))
+        rCap = ss._rowCapForCount(int(scs[:, 4].max()))
+        outs = loop()   # re-warm with the exact buckets
+        scalars = np.stack([np.asarray(sc) for _, sc in outs])
+    residual_overflow = bool(scalars[:, 7].any())
 
     tiny = jnp.zeros((8, 128), jnp.float32)
     bump = jax.jit(lambda x: x + 1.0)
@@ -416,7 +458,22 @@ def _config3_device_tile_loop(imgfile, res, phase_s, repeats=2):
         "host_stitch_s": stitch_s,
         "tpuvm_pipelined_estimate_mpix_s":
             round(est, 3) if est else None,
-        "num_tiles": len(colRows)}
+        "num_tiles": len(colRows),
+        "bucket_refit": refit,
+        "residual_overflow": residual_overflow}
+
+
+def _fallback_scene_seg(tempDir):
+    """Serial CONC_NONE scene + segmentation for configs 4/5 when
+    config 3 failed (they only need the files on disk)."""
+    from pyshepseg_tpu import tiling
+    imgfile = _make_scene(tempDir, size=SCENE_SIZE)
+    segfile = os.path.join(tempDir, "seg_fallback.npseg")
+    res = tiling.doTiledShepherdSegmentation(
+        imgfile, segfile, tileSize=1024, overlapSize=256,
+        numClusters=60, minSegmentSize=50, fixedKMeansInit=True,
+        fourConnected=True)
+    return imgfile, segfile, res
 
 
 def _run_config4(results, imgfile, segfile):
@@ -425,97 +482,110 @@ def _run_config4(results, imgfile, segfile):
     from pyshepseg_tpu import io as rio
 
     npix = SCENE_SIZE * SCENE_SIZE / 1e6
-    t0 = time.time()
-    tilingstats.calcPerSegmentStatsTiled(
-        imgfile, 1, segfile,
-        [("b1_mean", "mean"), ("b1_stddev", "stddev"),
-         ("b1_p75", "percentile", 75)], engine='host')
-    stats_rate = npix / (time.time() - t0)
-    results.append({
-        "name": "config4: calcPerSegmentStatsTiled mean/stddev/p75 over "
-                f"{npix:.0f} Mpix scene (host engine)",
-        "value": round(stats_rate, 3), "unit": "Mpix/s",
-        "vs_baseline": None})
 
-    # Multi-band one-pass vs per-band passes (the reference's only
-    # mode): same columns, one read+stream of the segmentation.
-    def selFor(b, tag):
-        return [(f"mb{b}_mean_{tag}", "mean"),
-                (f"mb{b}_p75_{tag}", "percentile", 75)]
-
-    t0 = time.time()
-    tilingstats.calcPerSegmentStatsTiledMultiBand(
-        imgfile, [1, 2, 3, 4], segfile,
-        [selFor(b, "one") for b in range(1, 5)], engine='host')
-    onePass = time.time() - t0
-    t0 = time.time()
-    for b in range(1, 5):
+    def host_engine():
+        t0 = time.time()
         tilingstats.calcPerSegmentStatsTiled(
-            imgfile, b, segfile, selFor(b, "per"), engine='host')
-    perBand = time.time() - t0
-    results.append({
-        "name": "config4-multiband: mean/p75 of 4 bands, one pass over "
-                f"the {npix:.0f} Mpix segmentation vs 4 single-band passes",
-        "value": round(4 * npix / onePass, 3), "unit": "Mpix/s",
-        "vs_baseline": None,
-        "one_pass_s": round(onePass, 2),
-        "per_band_s": round(perBand, 2),
-        "speedup_vs_per_band": round(perBand / onePass, 2)})
+            imgfile, 1, segfile,
+            [("b1_mean", "mean"), ("b1_stddev", "stddev"),
+             ("b1_p75", "percentile", 75)], engine='host')
+        stats_rate = npix / (time.time() - t0)
+        results.append({
+            "name": "config4: calcPerSegmentStatsTiled mean/stddev/p75 "
+                    f"over {npix:.0f} Mpix scene (host engine)",
+            "value": round(stats_rate, 3), "unit": "Mpix/s",
+            "vs_baseline": None})
 
-    # Device engine: same columns bit-for-bit, compaction on the TPU —
-    # exercises the Mosaic-compiled sort path every round. Measured on a
-    # small window: through the tunnelled dev chip the per-tile uploads
-    # dominate (which is why engine='auto' picks the host there); the
-    # figure tracks the device path's health, not its TPU-VM throughput.
-    from pyshepseg_tpu import subset as _subset
-    winfile = os.path.join(os.path.dirname(segfile), "win.npseg")
-    _subset.subsetImage(segfile, winfile, 0, 0, 1600, 1600, None)
-    winimg = os.path.join(os.path.dirname(segfile), "winimg.npseg")
-    ds = rio.open(imgfile)
-    arr = ds.GetRasterBand(1).ReadAsArray(0, 0, 1600, 1600)
-    wds = rio.create(winimg, 1600, 1600, 1, arr.dtype)
-    # match the subset's geo metadata so the alignment checks pass
-    subDs = rio.open(winfile)
-    wds.SetGeoTransform(subDs.GetGeoTransform())
-    wds.SetProjection(subDs.GetProjection())
-    wb = wds.GetRasterBand(1)
-    wb.SetNoDataValue(0)
-    wb.WriteArray(arr)
-    wds.FlushCache()
-    del wds
-    t0 = time.time()
-    tilingstats.calcPerSegmentStatsTiled(
-        winimg, 1, winfile,
-        [("b1_mean_d", "mean"), ("b1_p75_d", "percentile", 75)],
-        engine='device')
-    dev_rate = (1600 * 1600 / 1e6) / (time.time() - t0)
-    results.append({
-        "name": "config4-device: stats via TPU sort-based compaction, "
-                "1600^2 window, scene-resident HBM feed (one upload, "
-                "windows sliced on device)",
-        "value": round(dev_rate, 3), "unit": "Mpix/s",
-        "vs_baseline": None})
+    def multiband():
+        # Multi-band one-pass vs per-band passes (the reference's only
+        # mode): same columns, one read+stream of the segmentation.
+        def selFor(b, tag):
+            return [(f"mb{b}_mean_{tag}", "mean"),
+                    (f"mb{b}_p75_{tag}", "percentile", 75)]
 
-    # Tunnel-insensitive: the device compaction's ON-CHIP rate — K
-    # window compactions back-to-back on a resident scene, one sync,
-    # bare RTT subtracted. This is the figure that decides whether the
-    # device engine beats the host engine on a directly-attached TPU
-    # (VERDICT round-2 item 4).
-    chip = _deviceStatsChipRate(segfile, imgfile)
-    results.append(chip)
+        t0 = time.time()
+        tilingstats.calcPerSegmentStatsTiledMultiBand(
+            imgfile, [1, 2, 3, 4], segfile,
+            [selFor(b, "one") for b in range(1, 5)], engine='host')
+        onePass = time.time() - t0
+        t0 = time.time()
+        for b in range(1, 5):
+            tilingstats.calcPerSegmentStatsTiled(
+                imgfile, b, segfile, selFor(b, "per"), engine='host')
+        perBand = time.time() - t0
+        results.append({
+            "name": "config4-multiband: mean/p75 of 4 bands, one pass "
+                    f"over the {npix:.0f} Mpix segmentation vs 4 "
+                    "single-band passes",
+            "value": round(4 * npix / onePass, 3), "unit": "Mpix/s",
+            "vs_baseline": None,
+            "one_pass_s": round(onePass, 2),
+            "per_band_s": round(perBand, 2),
+            "speedup_vs_per_band": round(perBand / onePass, 2)})
 
-    transform = np.array([0, 1, 0, 0, 0, -1], dtype=np.float64)
-    t0 = time.time()
-    tilingstats.calcPerSegmentSpatialStatsTiled(
-        imgfile, 1, segfile,
-        [("b1_easting", rio.GFT_Real), ("b1_northing", rio.GFT_Real)],
-        tilingstats.userFuncMeanCoord, transform)
-    sp_rate = npix / (time.time() - t0)
-    results.append({
-        "name": "config4b: calcPerSegmentSpatialStatsTiled mean coords "
-                f"over {npix:.0f} Mpix scene",
-        "value": round(sp_rate, 3), "unit": "Mpix/s",
-        "vs_baseline": None})
+    def device_engine():
+        # Device engine: same columns bit-for-bit, compaction on the
+        # TPU — exercises the Mosaic-compiled sort path every round.
+        # Measured on a small window: through the tunnelled dev chip the
+        # per-tile uploads dominate (which is why engine='auto' picks
+        # the host there); the figure tracks the device path's health,
+        # not its TPU-VM throughput.
+        from pyshepseg_tpu import subset as _subset
+        winfile = os.path.join(os.path.dirname(segfile), "win.npseg")
+        _subset.subsetImage(segfile, winfile, 0, 0, 1600, 1600, None)
+        winimg = os.path.join(os.path.dirname(segfile), "winimg.npseg")
+        ds = rio.open(imgfile)
+        arr = ds.GetRasterBand(1).ReadAsArray(0, 0, 1600, 1600)
+        wds = rio.create(winimg, 1600, 1600, 1, arr.dtype)
+        # match the subset's geo metadata so the alignment checks pass
+        subDs = rio.open(winfile)
+        wds.SetGeoTransform(subDs.GetGeoTransform())
+        wds.SetProjection(subDs.GetProjection())
+        wb = wds.GetRasterBand(1)
+        wb.SetNoDataValue(0)
+        wb.WriteArray(arr)
+        wds.FlushCache()
+        del wds
+        t0 = time.time()
+        tilingstats.calcPerSegmentStatsTiled(
+            winimg, 1, winfile,
+            [("b1_mean_d", "mean"), ("b1_p75_d", "percentile", 75)],
+            engine='device')
+        dev_rate = (1600 * 1600 / 1e6) / (time.time() - t0)
+        results.append({
+            "name": "config4-device: stats via TPU sort-based "
+                    "compaction, 1600^2 window, scene-resident HBM feed "
+                    "(one upload, windows sliced on device)",
+            "value": round(dev_rate, 3), "unit": "Mpix/s",
+            "vs_baseline": None})
+
+    def chip_rate():
+        # Tunnel-insensitive: the device compaction's ON-CHIP rate — K
+        # window compactions back-to-back on a resident scene, one sync,
+        # bare RTT subtracted. This is the figure that decides whether
+        # the device engine beats the host engine on a directly-attached
+        # TPU (VERDICT round-2 item 4 / round-3 item 3).
+        results.append(_deviceStatsChipRate(segfile, imgfile))
+
+    def spatial():
+        transform = np.array([0, 1, 0, 0, 0, -1], dtype=np.float64)
+        t0 = time.time()
+        tilingstats.calcPerSegmentSpatialStatsTiled(
+            imgfile, 1, segfile,
+            [("b1_easting", rio.GFT_Real), ("b1_northing", rio.GFT_Real)],
+            tilingstats.userFuncMeanCoord, transform)
+        sp_rate = npix / (time.time() - t0)
+        results.append({
+            "name": "config4b: calcPerSegmentSpatialStatsTiled mean "
+                    f"coords over {npix:.0f} Mpix scene",
+            "value": round(sp_rate, 3), "unit": "Mpix/s",
+            "vs_baseline": None})
+
+    _guard(results, "config4-host", host_engine)
+    _guard(results, "config4-multiband", multiband)
+    _guard(results, "config4-device", device_engine)
+    _guard(results, "config4-device-chip", chip_rate)
+    _guard(results, "config4b-spatial", spatial)
 
 
 def _deviceStatsChipRate(segfile, imgfile, k=8):
@@ -616,11 +686,15 @@ def _run_golden8000(results):
     elapsed = time.time() - t0
     ok = proc.returncode == 0 and "All tests passed" in proc.stdout
     shutil.rmtree(tmp, ignore_errors=True)
-    results.append({
+    rec = {
         "name": "golden8000: full pipeline + stats + subset oracle at "
                 "the reference's 8000^2 / 101-centre scale",
         "value": round(elapsed, 1), "unit": "seconds",
-        "vs_baseline": None, "passed": ok})
+        "vs_baseline": None, "passed": ok}
+    if not ok:
+        tail = (proc.stdout + "\n" + proc.stderr).strip().splitlines()
+        rec["error"] = " | ".join(tail[-5:])
+    results.append(rec)
 
 
 def _pallas_compiled_check():
@@ -677,34 +751,54 @@ def main():
     headline = None
 
     if "1" in which:
-        headline = _run_config1(results)
+        headline = _guard(results, "config1", _run_config1, results)
     if "2" in which:
-        _run_config2(results)
+        _guard(results, "config2", _run_config2, results)
 
     tempDir = None
     try:
         if which & {"3", "4", "5"}:
             tempDir = tempfile.mkdtemp(prefix="pyshepseg_bench_")
-            imgfile, segfile, _ = _run_config3(results, tempDir)
-            if "4" in which:
-                _run_config4(results, imgfile, segfile)
-            if "5" in which:
-                _run_config5(results, segfile, tempDir)
+            c3 = _guard(results, "config3", _run_config3, results, tempDir)
+            if c3 is None and which & {"4", "5"}:
+                # configs 4/5 only need a (scene, segmentation) pair on
+                # disk; a serial CONC_NONE fallback isolates them from a
+                # concurrency-backend failure in config 3
+                c3 = _guard(results, "config3-serial-fallback",
+                            _fallback_scene_seg, tempDir)
+            if c3 is not None:
+                imgfile, segfile, _ = c3
+                if "4" in which:
+                    _guard(results, "config4", _run_config4, results,
+                           imgfile, segfile)
+                if "5" in which:
+                    _guard(results, "config5", _run_config5, results,
+                           segfile, tempDir)
+            else:
+                for c in sorted(which & {"4", "5"}):
+                    results.append({
+                        "name": f"config{c}: SKIPPED (no segmentation "
+                                "available — config 3 and its serial "
+                                "fallback both failed)",
+                        "value": None, "unit": None, "vs_baseline": None})
     finally:
         if tempDir is not None:
             shutil.rmtree(tempDir, ignore_errors=True)
 
     if "golden" in which:
-        _run_golden8000(results)
+        _guard(results, "golden8000", _run_golden8000, results)
 
-    pallas_check = _pallas_compiled_check()
+    pallas_check = _guard(results, "pallas-compiled-check",
+                          _pallas_compiled_check)
+    if pallas_check is None:
+        pallas_check = "FAILED (exception)"
 
     out = {
         "metric": ("doShepherdSegmentation 1024x1024 4-band uint16 "
                    "(numClusters=60, minSegmentSize=50, 4-connected)"),
-        "value": results[0]["value"] if headline is not None else None,
+        "value": round(headline, 3) if headline is not None else None,
         "unit": "Mpix/s",
-        "vs_baseline": (results[0]["vs_baseline"]
+        "vs_baseline": (round(headline / REF_BASELINE_MPIX_S, 2)
                         if headline is not None else None),
         "configs": results,
         "pallas_compiled_check": pallas_check,
