@@ -173,6 +173,12 @@ def _run_config1(results):
         "device_s": round(dev_s, 4),
         "sync_rtt_ms": round(rtt * 1000, 2)})
 
+    # On-chip A/B of the Pallas LUT-gather kernel (ops/lut.py) against
+    # XLA's generic gather, on the exact gather _remap_and_relabel
+    # issues in every one-shot dispatch. TPU-only (the kernel is gated
+    # off elsewhere); guarded so a Mosaic regression can't lose config1.
+    _guard(results, "config1-lut-ab", _lut_gather_ab, results)
+
     # The row-sharded whole-image pipeline (parallel/shardmap_seg) on the
     # same tile and fitted centres — a 1-device mesh here, so this tracks
     # the shard_map program's Mosaic lowering and single-chip throughput
@@ -197,6 +203,60 @@ def _run_config1(results):
         "vs_baseline": round(sh_rate / REF_BASELINE_MPIX_S, 2),
         "maxSegId_matches_single_chip": max_sh == int(res.segimg.max())})
     return mpix_s
+
+
+def _lut_gather_ab(results, capacity=4096, k=16):
+    """A/B the two lowerings of the full-image id-remap gather at 1024^2
+    from a capacity-sized table: XLA generic gather vs the Pallas VMEM
+    LUT kernel. k dispatches pipelined per measurement, one sync, bare
+    RTT subtracted (tunnel-insensitive)."""
+    import jax.numpy as jnp
+    from pyshepseg_tpu.ops import lut
+
+    if jax.devices()[0].platform != "tpu":
+        return   # kernel is TPU-only; CPU smoke skips the record
+
+    h = w = 1024
+    rng = np.random.default_rng(5)
+    idx = jnp.asarray(rng.integers(0, capacity, size=(h, w))
+                      .astype(np.uint32))
+    table = jnp.asarray(rng.integers(0, 1 << 30, size=(capacity,))
+                        .astype(np.uint32))
+    xla_f = jax.jit(lambda i, t: t[i.astype(jnp.int32)])
+    lut_f = jax.jit(lambda i, t: lut.lut_gather(i, t, interpret=False))
+    np.asarray(xla_f(idx, table)[0, 0])
+    np.asarray(lut_f(idx, table)[0, 0])
+
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    bump = jax.jit(lambda x: x + 1.0)
+    np.asarray(bump(tiny)[0, 0])
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(bump(tiny)[0, 0])
+        rtts.append(time.time() - t0)
+    rtt = min(rtts)
+
+    def per_dispatch_s(f):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            outs = [f(idx, table) for _ in range(k)]
+            np.asarray(outs[-1][0, 0])
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return max(best - rtt, 1e-9) / k
+
+    xla_s = per_dispatch_s(xla_f)
+    lut_s = per_dispatch_s(lut_f)
+    results.append({
+        "name": "config1-lut-ab: 1024^2 id-remap gather from a "
+                f"{capacity}-entry table — Pallas VMEM LUT kernel vs "
+                "XLA generic gather (speedup; tunnel-insensitive)",
+        "value": round(xla_s / lut_s, 2), "unit": "x",
+        "vs_baseline": None,
+        "xla_ms_per_mpix": round(xla_s * 1e3 / (h * w / 1e6), 3),
+        "lut_ms_per_mpix": round(lut_s * 1e3 / (h * w / 1e6), 3)})
 
 
 def _run_config2(results):

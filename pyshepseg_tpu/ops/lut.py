@@ -55,6 +55,21 @@ def _lut_kernel(table_ref, idx_ref, out_ref, *, rows: int):
         0, rows, body, jnp.zeros_like(idx), unroll=False)
 
 
+# Trace-time switch for the wired path (_remap_and_relabel): tests
+# monkeypatch this to exercise the kernel through the interpreter on
+# CPU; set to False to force the XLA gather everywhere.
+ENABLE = True
+
+
+def use_lut(table_size: int) -> bool:
+    """Whether _remap_and_relabel should route its full-image gather
+    through this kernel: small enough table, TPU backend (off-TPU the
+    interpreter would be pathologically slow), not disabled. Called at
+    trace time — all inputs are static."""
+    return (ENABLE and table_size <= LUT_MAX_TABLE and
+            jax.default_backend() == "tpu")
+
+
 def lut_gather(idx, table, interpret: bool = None):
     """
     Device: ``table[idx]`` for int indices (H, W) in [0, len(table))
@@ -75,24 +90,24 @@ def lut_gather(idx, table, interpret: bool = None):
                    ((0, 0), (0, pad))).reshape(rows, 128)
 
     # lane dim must be 128 for the in-kernel take_along_axis; fold the
-    # image into (N/128, 128) blocks (callers' images are multiples of
-    # 128 wide in practice; pad the tail otherwise)
+    # image into (N/128, 128) blocks, padding the tail AND padding the
+    # row count up to a multiple of the block size (pad indices are 0,
+    # always in range; the result slice drops them)
     n = h * w
     nrows = -(-n // 128)
-    tail = nrows * 128 - n
+    block_rows = min(BLOCK_ROWS, nrows)
+    nrows_p = -(-nrows // block_rows) * block_rows
+    tail = nrows_p * 128 - n
     idx_flat = idx.ravel().astype(jnp.int32)
     if tail:
         idx_flat = jnp.concatenate(
             [idx_flat, jnp.zeros((tail,), jnp.int32)])
-    idx2 = idx_flat.reshape(nrows, 128)
-    block_rows = BLOCK_ROWS if nrows % BLOCK_ROWS == 0 else (
-        nrows if nrows <= BLOCK_ROWS else 8)
-    assert nrows % block_rows == 0, (nrows, block_rows)
+    idx2 = idx_flat.reshape(nrows_p, 128)
 
     kernel = functools.partial(_lut_kernel, rows=rows)
     out = pl.pallas_call(
         kernel,
-        grid=(nrows // block_rows,),
+        grid=(nrows_p // block_rows,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # whole table
             pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
@@ -100,7 +115,7 @@ def lut_gather(idx, table, interpret: bool = None):
         ],
         out_specs=pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nrows, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nrows_p, 128), jnp.int32),
         interpret=interpret,
     )(tab2, idx2)
     out = out.reshape(-1)[:n].reshape(h, w)
