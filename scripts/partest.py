@@ -1,0 +1,111 @@
+"""
+Process-sharded test runner: the full suite at module granularity across
+N worker processes.
+
+Why not pytest-xdist: (a) it is not available in every target
+environment; (b) one PROCESS per test module sidesteps the XLA:CPU
+in-process hazard documented in tests/conftest.py (segfaults once a
+long-lived process accumulates gigabytes of JIT executables) while
+letting each worker keep its in-memory pjit cache for the modules it
+runs; (c) module granularity means every distinct XLA program is
+compiled at most once per run (id-level round-robin would recompile
+each module's kernels in every worker).
+
+Scheduling is longest-first from the duration ledger recorded by the
+previous run (tests/.partest_durations.json — refreshed on every run,
+committed so CI's first run schedules well too).
+
+Usage:  python scripts/partest.py [-j N] [extra pytest args...]
+Exit status: non-zero if any module failed.
+"""
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(REPO, "tests", ".partest_durations.json")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-j", "--jobs", type=int,
+                    default=int(os.environ.get("PARTEST_WORKERS", "0")),
+                    help="worker processes (default: min(4, cpu count))")
+    args, extra = ap.parse_known_args()
+    jobs = args.jobs or min(4, os.cpu_count() or 1)
+
+    files = sorted(glob.glob(os.path.join(REPO, "tests", "test_*.py")))
+    files = [os.path.relpath(f, REPO) for f in files]
+    durations = {}
+    if os.path.exists(LEDGER):
+        try:
+            with open(LEDGER) as f:
+                durations = json.load(f)
+        except (ValueError, OSError):
+            durations = {}
+    # unknown modules first (assume long), then longest-first
+    files.sort(key=lambda f: -durations.get(f, 1e9))
+
+    queue = list(files)
+    lock = threading.Lock()
+    results = {}
+    t_start = time.time()
+
+    def worker():
+        while True:
+            with lock:
+                if not queue:
+                    return
+                f = queue.pop(0)
+            t0 = time.time()
+            proc = subprocess.run(
+                [sys.executable, "-m", "pytest", f, "-q"] + extra,
+                capture_output=True, universal_newlines=True, cwd=REPO)
+            dt = time.time() - t0
+            with lock:
+                results[f] = (proc.returncode, dt, proc.stdout, proc.stderr)
+                tailline = (proc.stdout.strip().splitlines() or [""])[-1]
+                status = "ok" if proc.returncode == 0 else (
+                    f"FAILED rc={proc.returncode}")
+                print(f"[{time.time() - t_start:7.1f}s] {f}: {status} "
+                      f"({dt:.1f}s) {tailline}", flush=True)
+
+    threads = [threading.Thread(target=worker) for _ in range(jobs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    failed = {f: r for f, r in results.items() if r[0] != 0}
+    for f, (rc, dt, out, err) in sorted(failed.items()):
+        print(f"\n===== {f} (rc={rc}) =====")
+        print(out[-4000:])
+        if err.strip():
+            print("--- stderr ---")
+            print(err[-2000:])
+
+    # refresh the ledger with this run's measured durations
+    new_durations = dict(durations)
+    new_durations.update({f: round(r[1], 1) for f, r in results.items()})
+    try:
+        with open(LEDGER, "w") as f:
+            json.dump(new_durations, f, indent=0, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
+
+    total = time.time() - t_start
+    npass = sum(1 for r in results.values() if r[0] == 0)
+    print(f"\npartest: {npass}/{len(results)} modules passed, "
+          f"{total:.0f}s wall, {jobs} workers")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
