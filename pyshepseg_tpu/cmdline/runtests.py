@@ -53,7 +53,17 @@ def getCmdargs():
         help="Keep test files")
     p.add_argument("--knownseg",
         help="Use existing true-segment file (skips generation)")
+    p.add_argument("--driver", default=None,
+        help="Raster format driver for all test files (e.g. KEA, GTiff). "
+             "Default: the built-in numpy .npseg driver. Anything else "
+             "requires GDAL (mirrors the reference runtests' KEA files, "
+             "pyshepseg/cmdline/runtests.py)")
     return p.parse_args()
+
+
+# file extension per GDAL driver name (None = builtin numpy driver)
+_DRIVER_EXT = {None: ".npseg", "NPSEG": ".npseg", "KEA": ".kea",
+               "GTiff": ".tif", "HFA": ".img"}
 
 
 def _voronoiOnDevice(centres, nRows, nCols, stripRows=256):
@@ -134,14 +144,14 @@ def createPalette(numSeg, rng):
     return c
 
 
-def createMultispectral(trueseg, outfile):
+def createMultispectral(trueseg, outfile, driver=None):
     """Synthesize the multi-band image from the true segments."""
     numSeg = int(trueseg.max())
     palette = createPalette(numSeg, numpy.random.default_rng(1))
     (nRows, nCols) = trueseg.shape
     nullNdx = (trueseg == shepseg.SEGNULLVAL)
 
-    ds = rio.create(outfile, nCols, nRows, NBANDS, numpy.uint16)
+    ds = rio.create(outfile, nCols, nRows, NBANDS, numpy.uint16, driver)
     ds.SetGeoTransform((0, 1, 0, 0, 0, -1))
     for i in range(NBANDS):
         band = numpy.zeros(trueseg.shape, dtype=numpy.uint16)
@@ -245,12 +255,16 @@ def mainCmd():
     try:
         rng = numpy.random.default_rng(42)
         n = cmdargs.size
+        driver = cmdargs.driver
+        ext = _DRIVER_EXT.get(driver, ".img")
+        if driver is not None and driver != "NPSEG" and not rio.HAVE_GDAL:
+            raise IOError(f"--driver {driver} requires GDAL")
         truesegfile = cmdargs.knownseg
         if truesegfile is None:
             print("Generating true segments ...")
             trueseg = generateTrueSegments(rng, n, n, cmdargs.ncentres)
-            truesegfile = os.path.join(tempDir, "trueseg.npseg")
-            ds = rio.create(truesegfile, n, n, 1, numpy.uint32)
+            truesegfile = os.path.join(tempDir, "trueseg" + ext)
+            ds = rio.create(truesegfile, n, n, 1, numpy.uint32, driver)
             ds.SetGeoTransform((0, 1, 0, 0, 0, -1))
             band = ds.GetRasterBand(1)
             band.SetNoDataValue(shepseg.SEGNULLVAL)
@@ -259,17 +273,18 @@ def mainCmd():
         else:
             trueseg = rio.open(truesegfile).GetRasterBand(1).ReadAsArray()
 
-        imgfile = os.path.join(tempDir, "multispec.npseg")
+        imgfile = os.path.join(tempDir, "multispec" + ext)
         print("Creating multispectral image ...")
-        createMultispectral(trueseg, imgfile)
+        createMultispectral(trueseg, imgfile, driver)
 
-        outsegfile = os.path.join(tempDir, "seg.npseg")
+        outsegfile = os.path.join(tempDir, "seg" + ext)
         print("Running tiled segmentation ...")
         res = tiling.doTiledShepherdSegmentation(
             imgfile, outsegfile, tileSize=cmdargs.tilesize,
             overlapSize=cmdargs.overlapsize,
             numClusters=cmdargs.ncentres, minSegmentSize=50,
-            fourConnected=False, fixedKMeansInit=False, verbose=False)
+            fourConnected=False, fixedKMeansInit=False, verbose=False,
+            outputDriver=(driver or 'KEA'))
         print("Found {} segments (empty-segments={})".format(
             res.maxSegId, res.hasEmptySegments))
         if res.hasEmptySegments:
@@ -309,10 +324,10 @@ def mainCmd():
             allOK = False
 
         print("Testing subset ...")
-        subsegfile = os.path.join(tempDir, "subset.npseg")
+        subsegfile = os.path.join(tempDir, "subset" + ext)
         subSize = max(n // 4, 64)
         subset.subsetImage(outsegfile, subsegfile, 0, 0, subSize, subSize,
-                           None, origSegIdColName="orig_segid")
+                           driver, origSegIdColName="orig_segid")
         subsetOK = checkSubset(outsegfile, subsegfile)
         print("Subset ok:", subsetOK)
         if not subsetOK:
