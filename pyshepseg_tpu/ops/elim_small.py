@@ -238,6 +238,16 @@ def compact_edges(a, b, first, e_cap: int, id_bound: int = None):
     return ea, eb
 
 
+# Below this capacity the two per-pass segment_min reductions run as
+# fused one-hot masked min reductions over an (2E, capacity) broadcast
+# instead of XLA scatter-mins. The scatter is SERIAL (~7 cycles per
+# element, ~77 us at 12K edges, measured on-chip); the masked min is
+# vectorized VPU work costing 2E*capacity/1024 cycles, so it wins while
+# capacity < ~8K lanes-per-cycle-equivalents. min is exact and
+# order-independent, so the two forms are bit-identical.
+ONEHOT_MIN_MAX_CAP = 8192
+
+
 def _merge_pass_edges(ids2, remap, table, target, max_diff_sqr):
     """
     One find+apply pass for segments of exactly ``target`` pixels, on the
@@ -248,10 +258,11 @@ def _merge_pass_edges(ids2, remap, table, target, max_diff_sqr):
     per-pass state.
 
     OP economy is the whole game here: each pass runs ~40+ times per
-    tile over arrays of a few thousand elements, where a TPU op's fixed
-    launch cost dominates its data movement (measured ~0.55 ms/pass at
-    e_cap 6K / capacity 4K before this layout; the loop is op-count-
-    bound, not bandwidth-bound). Hence:
+    tile over arrays of a few thousand elements, and on TPU the
+    unfusable gather/scatter ops are SERIAL (~7 cycles per element:
+    measured on-chip, a 12K<-4K gather costs 83 us and a 12K->4K
+    segment_min 77 us while all the fused elementwise work combined is
+    ~50 us). Hence:
 
     - the ENTIRE per-segment state lives in ONE (nBands+1, capacity)
       float32 table (row 0 = size, rows 1.. = band sums) that is carried
@@ -261,8 +272,19 @@ def _merge_pass_edges(ids2, remap, table, target, max_diff_sqr):
     - per-segment MEANS are computed once on the (capacity,)-sized table
       and gathered per-edge (same IEEE quotients as dividing after the
       gather — bit-identical decisions), so the big (2E,) arrays see
-      only: one remap gather, one stacked mean/size gather, one
-      best-distance read-back gather, and two segment_min scatters.
+      only one stacked mean/size gather (the multi-row form of XLA's
+      gather vectorizes across channels: 17 us for 5x12K, CHEAPER than
+      a single-channel gather);
+    - the remap gather and the remap composition route through the
+      Pallas VMEM LUT kernel on TPU (ops/lut.py: 12 us vs 83 us);
+    - the two segment_min scatters (best distance, then best neighbour
+      at that distance) run as fused one-hot masked MIN reductions over
+      an (2E, capacity) broadcast when capacity <= ONEHOT_MIN_MAX_CAP —
+      vectorized VPU work instead of a serial scatter, and the masked
+      form needs NO d_best[cur2] read-back gather (the hit test happens
+      in the broadcast space). min is exact, so both forms are
+      bit-identical; large capacities keep the scatter (the broadcast
+      cost scales with capacity, the scatter does not).
 
     Sizes ride float32: candidacy (size == target) stays exact for ANY
     size (an integer < 2^24 is exactly representable; one >= 2^24 can
@@ -274,6 +296,8 @@ def _merge_pass_edges(ids2, remap, table, target, max_diff_sqr):
     size may round to an even neighbour — harmless for every decision
     above, and flagged in eliminate_small_segments_graph's docstring.
     """
+    from . import lut
+
     capacity = table.shape[1]
     E2 = ids2.shape[0]
     E = E2 // 2
@@ -289,7 +313,10 @@ def _merge_pass_edges(ids2, remap, table, target, max_diff_sqr):
     mtab = jnp.concatenate(
         [size[None], table[1:] / jnp.maximum(size, 1.0)[None]])
 
-    cur2 = remap[ids2].astype(jnp.int32)                # (2E,) gather #1
+    if lut.use_lut(capacity):                           # (2E,) gather #1
+        cur2 = lut.lut_gather_flat(ids2, remap).astype(jnp.int32)
+    else:
+        cur2 = remap[ids2].astype(jnp.int32)
     cur_a, cur_b = cur2[:E], cur2[E:]
     live = (cur_a != cur_b) & (cur_a != SEGNULLVAL) & (cur_b != SEGNULLVAL)
 
@@ -310,9 +337,19 @@ def _merge_pass_edges(ids2, remap, table, target, max_diff_sqr):
         jnp.where(ok_ab, cur_b.astype(jnp.uint32), big_id),
         jnp.where(ok_ba, cur_a.astype(jnp.uint32), big_id)])
 
-    d_best = jax.ops.segment_min(d2, cur2, num_segments=capacity)
-    nb_hit = jnp.where(d2 == d_best[cur2], nbr, big_id)  # gather #3
-    best_nbr = jax.ops.segment_min(nb_hit, cur2, num_segments=capacity)
+    if capacity <= ONEHOT_MIN_MAX_CAP:
+        # fused one-hot masked mins (see the docstring): XLA fuses the
+        # broadcast-compare-select into the reductions, so nothing
+        # (2E, capacity)-sized ever materialises in HBM
+        oh = cur2[:, None] == jnp.arange(capacity, dtype=jnp.int32)[None]
+        d_best = jnp.min(jnp.where(oh, d2[:, None], inf), axis=0)
+        hit = oh & (d2[:, None] == d_best[None, :])
+        best_nbr = jnp.min(jnp.where(hit, nbr[:, None], big_id), axis=0)
+    else:
+        d_best = jax.ops.segment_min(d2, cur2, num_segments=capacity)
+        nb_hit = jnp.where(d2 == d_best[cur2], nbr, big_id)
+        best_nbr = jax.ops.segment_min(nb_hit, cur2,
+                                       num_segments=capacity)
 
     # Spectral-difference limit (reference: shepseg.py:1060-1061, strict >)
     merge_to = jnp.where(
@@ -322,7 +359,10 @@ def _merge_pass_edges(ids2, remap, table, target, max_diff_sqr):
     # Apply all merges at once (commutative: targets are never candidates)
     move = merge_to != SEGNULLVAL
     merge_map = jnp.where(move, merge_to, ids)
-    remap_new = merge_map[remap.astype(jnp.int32)]
+    if lut.use_lut(capacity):
+        remap_new = lut.lut_gather_flat(remap, merge_map)
+    else:
+        remap_new = merge_map[remap.astype(jnp.int32)]
 
     # one multi-channel capacity-sized scatter updates size + every band
     # sum (non-movers scatter zeros onto the null segment's row)
