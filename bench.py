@@ -457,6 +457,7 @@ def _config3_device_tile_loop(imgfile, res, phase_s, repeats=2):
     eCap = ss._edgeCapForCount(int(sc0s[:, 1].max() * 2))
     bCap = ss._boundaryCapForCount(int(sc0s[:, 3].max() * 2))
     rCap = ss._rowCapForCount(int(sc0s[:, 4].max() * 2))
+    rlCap = ss._runCapForCount(int(sc0s[:, 5].max() * 2))
 
     def loop():
         outs = []
@@ -467,7 +468,9 @@ def _config3_device_tile_loop(imgfile, res, phase_s, repeats=2):
                 img, centers, nullVal, maxDiff, has_null=hasNull,
                 four_connected=True, min_seg_size=50,
                 capacity=capacity, e_cap=eCap, b_cap=bCap,
-                r_cap=rCap))
+                r_cap=rCap,
+                rl_cap=ss._rlCapEffective(rlCap, cache.scene.dtype,
+                                          xsize)))
         return outs
 
     outs = loop()  # warm (compile)
@@ -480,6 +483,7 @@ def _config3_device_tile_loop(imgfile, res, phase_s, repeats=2):
         eCap = ss._edgeCapForCount(int(scs[:, 1].max()))
         bCap = ss._boundaryCapForCount(int(scs[:, 3].max()))
         rCap = ss._rowCapForCount(int(scs[:, 4].max()))
+        rlCap = ss._runCapForCount(int(scs[:, 5].max()))
         outs = loop()   # re-warm with the exact buckets
         scalars = np.stack([np.asarray(sc) for _, sc in outs])
     residual_overflow = bool(scalars[:, 7].any())

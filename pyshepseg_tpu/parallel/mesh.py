@@ -43,7 +43,8 @@ def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
     then the FUSED elimination dispatch.
 
     Returns (segs numpy (B, H, W), buckets) where ``buckets`` is the
-    (capacity, eCap, bCap, rCap) tuple to speculate with next batch.
+    (capacity, eCap, bCap, rCap, rlCap) tuple to speculate with next
+    batch.
 
     Shared by the CONC_MESH backend and the per-host shard path of the
     DCN backend.
@@ -52,20 +53,24 @@ def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
                            segment_tiles_one_shot)
     from .. import shepseg as _shepseg
 
+    width = int(batch_j.shape[-1])
     if specBuckets is not None:
-        capacity, eCap, bCap, rCap = specBuckets
+        capacity, eCap, bCap, rCap, rlCap = specBuckets
         segsS, scalars = segment_tiles_one_shot(
             batch_j, centers, nullVal, maxDiff,
             min_seg_size=minSegmentSize, four_connected=fourConnected,
             has_null=hasNull, capacity=capacity, e_cap=eCap, b_cap=bCap,
-            r_cap=rCap)
+            r_cap=rCap,
+            rl_cap=_shepseg._rlCapEffective(rlCap, batch_j.dtype, width))
         scalars = np.asarray(scalars)
         if not scalars[:, 7].any():
             buckets = (round_capacity(int(scalars[:, 0].max()) + 1),
                        _shepseg._edgeCapForCount(int(scalars[:, 1].max())),
                        _shepseg._boundaryCapForCount(
                            int(scalars[:, 8].max())),
-                       _shepseg._rowCapForCount(int(scalars[:, 9].max())))
+                       _shepseg._rowCapForCount(int(scalars[:, 9].max())),
+                       _shepseg._runCapForCount(
+                           int(scalars[:, 10].max())))
             return np.asarray(segsS), buckets
 
     segs, a, b, first, sc0 = cluster_clump_edges_tiles(
@@ -76,11 +81,13 @@ def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
     eCap = _shepseg._edgeCapForCount(int(sc0[:, 1].max()))
     bCap = _shepseg._boundaryCapForCount(int(sc0[:, 2].max()))
     rCap = _shepseg._rowCapForCount(int(sc0[:, 3].max()))
-    buckets = (capacity, eCap, bCap, rCap)
+    rlCap = _shepseg._runCapForCount(int(sc0[:, 4].max()))
+    buckets = (capacity, eCap, bCap, rCap, rlCap)
     segsF, scalars = eliminate_tiles_fused(
         batch_j, segs, a, b, first, maxDiff,
         min_seg_size=minSegmentSize,
-        four_connected=fourConnected, capacity=capacity, e_cap=eCap)
+        four_connected=fourConnected, capacity=capacity, e_cap=eCap,
+        rl_cap=_shepseg._rlCapEffective(rlCap, batch_j.dtype, width))
     scalars = np.asarray(scalars)
     if not scalars[:, 2].any():
         return np.asarray(segsF), buckets
@@ -92,7 +99,7 @@ def segment_tile_batch(batch_j, centers, nullVal, maxDiff, minSegmentSize,
     segs2, _ = eliminate_tiles_phase2(
         segs2, sizes, spects, ea, eb, first, maxDiff,
         min_seg_size=minSegmentSize, e_cap=eCap)
-    return np.asarray(segs2), (capacity, eCap, bCap, rCap)
+    return np.asarray(segs2), (capacity, eCap, bCap, rCap, rlCap)
 
 
 class SegMeshMgr(_tiling.SegmentationConcurrencyMgr):

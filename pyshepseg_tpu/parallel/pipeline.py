@@ -142,10 +142,11 @@ def cluster_clump_edges_tiles(imgs, centers, img_null_val,
     sorted clump-adjacency edge keys, whose measured unique counts size
     the fused dispatch's edge bucket (contraction bound — see
     shepseg._cluster_and_clump_device). Returns (segs, a, b, first,
-    scalars (B, 4) = [clumpCount, nUniqueEdges, nBoundaryPairs,
-    nRowMax]).
+    scalars (B, 5) = [clumpCount, nUniqueEdges, nBoundaryPairs,
+    nRowMax, nRunsRowMax]).
     """
     from ..ops.elim_small import edge_sort_keys, boundary_row_stats
+    from ..shepseg import _run_ends
 
     def one(img):
         clusters = assign_clusters(img, centers, img_null_val, has_null)
@@ -154,8 +155,14 @@ def cluster_clump_edges_tiles(imgs, centers, img_null_val,
                                      four_connected=four_connected)
         a, b, first, n_unique = edge_sort_keys(seg, four_connected)
         n_pairs, row_max = boundary_row_stats(seg, four_connected)
+        # clump-image horizontal-run row max: bounds the post-single-
+        # elim run count, sizing the rl_cap bucket (see
+        # shepseg._cluster_and_clump_device)
+        runs_max = jnp.max(jnp.sum(_run_ends(seg).astype(jnp.uint32),
+                                   axis=1))
         return seg, a, b, first, jnp.stack(
-            [count, n_unique.astype(jnp.uint32), n_pairs, row_max])
+            [count, n_unique.astype(jnp.uint32), n_pairs, row_max,
+             runs_max])
 
     return jax.vmap(one)(imgs)
 
@@ -190,10 +197,10 @@ def eliminate_tiles_phase1(imgs, segs, four_connected: bool,
 
 @functools.partial(
     jax.jit, static_argnames=("min_seg_size", "four_connected",
-                              "capacity", "e_cap"))
+                              "capacity", "e_cap", "rl_cap"))
 def eliminate_tiles_fused(imgs, segs, a, b, first, max_spectral_diff,
                           min_seg_size: int, four_connected: bool,
-                          capacity: int, e_cap: int):
+                          capacity: int, e_cap: int, rl_cap: int = 0):
     """
     Batched FUSED dispatch #2: everything after clumping in one program
     per tile batch, running the graph loop on the clump-image edges from
@@ -209,13 +216,21 @@ def eliminate_tiles_fused(imgs, segs, a, b, first, max_spectral_diff,
                                   _remap_and_relabel)
 
     def one(img, seg, aa, bb, ff):
-        from ..ops.segreduce import seg_sizes_and_spectral_sums_planes
+        from ..ops.segreduce import (seg_sizes_and_spectral_sums_planes,
+                                     seg_sizes_and_spectral_sums_runlength)
         planes = band_planes(img.astype(jnp.float32))
         seg_clump = seg
         seg, _ = eliminate_single_pixels_device(
             planes, seg, None, four_connected, do_relabel=False)
-        size, spect = seg_sizes_and_spectral_sums_planes(
-            seg, planes, capacity)
+        if rl_cap:
+            # caller sized rl_cap from the clump-image run count, a
+            # bound for this post-single-elim image (shepseg.
+            # _elim_fused_device) — no overflow flag needed
+            size, spect, _ = seg_sizes_and_spectral_sums_runlength(
+                seg, planes, capacity, rl_cap)
+        else:
+            size, spect = seg_sizes_and_spectral_sums_planes(
+                seg, planes, capacity)
         remap0 = jnp.arange(capacity, dtype=jnp.uint32).at[
             seg_clump.ravel().astype(jnp.int32)].set(seg.ravel())
         n_unique = jnp.sum(ff.astype(jnp.uint32))
@@ -234,19 +249,19 @@ def eliminate_tiles_fused(imgs, segs, a, b, first, max_spectral_diff,
 @functools.partial(
     jax.jit,
     static_argnames=("min_seg_size", "four_connected", "has_null",
-                     "capacity", "e_cap", "b_cap", "r_cap"))
+                     "capacity", "e_cap", "b_cap", "r_cap", "rl_cap"))
 def segment_tiles_one_shot(imgs, centers, img_null_val,
                            max_spectral_diff, min_seg_size: int,
                            four_connected: bool, has_null: bool,
                            capacity: int, e_cap: int, b_cap: int,
-                           r_cap: int):
+                           r_cap: int, rl_cap: int = 0):
     """
     Batched SPECULATIVE one-shot pipeline: the whole per-tile flow
     (cluster -> clump -> edges -> eliminations -> relabel) vmapped over
     a tile batch in ONE program with static capacity buckets learned
     from an earlier batch of the same scene — no per-batch host sync at
     all (the mesh backend's steady state). Returns (segs — uint16 when
-    capacity allows, scalars (B, 10) as
+    capacity allows, scalars (B, 11) as
     shepseg._segment_one_shot_device; any overflow flag set => discard
     and re-run the measured flow).
     """
@@ -257,7 +272,7 @@ def segment_tiles_one_shot(imgs, centers, img_null_val,
             img, centers, img_null_val, max_spectral_diff,
             has_null=has_null, four_connected=four_connected,
             min_seg_size=min_seg_size, capacity=capacity, e_cap=e_cap,
-            b_cap=b_cap, r_cap=r_cap)
+            b_cap=b_cap, r_cap=r_cap, rl_cap=rl_cap)
 
     return jax.vmap(one)(imgs)
 

@@ -67,6 +67,14 @@ class SegmentationResult(object):
         self.elimPasses = None
 
 
+def _run_ends(seg):
+    """Mask of each horizontal run's last pixel (uint32 labels, any 2D)."""
+    h = seg.shape[0]
+    nxt = jnp.concatenate(
+        [seg[:, 1:], jnp.full((h, 1), ~jnp.uint32(0), seg.dtype)], axis=1)
+    return seg != nxt
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("has_null", "four_connected"))
@@ -88,7 +96,8 @@ def _cluster_and_clump_device(img_dev, centers, img_null_val,
     no second sync.
 
     Returns (band planes, seg, a, b, first, scalars =
-    [numClumps, nUniqueEdges, clumpSweeps, nBoundaryPairs, nRowMax]).
+    [numClumps, nUniqueEdges, clumpSweeps, nBoundaryPairs, nRowMax,
+    nRunsRowMax]).
     """
     from .ops.kmeans import assign_clusters
     from .ops.elim_small import edge_sort_keys, boundary_row_stats
@@ -103,8 +112,16 @@ def _cluster_and_clump_device(img_dev, centers, img_null_val,
     # the b_cap/r_cap buckets that let the NEXT run row-compact pairs
     # before sorting (the one-shot path's edge_sort_keys_compact)
     n_pairs, row_max = boundary_row_stats(seg, four_connected)
+    # horizontal-run row max of the CLUMP image: seeds the rl_cap bucket
+    # for the one-shot's run-length segment reductions. A safe bound for
+    # the post-single-pixel-elim image those reductions actually see:
+    # the merge is a per-label remap, so equal neighbours stay equal and
+    # transitions only ever decrease.
+    runs_row_max = jnp.max(jnp.sum(_run_ends(seg).astype(jnp.uint32),
+                                   axis=1))
     scalars = jnp.stack([num_clumps, n_unique.astype(jnp.uint32),
-                         sweeps.astype(jnp.uint32), n_pairs, row_max])
+                         sweeps.astype(jnp.uint32), n_pairs, row_max,
+                         runs_row_max])
     # Per-band 2D planes, NOT the 3D array (see segreduce.band_planes
     # for the lane-padding OOM this avoids)
     return band_planes_fn(img_f), seg, a, b, first, scalars
@@ -206,9 +223,38 @@ def _rowCapForCount(nRowMax: int) -> int:
     return cap
 
 
+def _runCapForCount(nRunsRowMax: int) -> int:
+    """Static per-row horizontal-run bucket (rl_cap) from the measured
+    max runs in any single image row, for the run-length segment
+    reductions (segreduce.seg_sizes_and_spectral_sums_runlength).
+    Power-of-two from 64, same spikiness argument as _rowCapForCount.
+    The bucket is recorded unconditionally (monotone: bigger = safer,
+    so the grow/shrink ratchet applies); whether the run-length path is
+    actually profitable/legal is decided per dispatch by
+    :func:`_rlCapEffective`."""
+    cap = 64
+    while cap < int(nRunsRowMax) + 1:
+        cap *= 2
+    return cap
+
+
+def _rlCapEffective(rlCap: int, img_dtype, width: int) -> int:
+    """The static run-length capacity a dispatch should USE: the cached
+    bucket when the path is exact for this dtype (integer imagery with
+    int32-safe row cumsums — segreduce.runlength_sums_ok) and the
+    compaction actually shrinks the scatter (cap <= W/2; at cap ~ W the
+    run path degenerates to sort + gather + scatter over the same H*W
+    elements the direct scatter handles in one op). 0 selects the plain
+    per-pixel scatter path."""
+    from .ops.segreduce import runlength_sums_ok
+    if rlCap and runlength_sums_ok(img_dtype, width) and rlCap <= width // 2:
+        return int(rlCap)
+    return 0
+
+
 # Speculative-capacity cache: (shape, dtype, nCentres, fourConnected) ->
-# (capacity, e_cap, b_cap, r_cap) measured on the previous run of the
-# same configuration. Lets repeat runs (every tile of a scene after the
+# (capacity, e_cap, b_cap, r_cap, rl_cap) measured on the previous run
+# of the same configuration. Lets repeat runs (every tile of a scene after the
 # first, every timed repeat of a benchmark) run the WHOLE pipeline as a
 # single dispatch with no mid-pipeline host sync — the sync costs a full
 # host<->device round trip (~27 ms measured through the dev tunnel, a
@@ -280,12 +326,12 @@ def _bucketKey(img_dev, centers, fourConnected, minSegmentSize):
 @functools.partial(
     jax.jit,
     static_argnames=("has_null", "four_connected", "min_seg_size",
-                     "capacity", "e_cap", "b_cap", "r_cap"))
+                     "capacity", "e_cap", "b_cap", "r_cap", "rl_cap"))
 def _segment_one_shot_device(img_dev, centers, img_null_val,
                              max_spectral_diff, has_null: bool,
                              four_connected: bool, min_seg_size: int,
                              capacity: int, e_cap: int, b_cap: int,
-                             r_cap: int):
+                             r_cap: int, rl_cap: int = 0):
     """
     The ENTIRE pipeline (cluster -> clump -> edge extraction ->
     single-pixel elim -> graph small-segment elim -> relabel) as ONE
@@ -299,15 +345,23 @@ def _segment_one_shot_device(img_dev, centers, img_null_val,
     2-4-keys-per-pixel sort with a per-row batched one plus a
     b_cap-sized one.
 
+    ``rl_cap`` > 0 routes the segment reductions through the horizontal
+    run-length compaction (segreduce.seg_sizes_and_spectral_sums_runlength
+    — exact for the dtypes _rlCapEffective gates on), shrinking the
+    pipeline's largest scatter from H*W to H*rl_cap entries; a row with
+    more runs than rl_cap folds into the overflow flag like every other
+    bucket.
+
     Returns (seg_out, scalars = [numClumps, nUniqueEdges, clumpSweeps,
     nAfterSingle, nSmallEliminated, maxSegId, elimPasses, overflow,
-    nBoundaryPairs, nRowMax]).
+    nBoundaryPairs, nRowMax, nRunsRowMax]).
     """
     from .ops.kmeans import assign_clusters
     from .ops.elim_small import (edge_sort_keys_compact, compact_edges,
                                  eliminate_small_segments_graph,
                                  _remap_and_relabel)
-    from .ops.segreduce import seg_sizes_and_spectral_sums_planes
+    from .ops.segreduce import (seg_sizes_and_spectral_sums_planes,
+                                seg_sizes_and_spectral_sums_runlength)
 
     clusters = assign_clusters(img_dev, centers, img_null_val, has_null)
     seg, num_clumps, sweeps = clump_labels(
@@ -324,8 +378,15 @@ def _segment_one_shot_device(img_dev, centers, img_null_val,
     seg_clump = seg
     seg, _ = eliminate_single_pixels_device(
         planes, seg, None, four_connected, do_relabel=False)
-    size, spect = seg_sizes_and_spectral_sums_planes(
-        seg, planes, capacity)
+    if rl_cap:
+        size, spect, runs_max = seg_sizes_and_spectral_sums_runlength(
+            seg, planes, capacity, rl_cap)
+        overflow = overflow | (runs_max > jnp.uint32(rl_cap))
+    else:
+        size, spect = seg_sizes_and_spectral_sums_planes(
+            seg, planes, capacity)
+        runs_max = jnp.max(jnp.sum(_run_ends(seg).astype(jnp.uint32),
+                                   axis=1))
     n_after_single = jnp.count_nonzero(size[MINSEGID:]).astype(jnp.uint32)
     remap0 = jnp.arange(capacity, dtype=jnp.uint32).at[
         seg_clump.ravel().astype(jnp.int32)].set(seg.ravel())
@@ -342,7 +403,8 @@ def _segment_one_shot_device(img_dev, centers, img_null_val,
                          jnp.max(seg).astype(jnp.uint32),
                          passes.astype(jnp.uint32),
                          overflow.astype(jnp.uint32),
-                         n_pairs, row_max])
+                         n_pairs, row_max,
+                         runs_max.astype(jnp.uint32)])
     if capacity <= 0xFFFF + 1:
         seg = seg.astype(jnp.uint16)
     return seg, scalars
@@ -351,10 +413,10 @@ def _segment_one_shot_device(img_dev, centers, img_null_val,
 @functools.partial(
     jax.jit,
     static_argnames=("four_connected", "min_seg_size", "capacity",
-                     "e_cap"))
+                     "e_cap", "rl_cap"))
 def _elim_fused_device(band_planes, seg, a, b, first, max_spectral_diff,
                        min_seg_size: int, four_connected: bool,
-                       capacity: int, e_cap: int):
+                       capacity: int, e_cap: int, rl_cap: int = 0):
     """
     Device dispatch #2 FUSED: single-pixel elimination, segment
     reductions, graph small-segment elimination, and the final relabel
@@ -367,19 +429,32 @@ def _elim_fused_device(band_planes, seg, a, b, first, max_spectral_diff,
     costs a full round trip — ~25 ms measured on the dev tunnel, a third
     of the whole compute budget.)
 
+    ``rl_cap``: same run-length reduction routing as
+    _segment_one_shot_device. Callers pass the bucket sized from
+    dispatch #1's clump-image run count, which BOUNDS this dispatch's
+    post-single-elim run count (the merge is a per-label remap: equal
+    neighbours stay equal, transitions only ever decrease), so no
+    overflow flag is needed here. Using the same reduction on both the
+    measured and speculative paths keeps their outputs bit-identical.
+
     Returns (seg_out, scalars = [nAfterSingle, nSmallEliminated,
     maxSegId, elimPasses, edgeOverflow]).
     """
     from .ops.elim_small import (compact_edges,
                                  eliminate_small_segments_graph,
                                  _remap_and_relabel)
-    from .ops.segreduce import seg_sizes_and_spectral_sums_planes
+    from .ops.segreduce import (seg_sizes_and_spectral_sums_planes,
+                                seg_sizes_and_spectral_sums_runlength)
 
     seg_clump = seg
     seg, _ = eliminate_single_pixels_device(
         band_planes, seg, None, four_connected, do_relabel=False)
-    size, spect = seg_sizes_and_spectral_sums_planes(
-        seg, band_planes, capacity)
+    if rl_cap:
+        size, spect, _ = seg_sizes_and_spectral_sums_runlength(
+            seg, band_planes, capacity, rl_cap)
+    else:
+        size, spect = seg_sizes_and_spectral_sums_planes(
+            seg, band_planes, capacity)
     n_after_single = jnp.count_nonzero(size[MINSEGID:]).astype(jnp.uint32)
     # clump id -> post-single-elim id: every pixel of a clump carries the
     # same new id (survivors keep theirs; an absorbed singleton's one
@@ -449,18 +524,21 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
     # pipeline with no mid-pipeline sync and verify the speculation
     # from the returned scalars.
     specKey = _bucketKey(img_dev, centers, fourConnected, minSegmentSize)
+    imgWidth = int(img_dev.shape[2])
     spec = _SPEC_BUCKETS.get(specKey)
     done = False
     if spec is not None:
-        capacity, eCap, bCap, rCap = spec
+        capacity, eCap, bCap, rCap, rlCap = spec
         seg_out_dev, scalars_dev = _segment_one_shot_device(
             img_dev, centers, nullVal, jnp.float32(maxSpectralDiff),
             has_null=hasNull, four_connected=bool(fourConnected),
             min_seg_size=int(minSegmentSize),
-            capacity=capacity, e_cap=eCap, b_cap=bCap, r_cap=rCap)
+            capacity=capacity, e_cap=eCap, b_cap=bCap, r_cap=rCap,
+            rl_cap=_rlCapEffective(rlCap, img_dev.dtype, imgWidth))
         (numClumps, nUniqueEdges, clumpSweeps, nAfterSingle,
          numElimSmall, finalMax, elimPasses, overflow,
-         nBoundaryPairs, nRowMax) = np.asarray(scalars_dev).tolist()
+         nBoundaryPairs, nRowMax,
+         nRunsRowMax) = np.asarray(scalars_dev).tolist()
         if overflow:
             # speculation too small: discard and re-run measured
             _SPEC_BUCKETS.pop(specKey, None)
@@ -471,7 +549,8 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
                 round_capacity(maxSegId + 1),
                 _edgeCapForCount(int(nUniqueEdges)),
                 _boundaryCapForCount(int(nBoundaryPairs)),
-                _rowCapForCount(int(nRowMax))))
+                _rowCapForCount(int(nRowMax)),
+                _runCapForCount(int(nRunsRowMax))))
             done = True
             if verbose:
                 print("One-shot dispatch found", maxSegId, "clumps, in",
@@ -486,7 +565,8 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
         # bucket (clump count) and the edge-capacity bucket (measured
         # clump-image adjacency count, a contraction bound for the loop).
         (numClumps, nUniqueEdges, clumpSweeps,
-         nBoundaryPairs, nRowMax) = np.asarray(scalars0_dev).tolist()
+         nBoundaryPairs, nRowMax, nRunsRowMax) = np.asarray(
+            scalars0_dev).tolist()
         maxSegId = int(numClumps)
         if verbose:
             print("Kmeans plus clump found", maxSegId, "clumps, in",
@@ -496,12 +576,14 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
         t0 = time.time()
         capacity = round_capacity(maxSegId + 1)
         eCap = _edgeCapForCount(nUniqueEdges)
+        rlCap = _runCapForCount(int(nRunsRowMax))
         seg_out_dev, scalars_dev = _elim_fused_device(
             planes_dev, seg_dev, a_dev, b_dev, first_dev,
             jnp.float32(maxSpectralDiff),
             min_seg_size=int(minSegmentSize),
             four_connected=bool(fourConnected),
-            capacity=capacity, e_cap=eCap)
+            capacity=capacity, e_cap=eCap,
+            rl_cap=_rlCapEffective(rlCap, img_dev.dtype, imgWidth))
         (nAfterSingle, numElimSmall, finalMax, elimPasses,
          overflow) = np.asarray(scalars_dev).tolist()
         if overflow:
@@ -529,7 +611,7 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
             # configuration takes the one-shot path
             _updateSpecBuckets(specKey, (
                 capacity, eCap, _boundaryCapForCount(int(nBoundaryPairs)),
-                _rowCapForCount(int(nRowMax))))
+                _rowCapForCount(int(nRowMax)), rlCap))
     # uint16 download invariant: the cast fires iff capacity bounds all
     # IDs below 2^16, so the final max must fit (VERDICT round-2 item)
     if seg_out_dev.dtype == jnp.uint16:
@@ -556,18 +638,19 @@ def doShepherdSegmentation(img, numClusters=60, clusterSubsamplePcnt=1,
 
 
 def _refitBucketsFromOneShot(vals):
-    """(capacity, e_cap, b_cap, r_cap) refit from a one-shot dispatch's
-    measured scalars after an overflow — the production path re-measures
-    instead of failing, and so must every benchmark harness (VERDICT r3
-    item 1: a bench that can crash on a data-dependent count is not a
-    benchmark harness). numClumps/nPairs/rowMax are exact measures even
-    under overflow; nUnique may UNDERCOUNT when the pair buffer
-    overflowed (it is counted on the compacted slice), so it gets a 2x
-    margin."""
+    """(capacity, e_cap, b_cap, r_cap, rl_cap) refit from a one-shot
+    dispatch's measured scalars after an overflow — the production path
+    re-measures instead of failing, and so must every benchmark harness
+    (VERDICT r3 item 1: a bench that can crash on a data-dependent count
+    is not a benchmark harness). numClumps/nPairs/rowMax/runsRowMax are
+    exact measures even under overflow; nUnique may UNDERCOUNT when the
+    pair buffer overflowed (it is counted on the compacted slice), so it
+    gets a 2x margin."""
     return (round_capacity(int(vals[0]) + 1),
             _edgeCapForCount(int(vals[1]) * 2),
             _boundaryCapForCount(int(vals[8])),
-            _rowCapForCount(int(vals[9])))
+            _rowCapForCount(int(vals[9])),
+            _runCapForCount(int(vals[10])))
 
 
 def deviceResidentThroughput(img, kmeansObj, maxSpectralDiff,
@@ -598,23 +681,25 @@ def deviceResidentThroughput(img, kmeansObj, maxSpectralDiff,
     planes, seg, a, b, first, sc0 = _cluster_and_clump_device(
         img_dev, centers, nullVal, has_null=hasNull,
         four_connected=bool(fourConnected))
-    num, nUnique, _, nPairs, nRowMax = np.asarray(sc0).tolist()
+    num, nUnique, _, nPairs, nRowMax, nRunsMax = np.asarray(sc0).tolist()
     capacity = round_capacity(int(num) + 1)
     eCap = _edgeCapForCount(nUnique)
     bCap = _boundaryCapForCount(nPairs)
     rCap = _rowCapForCount(nRowMax)
+    rlCap = _runCapForCount(nRunsMax)
     _elim_fused_device(
         planes, seg, a, b, first, maxDiff,
         min_seg_size=int(minSegmentSize),
         four_connected=bool(fourConnected), capacity=capacity,
-        e_cap=eCap)
+        e_cap=eCap, rl_cap=_rlCapEffective(rlCap, img.dtype, w))
 
     def run():
         seg_out, sc = _segment_one_shot_device(
             img_dev, centers, nullVal, maxDiff,
             has_null=hasNull, four_connected=bool(fourConnected),
             min_seg_size=int(minSegmentSize),
-            capacity=capacity, e_cap=eCap, b_cap=bCap, r_cap=rCap)
+            capacity=capacity, e_cap=eCap, b_cap=bCap, r_cap=rCap,
+            rl_cap=_rlCapEffective(rlCap, img.dtype, w))
         # force a value fetch: block_until_ready can report early on the tunnel
         return np.asarray(sc)
 
@@ -626,7 +711,7 @@ def deviceResidentThroughput(img, kmeansObj, maxSpectralDiff,
         vals = run()
         if not vals[7]:
             break
-        capacity, eCap, bCap, rCap = _refitBucketsFromOneShot(vals)
+        capacity, eCap, bCap, rCap, rlCap = _refitBucketsFromOneShot(vals)
     else:
         raise RuntimeError("speculative buckets failed to converge "
                            "after 4 refits: %s" % (vals.tolist(),))
@@ -668,18 +753,21 @@ def deviceOnlySeconds(img, kmeansObj, maxSpectralDiff, minSegmentSize=50,
     planes, seg, a, b, first, sc0 = _cluster_and_clump_device(
         img_dev, centers, nullVal, has_null=hasNull,
         four_connected=bool(fourConnected))
-    num, nUnique, _, nPairs, nRowMax = np.asarray(sc0).tolist()
+    num, nUnique, _, nPairs, nRowMax, nRunsMax = np.asarray(sc0).tolist()
     capacity = round_capacity(int(num) + 1)
     eCap = _edgeCapForCount(nUnique)
     bCap = _boundaryCapForCount(nPairs)
     rCap = _rowCapForCount(nRowMax)
+    rlCap = _runCapForCount(nRunsMax)
+    w = int(img.shape[2])
 
     def one_shot():
         return _segment_one_shot_device(
             img_dev, centers, nullVal, maxDiff,
             has_null=hasNull, four_connected=bool(fourConnected),
             min_seg_size=int(minSegmentSize),
-            capacity=capacity, e_cap=eCap, b_cap=bCap, r_cap=rCap)
+            capacity=capacity, e_cap=eCap, b_cap=bCap, r_cap=rCap,
+            rl_cap=_rlCapEffective(rlCap, img.dtype, w))
 
     # compile + warm; refit-and-rerun on overflow instead of asserting
     for _ in range(4):
@@ -687,7 +775,7 @@ def deviceOnlySeconds(img, kmeansObj, maxSpectralDiff, minSegmentSize=50,
         vals = np.asarray(sc)
         if not vals[7]:
             break
-        capacity, eCap, bCap, rCap = _refitBucketsFromOneShot(vals)
+        capacity, eCap, bCap, rCap, rlCap = _refitBucketsFromOneShot(vals)
     else:
         raise RuntimeError("speculative buckets failed to converge "
                            "after 4 refits: %s" % (vals.tolist(),))
@@ -716,7 +804,8 @@ def deviceOnlySeconds(img, kmeansObj, maxSpectralDiff, minSegmentSize=50,
             # same image as the priming run, so this cannot trip there;
             # a caller-supplied bucket combination refits and the
             # measurement window restarts (never asserts — VERDICT r3)
-            capacity, eCap, bCap, rCap = _refitBucketsFromOneShot(vals)
+            capacity, eCap, bCap, rCap, rlCap = \
+                _refitBucketsFromOneShot(vals)
             one_shot()  # recompile + warm the refit buckets
             best = None
             continue

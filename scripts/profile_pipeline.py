@@ -91,17 +91,22 @@ def main():
     out["d1_cluster_clump_edges_ms"] = round(timeit(d1) * 1000, 1)
     planes, seg0, a0, b0, first0, sc0 = d1()
     (numClumps, nUniqueEdges, sweeps, nPairs,
-     nRowMax) = np.asarray(sc0).tolist()
+     nRowMax, nRunsMax) = np.asarray(sc0).tolist()
     capacity = round_capacity(int(numClumps) + 1)
     eCap = shepseg._edgeCapForCount(int(nUniqueEdges))
+    rlEff = shepseg._rlCapEffective(
+        shepseg._runCapForCount(int(nRunsMax)), img_dev.dtype,
+        int(img_dev.shape[2]))
     out["b_pairs"] = int(nPairs)
+    out["rl_cap"] = rlEff
 
     # dispatch 2 (production): FUSED single-pixel elim + reductions +
     # graph elimination + relabel
     def d2():
         seg2, sc = shepseg._elim_fused_device(
             planes, seg0, a0, b0, first0, maxDiff, min_seg_size=50,
-            four_connected=True, capacity=capacity, e_cap=eCap)
+            four_connected=True, capacity=capacity, e_cap=eCap,
+            rl_cap=rlEff)
         np.asarray(sc)
 
     out["d2_fused_elim_ms"] = round(timeit(d2) * 1000, 1)

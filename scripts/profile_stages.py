@@ -74,11 +74,12 @@ def main():
     # measured buckets (priming dispatch)
     planes, seg0, a0, b0, f0, sc0 = _cluster_and_clump_device(
         img_dev, centers, nullVal, has_null=False, four_connected=True)
-    num, nUnique, _, nPairs, nRowMax = np.asarray(sc0).tolist()
+    num, nUnique, _, nPairs, nRowMax, nRunsMax = np.asarray(sc0).tolist()
     capacity = round_capacity(int(num) + 1)
     eCap = _edgeCapForCount(nUnique)
     bCap = _boundaryCapForCount(nPairs)
     rCap = shepseg._rowCapForCount(nRowMax)
+    rlCap = shepseg._runCapForCount(nRunsMax)
 
     # bare sync RTT
     tiny = jnp.zeros((8, 128), jnp.float32)
@@ -119,6 +120,17 @@ def main():
         s, p, capacity))
     size, spect = jax.block_until_ready(j_reduce(seg1, planes))
 
+    rlEff = shepseg._rlCapEffective(rlCap, img_dev.dtype,
+                                    int(img_dev.shape[2]))
+    j_reduce_rl = None
+    if rlEff:
+        from pyshepseg_tpu.ops.segreduce import (
+            seg_sizes_and_spectral_sums_runlength)
+        j_reduce_rl = jax.jit(
+            lambda s, p: seg_sizes_and_spectral_sums_runlength(
+                s, p, capacity, rlEff))
+        jax.block_until_ready(j_reduce_rl(seg1, planes))
+
     j_compact = jax.jit(lambda aa, bb, ff: compact_edges(
         aa, bb, ff, eCap, id_bound=capacity))
     ea, eb = jax.block_until_ready(j_compact(a, b, first))
@@ -144,6 +156,8 @@ def main():
         "band_planes": lambda: planes_j(img_dev),
         "single_pixel_elim": lambda: j_single(planes, seg),
         "seg_reductions": lambda: j_reduce(seg1, planes),
+        **({"seg_reductions_runlength": lambda: j_reduce_rl(seg1, planes)}
+           if j_reduce_rl else {}),
         "compact_edges": lambda: j_compact(a, b, first),
         "graph_elim_mss50": lambda: j_graph50(ea, eb, size, spect),
         "graph_elim_mss2": lambda: j_graph2(ea, eb, size, spect),
@@ -165,7 +179,7 @@ def main():
     j_oneshot = (lambda: _segment_one_shot_device(
         img_dev, centers, nullVal, jnp.float32(1e9), has_null=False,
         four_connected=True, min_seg_size=50, capacity=capacity,
-        e_cap=eCap, b_cap=bCap, r_cap=rCap))
+        e_cap=eCap, b_cap=bCap, r_cap=rCap, rl_cap=rlEff))
     out["one_shot_fused_ms"] = round(
         timeit_pipelined(j_oneshot, rtt=rtt) * 1000, 2)
 

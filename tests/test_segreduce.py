@@ -40,6 +40,81 @@ def test_relabel(rng):
     np.testing.assert_array_equal(used, np.arange(1, len(used) + 1))
 
 
+def _coherent_labels(rng, h, w, ncells=9):
+    """Spatially-coherent label image (Voronoi cells), like real clump
+    output — the structure the run-length reduction exploits."""
+    centres = rng.uniform(0, [h, w], size=(ncells, 2))
+    yy, xx = np.mgrid[0:h, 0:w]
+    d = ((yy[..., None] - centres[:, 0]) ** 2 +
+         (xx[..., None] - centres[:, 1]) ** 2)
+    return (d.argmin(axis=-1) + 1).astype(np.uint32)
+
+
+def test_runlength_sums_match_planes(rng):
+    """The run-length compacted reduction must be bit-identical to the
+    per-pixel scatter path while segment totals stay integer-exact in
+    float32 (its gated regime)."""
+    import jax.numpy as jnp
+    from pyshepseg_tpu.ops.segreduce import (
+        seg_sizes_and_spectral_sums_planes,
+        seg_sizes_and_spectral_sums_runlength)
+    h, w = 48, 64
+    seg = _coherent_labels(rng, h, w)
+    img = rng.integers(0, 256, size=(3, h, w)).astype(np.uint8)
+    planes = tuple(jnp.asarray(img[b].astype(np.float32))
+                   for b in range(3))
+    seg_j = jnp.asarray(seg)
+    capacity = 16
+    want_size, want_spect = seg_sizes_and_spectral_sums_planes(
+        seg_j, planes, capacity)
+    got_size, got_spect, runs_max = seg_sizes_and_spectral_sums_runlength(
+        seg_j, planes, capacity, run_cap=32)
+    true_runs_max = max(1 + int((r[1:] != r[:-1]).sum()) for r in seg)
+    assert int(runs_max) == true_runs_max
+    assert true_runs_max <= 32, "test labels should fit the cap"
+    np.testing.assert_array_equal(np.asarray(got_size),
+                                  np.asarray(want_size))
+    np.testing.assert_array_equal(np.asarray(got_spect),
+                                  np.asarray(want_spect))
+
+
+def test_runlength_sums_detects_row_overflow(rng):
+    """A row with more runs than run_cap must be reported via the
+    returned row max (the caller folds it into its overflow flag)."""
+    import jax.numpy as jnp
+    from pyshepseg_tpu.ops.segreduce import (
+        seg_sizes_and_spectral_sums_runlength)
+    h, w = 8, 64
+    seg = ((np.arange(w)[None, :] + np.zeros((h, 1), int)) % 2 + 1)
+    seg = seg.astype(np.uint32)        # alternating 1,2: w runs per row
+    planes = (jnp.asarray(np.ones((h, w), np.float32)),)
+    _, _, runs_max = seg_sizes_and_spectral_sums_runlength(
+        jnp.asarray(seg), planes, 4, run_cap=16)
+    assert int(runs_max) == w and w > 16
+
+
+def test_runlength_gate():
+    """The static dtype/width gate: exact int32 row cumsums only."""
+    from pyshepseg_tpu.ops.segreduce import runlength_sums_ok
+    assert runlength_sums_ok(np.uint8, 1024)
+    assert runlength_sums_ok(np.uint16, 1024)
+    assert runlength_sums_ok(np.int16, 1024)
+    assert not runlength_sums_ok(np.uint32, 1024)   # may overflow int32
+    assert not runlength_sums_ok(np.float32, 1024)  # not integer-exact
+    assert not runlength_sums_ok(np.uint16, 1 << 16)  # row total overflow
+
+
+def test_rl_cap_effective_gating():
+    """_rlCapEffective: bucket passes through only when the dtype is
+    exact AND the compaction shrinks the scatter (cap <= W/2)."""
+    from pyshepseg_tpu.shepseg import _rlCapEffective
+    assert _rlCapEffective(64, np.dtype(np.uint16), 1024) == 64
+    assert _rlCapEffective(0, np.dtype(np.uint16), 1024) == 0
+    assert _rlCapEffective(64, np.dtype(np.float32), 1024) == 0
+    # cap > W/2: run path degenerates, use the direct scatter
+    assert _rlCapEffective(512, np.dtype(np.uint8), 256) == 0
+
+
 def test_segment_locations(rng):
     seg = rng.integers(0, 10, size=(12, 12)).astype(np.uint32)
     loc = makeSegmentLocations(seg)

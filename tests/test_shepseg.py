@@ -139,8 +139,8 @@ def test_one_shot_overflow_falls_back_to_measured(rng, monkeypatch):
     key = next(iter(ss._SPEC_BUCKETS))
     # plant a too-small edge bucket: the speckle image has far more than
     # 1024 unique adjacencies
-    cap0, eCap0, bCap0, rCap0 = ss._SPEC_BUCKETS[key]
-    ss._SPEC_BUCKETS[key] = (cap0, 1024, bCap0, rCap0)
+    b = ss._SPEC_BUCKETS[key]
+    ss._SPEC_BUCKETS[key] = b[:1] + (1024,) + b[2:]
     res2 = ss.doShepherdSegmentation(img, **kwargs)
     np.testing.assert_array_equal(res1.segimg, res2.segimg)
     assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated
@@ -159,9 +159,9 @@ def test_one_shot_boundary_bucket_overflow_falls_back(rng):
                   fixedKMeansInit=True)
     res1 = ss.doShepherdSegmentation(img, **kwargs)
     key = next(iter(ss._SPEC_BUCKETS))
-    cap0, eCap0, bCap0, rCap0 = ss._SPEC_BUCKETS[key]
-    assert bCap0 > 2048, "speckle image should have >2048 boundary pairs"
-    ss._SPEC_BUCKETS[key] = (cap0, eCap0, 2048, rCap0)
+    b = ss._SPEC_BUCKETS[key]
+    assert b[2] > 2048, "speckle image should have >2048 boundary pairs"
+    ss._SPEC_BUCKETS[key] = b[:2] + (2048,) + b[3:]
     res2 = ss.doShepherdSegmentation(img, **kwargs)
     np.testing.assert_array_equal(res1.segimg, res2.segimg)
     assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated
@@ -178,13 +178,53 @@ def test_one_shot_row_bucket_overflow_falls_back(rng):
                   fixedKMeansInit=True)
     res1 = ss.doShepherdSegmentation(img, **kwargs)
     key = next(iter(ss._SPEC_BUCKETS))
-    cap0, eCap0, bCap0, rCap0 = ss._SPEC_BUCKETS[key]
-    assert rCap0 > 16, "speckle rows should exceed 16 boundary pairs"
-    ss._SPEC_BUCKETS[key] = (cap0, eCap0, bCap0, 16)
+    b = ss._SPEC_BUCKETS[key]
+    assert b[3] > 16, "speckle rows should exceed 16 boundary pairs"
+    ss._SPEC_BUCKETS[key] = b[:3] + (16,) + b[4:]
     res2 = ss.doShepherdSegmentation(img, **kwargs)
     np.testing.assert_array_equal(res1.segimg, res2.segimg)
     assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated
     assert ss._SPEC_BUCKETS[key][3] > 16
+
+
+def test_one_shot_runlength_path_active_and_matches_measured(rng):
+    """On coherent integer imagery wide enough for the gate (cap <= W/2),
+    the one-shot dispatch must take the run-length reduction and still
+    match the measured first run bit-for-bit."""
+    from pyshepseg_tpu import shepseg as ss
+    img, _ = _voronoi_image(rng, shape=(128, 128), ncentres=8, noise=1)
+    kwargs = dict(numClusters=8, clusterSubsamplePcnt=100,
+                  minSegmentSize=10, maxSpectralDiff=None,
+                  fixedKMeansInit=True)
+    res1 = ss.doShepherdSegmentation(img, **kwargs)
+    key = next(iter(ss._SPEC_BUCKETS))
+    rlCap = ss._SPEC_BUCKETS[key][4]
+    # smooth cells at 128 wide: few runs per row, so the gate is open
+    assert ss._rlCapEffective(rlCap, img.dtype, 128) == rlCap > 0, \
+        "run-length path should be active for this configuration"
+    res2 = ss.doShepherdSegmentation(img, **kwargs)
+    np.testing.assert_array_equal(res1.segimg, res2.segimg)
+    assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated
+
+
+def test_one_shot_runlength_bucket_overflow_falls_back(rng):
+    """A planted too-small rl_cap drops runs in the run-length
+    reduction; the overflow flag must catch it and the run must fall
+    back to the measured path transparently."""
+    from pyshepseg_tpu import shepseg as ss
+    # speckle at 128 wide: ~W runs per row, far above a 64 cap
+    img = (rng.integers(0, 30, size=(3, 128, 128)) * 8).astype(np.uint16)
+    kwargs = dict(numClusters=8, minSegmentSize=5, maxSpectralDiff=None,
+                  fixedKMeansInit=True)
+    res1 = ss.doShepherdSegmentation(img, **kwargs)
+    key = next(iter(ss._SPEC_BUCKETS))
+    b = ss._SPEC_BUCKETS[key]
+    assert b[4] > 64, "speckle rows should exceed 64 runs"
+    ss._SPEC_BUCKETS[key] = b[:4] + (64,)
+    res2 = ss.doShepherdSegmentation(img, **kwargs)
+    np.testing.assert_array_equal(res1.segimg, res2.segimg)
+    assert res1.smallSegmentsEliminated == res2.smallSegmentsEliminated
+    assert ss._SPEC_BUCKETS[key][4] > 64
 
 
 def test_spec_bucket_policy_grow_only_on_alternation():
