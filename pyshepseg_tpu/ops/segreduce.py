@@ -182,6 +182,80 @@ def seg_sizes_and_spectral_sums_runlength(seg, band_planes, capacity: int,
     return out[:, 0].astype(jnp.uint32), out[:, 1:], row_runs_max
 
 
+def seg_reduce_and_remap_runlength(seg_clump, seg_post, band_planes,
+                                   capacity: int, run_cap: int):
+    """
+    Device: the run-length segment reduction of
+    :func:`seg_sizes_and_spectral_sums_runlength` PLUS the clump->post
+    id remap, from ONE row compaction over the CLUMP image's runs.
+
+    The fused pipelines need ``remap0[c] = post-single-pixel-elim id of
+    clump c`` to seed the graph elimination. Building it as a full-image
+    scatter (``iota.at[seg_clump.ravel()].set(seg_post.ravel())``) costs
+    another serial H*W-index scatter — as expensive as the reduction it
+    sits next to. But every horizontal run of the CLUMP image is
+    constant in BOTH ids (the single-pixel merge maps each clump
+    wholesale: survivors keep their id, a singleton's one pixel — a
+    length-1 run — carries its absorber's), so one gather at the clump
+    run ends yields (clump id, post id, band cumsums) per run, and:
+
+    - sizes/sums scatter-add keyed by the post id (grouping by clump
+      runs instead of post runs only changes float accumulation order,
+      and not even that below 2^24 where the sums are exact integers);
+    - remap0 scatter-set keyed by the clump id (duplicates across a
+      clump's runs all write the same post id, so write order is
+      irrelevant).
+
+    ``run_cap`` bounds the CLUMP image's runs per row — the very count
+    dispatch #1 measures to seed the rl bucket, and an upper bound for
+    the post image's (merges only remove transitions). Returns
+    (sizes uint32 (capacity,), spect float32 (capacity, nBands),
+    remap0 uint32 (capacity,), row_runs_max uint32) with the same
+    overflow contract as seg_sizes_and_spectral_sums_runlength.
+    Exactness gate: :func:`runlength_sums_ok`.
+    """
+    h, w = seg_clump.shape
+    nb = len(band_planes)
+    c_i = seg_clump.astype(jnp.int32)
+    p_i = seg_post.astype(jnp.int32)
+    nxt = jnp.concatenate(
+        [c_i[:, 1:], jnp.full((h, 1), -1, jnp.int32)], axis=1)
+    end = c_i != nxt
+    row_runs_max = jnp.max(jnp.sum(end.astype(jnp.uint32), axis=1))
+
+    posk = jnp.where(end, jnp.arange(w, dtype=jnp.int32)[None, :], w)
+    posk = jax.lax.sort(posk, dimension=1)[:, :run_cap]   # (H, run_cap)
+    valid = posk < w
+    posc = jnp.minimum(posk, w - 1)
+
+    cums = [jnp.cumsum(p.astype(jnp.int32), axis=1).ravel()
+            for p in band_planes]
+    tbl = jnp.stack([c_i.ravel(), p_i.ravel()] + cums)    # (2+nb, H*W)
+    flat = (jnp.arange(h, dtype=jnp.int32)[:, None] * w + posc).ravel()
+    g = tbl[:, flat].reshape(2 + nb, h, run_cap)
+    cids = g[0]                                           # (H, run_cap)
+    pids = g[1]
+    cum_end = g[2:]                                       # (nb, H, run_cap)
+
+    prev_cum = jnp.concatenate(
+        [jnp.zeros((nb, h, 1), jnp.int32), cum_end[:, :, :-1]], axis=2)
+    prev_pos = jnp.concatenate(
+        [jnp.full((h, 1), -1, jnp.int32), posc[:, :-1]], axis=1)
+    count = (posc - prev_pos).astype(jnp.float32)[None]   # (1, H, run_cap)
+    sums = (cum_end - prev_cum).astype(jnp.float32)       # (nb, H, run_cap)
+    vals = jnp.concatenate([count, sums]).reshape(1 + nb, -1).T
+
+    idx_p = jnp.where(valid, pids, capacity).ravel()
+    out = jnp.zeros((capacity + 1, 1 + nb), jnp.float32).at[idx_p].add(
+        vals, mode="drop")[:capacity]
+    idx_c = jnp.where(valid, cids, capacity).ravel()
+    remap0 = jnp.arange(capacity + 1, dtype=jnp.uint32).at[idx_c].set(
+        jnp.where(valid, pids, 0).astype(jnp.uint32).ravel(),
+        mode="drop")[:capacity]
+    return (out[:, 0].astype(jnp.uint32), out[:, 1:], remap0,
+            row_runs_max)
+
+
 def relabel_subtract(seg_size, min_seg_id: int = MINSEGID):
     """
     Device: per-ID decrement making labels contiguous. For each ID k, the

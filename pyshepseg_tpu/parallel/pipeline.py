@@ -217,22 +217,22 @@ def eliminate_tiles_fused(imgs, segs, a, b, first, max_spectral_diff,
 
     def one(img, seg, aa, bb, ff):
         from ..ops.segreduce import (seg_sizes_and_spectral_sums_planes,
-                                     seg_sizes_and_spectral_sums_runlength)
+                                     seg_reduce_and_remap_runlength)
         planes = band_planes(img.astype(jnp.float32))
         seg_clump = seg
         seg, _ = eliminate_single_pixels_device(
             planes, seg, None, four_connected, do_relabel=False)
         if rl_cap:
-            # caller sized rl_cap from the clump-image run count, a
-            # bound for this post-single-elim image (shepseg.
-            # _elim_fused_device) — no overflow flag needed
-            size, spect, _ = seg_sizes_and_spectral_sums_runlength(
-                seg, planes, capacity, rl_cap)
+            # caller sized rl_cap from the clump-image run count (no
+            # overflow flag needed); the run compaction also yields the
+            # clump->post remap (shepseg._elim_fused_device)
+            size, spect, remap0, _ = seg_reduce_and_remap_runlength(
+                seg_clump, seg, planes, capacity, rl_cap)
         else:
             size, spect = seg_sizes_and_spectral_sums_planes(
                 seg, planes, capacity)
-        remap0 = jnp.arange(capacity, dtype=jnp.uint32).at[
-            seg_clump.ravel().astype(jnp.int32)].set(seg.ravel())
+            remap0 = jnp.arange(capacity, dtype=jnp.uint32).at[
+                seg_clump.ravel().astype(jnp.int32)].set(seg.ravel())
         n_unique = jnp.sum(ff.astype(jnp.uint32))
         overflow = (n_unique > jnp.uint32(e_cap)).astype(jnp.uint32)
         ea, eb = compact_edges(aa, bb, ff, e_cap, id_bound=capacity)

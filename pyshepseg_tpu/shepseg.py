@@ -361,7 +361,7 @@ def _segment_one_shot_device(img_dev, centers, img_null_val,
                                  eliminate_small_segments_graph,
                                  _remap_and_relabel)
     from .ops.segreduce import (seg_sizes_and_spectral_sums_planes,
-                                seg_sizes_and_spectral_sums_runlength)
+                                seg_reduce_and_remap_runlength)
 
     clusters = assign_clusters(img_dev, centers, img_null_val, has_null)
     seg, num_clumps, sweeps = clump_labels(
@@ -379,17 +379,20 @@ def _segment_one_shot_device(img_dev, centers, img_null_val,
     seg, _ = eliminate_single_pixels_device(
         planes, seg, None, four_connected, do_relabel=False)
     if rl_cap:
-        size, spect, runs_max = seg_sizes_and_spectral_sums_runlength(
-            seg, planes, capacity, rl_cap)
+        # one clump-run compaction yields the reductions AND the
+        # clump->post remap (the full-image remap scatter was as
+        # expensive as the reduction it replaced)
+        size, spect, remap0, runs_max = seg_reduce_and_remap_runlength(
+            seg_clump, seg, planes, capacity, rl_cap)
         overflow = overflow | (runs_max > jnp.uint32(rl_cap))
     else:
         size, spect = seg_sizes_and_spectral_sums_planes(
             seg, planes, capacity)
-        runs_max = jnp.max(jnp.sum(_run_ends(seg).astype(jnp.uint32),
-                                   axis=1))
+        remap0 = jnp.arange(capacity, dtype=jnp.uint32).at[
+            seg_clump.ravel().astype(jnp.int32)].set(seg.ravel())
+        runs_max = jnp.max(jnp.sum(
+            _run_ends(seg_clump).astype(jnp.uint32), axis=1))
     n_after_single = jnp.count_nonzero(size[MINSEGID:]).astype(jnp.uint32)
-    remap0 = jnp.arange(capacity, dtype=jnp.uint32).at[
-        seg_clump.ravel().astype(jnp.int32)].set(seg.ravel())
     ea, eb = compact_edges(a, b, first, e_cap, id_bound=capacity)
     remap, size_out, n_small, passes = eliminate_small_segments_graph(
         ea, eb, size, spect, min_seg_size, max_spectral_diff,
@@ -444,23 +447,24 @@ def _elim_fused_device(band_planes, seg, a, b, first, max_spectral_diff,
                                  eliminate_small_segments_graph,
                                  _remap_and_relabel)
     from .ops.segreduce import (seg_sizes_and_spectral_sums_planes,
-                                seg_sizes_and_spectral_sums_runlength)
+                                seg_reduce_and_remap_runlength)
 
     seg_clump = seg
     seg, _ = eliminate_single_pixels_device(
         band_planes, seg, None, four_connected, do_relabel=False)
     if rl_cap:
-        size, spect, _ = seg_sizes_and_spectral_sums_runlength(
-            seg, band_planes, capacity, rl_cap)
+        size, spect, remap0, _ = seg_reduce_and_remap_runlength(
+            seg_clump, seg, band_planes, capacity, rl_cap)
     else:
         size, spect = seg_sizes_and_spectral_sums_planes(
             seg, band_planes, capacity)
+        # clump id -> post-single-elim id: every pixel of a clump
+        # carries the same new id (survivors keep theirs; an absorbed
+        # singleton's one pixel carries its absorber), so a full-image
+        # scatter builds the map
+        remap0 = jnp.arange(capacity, dtype=jnp.uint32).at[
+            seg_clump.ravel().astype(jnp.int32)].set(seg.ravel())
     n_after_single = jnp.count_nonzero(size[MINSEGID:]).astype(jnp.uint32)
-    # clump id -> post-single-elim id: every pixel of a clump carries the
-    # same new id (survivors keep theirs; an absorbed singleton's one
-    # pixel carries its absorber), so a full-image scatter builds the map
-    remap0 = jnp.arange(capacity, dtype=jnp.uint32).at[
-        seg_clump.ravel().astype(jnp.int32)].set(seg.ravel())
     n_unique = jnp.sum(first.astype(jnp.uint32))
     overflow = (n_unique > jnp.uint32(e_cap)).astype(jnp.uint32)
     ea, eb = compact_edges(a, b, first, e_cap, id_bound=capacity)

@@ -93,6 +93,41 @@ def test_runlength_sums_detects_row_overflow(rng):
     assert int(runs_max) == w and w > 16
 
 
+def test_runlength_reduce_and_remap(rng):
+    """The fused clump-run reduction: sizes/sums keyed by the POST ids
+    must match the plain scatter path, and the clump->post remap must
+    match the full-image scatter construction it replaces."""
+    import jax.numpy as jnp
+    from pyshepseg_tpu.ops.segreduce import (
+        seg_sizes_and_spectral_sums_planes, seg_reduce_and_remap_runlength)
+    h, w = 48, 64
+    seg_clump = _coherent_labels(rng, h, w, ncells=9)
+    # a post-single-pixel-elim image: per-clump remap (some clumps
+    # "absorbed" into others), constant across each clump
+    true_map = np.arange(16, dtype=np.uint32)
+    true_map[4] = 2
+    true_map[7] = 1
+    seg_post = true_map[seg_clump]
+    img = rng.integers(0, 256, size=(2, h, w)).astype(np.uint8)
+    planes = tuple(jnp.asarray(img[b].astype(np.float32))
+                   for b in range(2))
+    capacity = 16
+    want_size, want_spect = seg_sizes_and_spectral_sums_planes(
+        jnp.asarray(seg_post), planes, capacity)
+    got_size, got_spect, remap0, runs_max = seg_reduce_and_remap_runlength(
+        jnp.asarray(seg_clump), jnp.asarray(seg_post), planes, capacity,
+        run_cap=32)
+    np.testing.assert_array_equal(np.asarray(got_size),
+                                  np.asarray(want_size))
+    np.testing.assert_array_equal(np.asarray(got_spect),
+                                  np.asarray(want_spect))
+    want_remap = np.arange(capacity, dtype=np.uint32)
+    present = np.unique(seg_clump)
+    want_remap[present] = true_map[present]
+    np.testing.assert_array_equal(np.asarray(remap0), want_remap)
+    assert int(runs_max) <= 32
+
+
 def test_runlength_gate():
     """The static dtype/width gate: exact int32 row cumsums only."""
     from pyshepseg_tpu.ops.segreduce import runlength_sums_ok
