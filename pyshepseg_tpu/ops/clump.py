@@ -90,6 +90,90 @@ def _pallas_seed_labels(img, ignore_val, four_connected, valid, sentinel):
     return jnp.where(valid, ly * w + lx, sentinel)
 
 
+def _boundary_edges(labels, img, ignore_val, by, bx, four_connected,
+                    sentinel):
+    """
+    Label pairs of adjacent same-value pixels that straddle a block
+    boundary of the (by, bx) block grid, as two flat (E,) arrays
+    (invalid slots hold ``sentinel``). STATIC strided slices — the block
+    grid is known at trace time — so extraction costs a handful of thin
+    (h/by, w)-ish streaming compares, no sort and no compaction. Pairs
+    wholly inside one block are unnecessary (their labels are already
+    equal after local convergence) but harmless if included (self-edges
+    are no-ops in the merge), so the slices don't bother excluding the
+    image-edge corner duplicates.
+    """
+    ea_parts, eb_parts = [], []
+
+    def add(lab_lo, lab_hi, img_lo, img_hi):
+        m = min(lab_lo.shape[0], lab_hi.shape[0])
+        n = min(lab_lo.shape[1], lab_hi.shape[1])
+        lab_lo, lab_hi = lab_lo[:m, :n], lab_hi[:m, :n]
+        ok = ((img_lo[:m, :n] == img_hi[:m, :n]) &
+              (img_lo[:m, :n] != ignore_val) &
+              (img_hi[:m, :n] != ignore_val))
+        ea_parts.append(jnp.where(ok, lab_lo, sentinel).ravel())
+        eb_parts.append(jnp.where(ok, lab_hi, sentinel).ravel())
+
+    # vertical pairs across horizontal block boundaries
+    add(labels[by - 1::by], labels[by::by],
+        img[by - 1::by], img[by::by])
+    # horizontal pairs across vertical block boundaries
+    add(labels[:, bx - 1::bx], labels[:, bx::bx],
+        img[:, bx - 1::bx], img[:, bx::bx])
+    if not four_connected:
+        # diagonals across horizontal boundaries
+        add(labels[by - 1::by, :-1], labels[by::by, 1:],
+            img[by - 1::by, :-1], img[by::by, 1:])
+        add(labels[by - 1::by, 1:], labels[by::by, :-1],
+            img[by - 1::by, 1:], img[by::by, :-1])
+        # diagonals across vertical boundaries (interior rows)
+        add(labels[:-1, bx - 1::bx], labels[1:, bx::bx],
+            img[:-1, bx - 1::bx], img[1:, bx::bx])
+        add(labels[:-1, bx::bx], labels[1:, bx - 1::bx],
+            img[:-1, bx::bx], img[1:, bx - 1::bx])
+    return jnp.concatenate(ea_parts), jnp.concatenate(eb_parts)
+
+
+def _merge_boundary_roots(ea, eb, sentinel):
+    """
+    Connected components of the CONTRACTED boundary-root graph: nodes
+    are the block-local root labels appearing in the edge lists, values
+    converge to each contracted component's minimum label (= the global
+    component's min flat index, since a component's global min root is
+    reachable from every one of its block roots through boundary
+    edges). Min-hooking over the edges plus one value-chasing hop per
+    iteration (m <- m[id(m)], ids by binary search over the sorted
+    unique node labels) converges in O(log) iterations; every array is
+    edge-sized (thousands), so the whole solve costs microseconds.
+
+    Returns (uniq (2E,) sorted node labels padded with ``sentinel``,
+    m (2E,) final min label per node).
+    """
+    keys = jnp.sort(jnp.concatenate([ea, eb]))
+    two_e = keys.shape[0]
+    first = ((jnp.arange(two_e) == 0) | (keys != jnp.roll(keys, 1)))
+    first = first & (keys != sentinel)
+    uniq = jnp.sort(jnp.where(first, keys, sentinel))
+    ca = jnp.searchsorted(uniq, ea).astype(jnp.int32)
+    cb = jnp.searchsorted(uniq, eb).astype(jnp.int32)
+    ca = jnp.minimum(ca, two_e - 1)
+    cb = jnp.minimum(cb, two_e - 1)
+
+    def body(carry):
+        m, _, it = carry
+        em = jnp.minimum(m[ca], m[cb])
+        m2 = m.at[ca].min(em).at[cb].min(em)
+        j = jnp.minimum(jnp.searchsorted(uniq, m2).astype(jnp.int32),
+                        two_e - 1)
+        m3 = jnp.minimum(m2, m2[j])
+        return m3, jnp.any(m3 != m), it + jnp.int32(1)
+
+    m, _, _ = jax.lax.while_loop(
+        lambda c: c[1], body, (uniq, jnp.bool_(True), jnp.int32(0)))
+    return uniq, m
+
+
 def clump_labels(img, ignore_val, four_connected=True, use_pallas=None,
                  jump_every=8):
     """
@@ -159,45 +243,101 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None,
                     if dy != 0 and dx != 0]
     nbr_same = [(dy, dx, conn(dy, dx)) for dy, dx in diag_offsets]
 
-    def body(carry):
-        labels, _, sweep = carry
-        new = labels
-        for dy, dx, same in nbr_same:
-            new = jnp.minimum(new, jnp.where(same,
-                                             shift(new, dy, dx, sentinel),
-                                             sentinel))
-        new = _run_min(new, conn_row, 1, sentinel)
-        new = _run_min(new, conn_col, 0, sentinel)
+    def slow(labels_in):
+        """The global fixpoint loop, the correctness anchor: converges
+        from ANY monotone label state. Returns the scan-order rank
+        table, the flat labels to gather it with, the sweep count, and
+        the clump count."""
 
-        # One pointer-jumping hop collapses label chains multiplicatively,
-        # but costs a full-image gather — by far the most expensive op in
-        # the sweep. Typical inputs converge in a handful of sweeps from
-        # the block-local seeds without it, so only pay for it on every
-        # second sweep; pathological spiral components still converge in
-        # O(log) sweeps.
-        def jump(x):
-            flat = x.ravel()
-            flat_ext = jnp.concatenate(
-                [flat, jnp.array([sentinel], flat.dtype)])
-            return flat_ext[flat].reshape(x.shape)
+        def body(carry):
+            labels, _, sweep = carry
+            new = labels
+            for dy, dx, same in nbr_same:
+                new = jnp.minimum(new,
+                                  jnp.where(same,
+                                            shift(new, dy, dx, sentinel),
+                                            sentinel))
+            new = _run_min(new, conn_row, 1, sentinel)
+            new = _run_min(new, conn_col, 0, sentinel)
 
-        new = jax.lax.cond(sweep % jump_every == jump_every - 1,
-                           jump, lambda x: x, new)
-        new = jnp.where(valid, new, sentinel)
-        changed = jnp.any(new != labels)
-        return new, changed, sweep + 1
+            # One pointer-jumping hop collapses label chains
+            # multiplicatively, but costs a full-image gather — by far
+            # the most expensive op in the sweep. Typical inputs
+            # converge in a handful of sweeps from the block-local
+            # seeds without it, so only pay for it sparsely;
+            # pathological spiral components still converge in O(log)
+            # sweeps.
+            def jump(x):
+                flat = x.ravel()
+                flat_ext = jnp.concatenate(
+                    [flat, jnp.array([sentinel], flat.dtype)])
+                return flat_ext[flat].reshape(x.shape)
 
-    labels, _, num_sweeps = jax.lax.while_loop(
-        lambda c: c[1], body, (labels0, jnp.bool_(True), jnp.int32(0)))
+            new = jax.lax.cond(sweep % jump_every == jump_every - 1,
+                               jump, lambda x: x, new)
+            new = jnp.where(valid, new, sentinel)
+            changed = jnp.any(new != labels)
+            return new, changed, sweep + 1
 
-    # Scan-order relabel: component root = min flat index = first pixel the
-    # reference's raster scan would have seeded from.
-    flat = labels.ravel()
-    is_root = (flat == jnp.arange(n, dtype=jnp.int32)) & valid.ravel()
-    rank = jnp.cumsum(is_root.astype(jnp.uint32))  # 1-based ordinal at roots
-    rank_ext = jnp.concatenate([rank, jnp.zeros(1, jnp.uint32)])
-    seg = jnp.where(valid.ravel(), rank_ext[flat], SEGNULLVAL)
-    num_clumps = rank[-1] if n > 0 else jnp.uint32(0)
+        labels, _, num_sweeps = jax.lax.while_loop(
+            lambda c: c[1], body, (labels_in, jnp.bool_(True),
+                                   jnp.int32(0)))
+        flat = labels.ravel()
+        is_root = (flat == jnp.arange(n, dtype=jnp.int32)) & valid.ravel()
+        rank = jnp.cumsum(is_root.astype(jnp.uint32))
+        rank_ext = jnp.concatenate([rank, jnp.zeros(1, jnp.uint32)])
+        return rank_ext, flat, num_sweeps, rank[-1]
+
+    # TWO-LEVEL fast path: the Pallas seed already solved each block
+    # locally, so the only remaining work is merging roots ACROSS block
+    # boundaries — a contracted graph of boundary-straddling label
+    # pairs, solved in edge-sized arrays (microseconds), instead of
+    # 3-4 global sweeps that each stream the whole image ~40x. Local
+    # convergence isn't guaranteed (the kernel caps its iterations), so
+    # the result is VERIFIED by one cheap streaming check — every
+    # connected pixel pair must share a final label, which for
+    # min-propagated labels is exactly component correctness — with a
+    # lax.cond fallback into the global loop on failure.
+    fast_edges = None
+    if use_pallas:
+        from .pallas_ccl import block_shape_for
+        (by, bx), _ = block_shape_for(h, w)
+        ea, eb = _boundary_edges(labels0, img, ignore_val, by, bx,
+                                 four_connected, sentinel)
+        if ea.shape[0] > 0:   # static: >1 block in some axis
+            fast_edges = (ea, eb)
+
+    if fast_edges is not None:
+        uniq, m = _merge_boundary_roots(*fast_edges, sentinel)
+        flat0 = labels0.ravel()
+        is_root = ((flat0 == jnp.arange(n, dtype=jnp.int32)) &
+                   valid.ravel())
+        # block roots whose contracted component has a smaller root
+        # are demoted (their pixels' final rank comes via F below)
+        demote = jnp.where(m < uniq, uniq, sentinel)
+        is_root = is_root.at[demote].set(False, mode="drop")
+        rank = jnp.cumsum(is_root.astype(jnp.uint32))
+        rank_ext = jnp.concatenate([rank, jnp.zeros(1, jnp.uint32)])
+        # F = rank table with merged roots redirected to their final
+        # root's rank (uniq pads write slot n with its existing 0)
+        F = rank_ext.at[jnp.minimum(uniq, sentinel)].set(
+            rank_ext[jnp.minimum(m, sentinel)])
+        seg_fast = F[flat0].reshape(h, w)
+        bad = jnp.bool_(False)
+        for dy, dx in offsets_for(four_connected):
+            bad = bad | jnp.any(conn(dy, dx) &
+                                (seg_fast != shift(seg_fast, dy, dx,
+                                                   jnp.uint32(0))))
+        F, flat, num_sweeps, num_clumps = jax.lax.cond(
+            bad,
+            lambda: slow(labels0),
+            lambda: (F, flat0, jnp.int32(0), rank[-1]))
+    else:
+        F, flat, num_sweeps, num_clumps = slow(labels0)
+
+    # Scan-order relabel: component root = min flat index = first pixel
+    # the reference's raster scan would have seeded from.
+    seg = jnp.where(valid.ravel(), F[flat], SEGNULLVAL)
     return seg.reshape(h, w).astype(jnp.uint32), num_clumps, num_sweeps
 
 

@@ -149,3 +149,36 @@ def test_clump_jump_schedule_invariant(rng):
             else:
                 np.testing.assert_array_equal(seg, ref)
             assert int(sweeps) < 60
+
+
+def test_clump_two_level_merge_multiblock(rng):
+    """The two-level fast path (Pallas block-local solve + contracted
+    boundary-root merge, ops/clump.py:_merge_boundary_roots) against the
+    oracle on an image spanning block boundaries in BOTH axes, with
+    components crossing them."""
+    img = _random_cluster_img(rng, shape=(264, 264), nvals=2,
+                              null_frac=0.02)
+    # guarantee components crossing each boundary
+    img[250:262, :] = 5
+    img[:, 250:262] = 5
+    for fourConnected in (True, False):
+        seg, nxt = clump(img, 0, fourConnected=fourConnected)
+        ref, ref_nxt = oracle_clump(img, 0, fourConnected=fourConnected)
+        np.testing.assert_array_equal(seg, ref)
+        assert nxt == ref_nxt
+
+
+def test_clump_two_level_fallback_on_local_nonconvergence():
+    """A serpentine spanning multiple blocks whose local solve cannot
+    converge within MAX_LOCAL_ITERS: the fast path's streaming verify
+    must detect the stale labels and fall back to the global loop, so
+    the result stays exact."""
+    h = w = 264   # block_y = 256: boundaries in both axes
+    img = np.zeros((h, w), dtype=np.int32)
+    for r in range(0, h, 2):
+        img[r, :] = 1
+        if r + 1 < h:
+            img[r + 1, -1 if (r // 2) % 2 == 0 else 0] = 1
+    seg, _ = clump(img, 0, fourConnected=True)
+    ref, _ = oracle_clump(img, 0, fourConnected=True)
+    np.testing.assert_array_equal(seg, ref)
