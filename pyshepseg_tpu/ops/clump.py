@@ -175,7 +175,7 @@ def _merge_boundary_roots(ea, eb, sentinel):
 
 
 def clump_labels(img, ignore_val, four_connected=True, use_pallas=None,
-                 jump_every=8):
+                 jump_every=8, two_level=None):
     """
     Device kernel: label connected components of equal-valued pixels.
 
@@ -190,6 +190,13 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None,
     use_pallas : bool or None (static)
         Seed the global loop with the Pallas block-local CCL kernel
         (None = yes; interpreted off-TPU).
+    two_level : bool or None (static)
+        Merge block-local labels through the contracted boundary-root
+        graph (verified, with a lax.cond fallback into the global
+        sweeps) instead of always sweeping. None = yes. Callers that
+        ``vmap`` this function should pass False: under vmap a cond
+        runs BOTH branches, so the sweeps execute anyway and the fast
+        path's verify/gather become pure overhead.
     jump_every : int (static)
         Run the pointer-jumping hop on every ``jump_every``-th sweep.
         The hop is a full-image gather (~7 ms/Mpix on a v5e — by far
@@ -298,8 +305,10 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None,
     # connected pixel pair must share a final label, which for
     # min-propagated labels is exactly component correctness — with a
     # lax.cond fallback into the global loop on failure.
+    if two_level is None:
+        two_level = True
     fast_edges = None
-    if use_pallas:
+    if use_pallas and two_level:
         from .pallas_ccl import block_shape_for
         (by, bx), _ = block_shape_for(h, w)
         ea, eb = _boundary_edges(labels0, img, ignore_val, by, bx,
@@ -343,7 +352,7 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None,
 
 _clump_jit = jax.jit(clump_labels,
                      static_argnames=("four_connected", "use_pallas",
-                                      "jump_every"))
+                                      "jump_every", "two_level"))
 
 
 def clump(img, ignoreVal, fourConnected=True, clumpId=1, maxClumpSize=None):

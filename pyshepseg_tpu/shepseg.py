@@ -326,12 +326,14 @@ def _bucketKey(img_dev, centers, fourConnected, minSegmentSize):
 @functools.partial(
     jax.jit,
     static_argnames=("has_null", "four_connected", "min_seg_size",
-                     "capacity", "e_cap", "b_cap", "r_cap", "rl_cap"))
+                     "capacity", "e_cap", "b_cap", "r_cap", "rl_cap",
+                     "clump_two_level"))
 def _segment_one_shot_device(img_dev, centers, img_null_val,
                              max_spectral_diff, has_null: bool,
                              four_connected: bool, min_seg_size: int,
                              capacity: int, e_cap: int, b_cap: int,
-                             r_cap: int, rl_cap: int = 0):
+                             r_cap: int, rl_cap: int = 0,
+                             clump_two_level: bool = True):
     """
     The ENTIRE pipeline (cluster -> clump -> edge extraction ->
     single-pixel elim -> graph small-segment elim -> relabel) as ONE
@@ -366,7 +368,7 @@ def _segment_one_shot_device(img_dev, centers, img_null_val,
     clusters = assign_clusters(img_dev, centers, img_null_val, has_null)
     seg, num_clumps, sweeps = clump_labels(
         clusters.astype(jnp.int32), SEGNULLVAL,
-        four_connected=four_connected)
+        four_connected=four_connected, two_level=clump_two_level)
     a, b, first, n_unique, n_pairs, row_max = edge_sort_keys_compact(
         seg, four_connected, b_cap, r_cap, id_bound=capacity)
     overflow = ((num_clumps + 1 > jnp.uint32(capacity)) |
