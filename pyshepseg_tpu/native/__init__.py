@@ -11,9 +11,13 @@ Public surface:
   (reference: pyshepseg/shepseg.py:452-541 incl. the MAX_CLUMP_SIZE cap).
 - ``subset_recode(tile, mask, lut, nextId, hist)`` — first-encounter dense
   recode (reference: pyshepseg/subset.py:367-424).
+- ``stitch_relabel(tileData, mapping, recoded, start_id, top, bottom,
+  left, right)`` — the fused per-tile stitch recode hot loop
+  (reference: pyshepseg/tiling.py:1231-1290); returns None when the
+  library is unavailable and the caller runs its numpy path.
 
-Both have pure-Python fallbacks so the package works without a compiler;
-callers should route through the wrappers here, not the raw library.
+All have fallbacks so the package works without a compiler; callers
+should route through the wrappers here, not the raw library.
 """
 
 import os
@@ -84,6 +88,13 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint32)]
+    _lib.stitch_relabel.restype = ctypes.c_uint32
+    _lib.stitch_relabel.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32)]
     return _lib
 
 
@@ -141,6 +152,33 @@ def _flood_fill_py(img, ignoreVal, fourConnected, cap, clumpId, out):
                             stack.append((cy, cx))
             clumpId += 1
     return out, clumpId
+
+
+def stitch_relabel(tileData, mapping, recoded, start_id,
+                   top, bottom, left, right):
+    """
+    Fused per-tile stitch recode (see ccl.cpp stitch_relabel). ``mapping``
+    (uint32) / ``recoded`` (uint8) are (tileMax+1,) arrays preloaded with
+    the recode-dict entries; mapping is updated in place with the fresh
+    ids assigned to owned segments. Returns
+    ``(outTile, newMaxSegId, winCounts)`` where winCounts[id] is the old
+    id's pixel count inside the trimmed window — or ``None`` when the
+    native library is unavailable (caller runs its numpy path).
+    """
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    tileData = np.ascontiguousarray(tileData, dtype=np.uint32)
+    h, w = tileData.shape
+    cnt = np.zeros(mapping.shape[0], dtype=np.uint32)
+    out = np.empty_like(tileData)
+    newMax = lib.stitch_relabel(
+        _ptr(tileData, ctypes.c_uint32), h, w,
+        int(top), int(bottom), int(left), int(right),
+        _ptr(mapping, ctypes.c_uint32), _ptr(recoded, ctypes.c_uint8),
+        mapping.shape[0], int(start_id),
+        _ptr(cnt, ctypes.c_uint32), _ptr(out, ctypes.c_uint32))
+    return out, int(newMax), cnt
 
 
 def subset_recode(tile, mask, lut, nextId, hist):

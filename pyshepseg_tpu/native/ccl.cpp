@@ -99,4 +99,52 @@ uint32_t subset_recode(const uint32_t *tile, const uint8_t *mask, int64_t n,
     return nextId;
 }
 
+// Fused stitch relabel (the hot loop of tiling.stitchTiles' recode —
+// reference: pyshepseg/tiling.py:1231-1290). One call per tile does what
+// the numpy path spends four full-array passes on (window bincount,
+// ascending owned-id assignment, whole-tile mapping gather), touching the
+// tile exactly twice:
+//
+//   tile     (h, w) uint32 row-major, per-tile segment ids;
+//   window   [top:bottom, left:right) — the trimmed region this tile
+//            contributes to the mosaic;
+//   mapping  (map_len,) uint32, preloaded with the recode entries
+//            (old id -> earlier tile's global id), 0 elsewhere;
+//   recoded  (map_len,) uint8, 1 where mapping holds a recode entry;
+//   cnt      (map_len,) uint32 zero-initialised; on return, the pixel
+//            count of every old id inside the window (cnt[0] = nulls) —
+//            the caller derives the new-id histogram from it without
+//            re-scanning the tile;
+//   out      (h * w,) uint32.
+//
+// Ids present in the window and not recoded get fresh sequential ids
+// start_id+1, start_id+2, ... in ascending old-id order (the reference's
+// iteration order); everything else maps through `mapping` (absent +
+// unrecoded -> 0 = SEGNULLVAL: the neighbouring tile owns it). Returns
+// the last id assigned (the new running maxSegId).
+uint32_t stitch_relabel(const uint32_t *tile, int64_t h, int64_t w,
+                        int64_t top, int64_t bottom,
+                        int64_t left, int64_t right,
+                        uint32_t *mapping, const uint8_t *recoded,
+                        int64_t map_len, uint32_t start_id,
+                        uint32_t *cnt, uint32_t *out) {
+    for (int64_t y = top; y < bottom; ++y) {
+        const uint32_t *rowp = tile + y * w;
+        for (int64_t x = left; x < right; ++x) {
+            ++cnt[rowp[x]];
+        }
+    }
+    uint32_t cur = start_id;
+    for (int64_t id = 1; id < map_len; ++id) {
+        if (cnt[id] != 0 && !recoded[id]) {
+            mapping[id] = ++cur;
+        }
+    }
+    const int64_t n = h * w;
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = mapping[tile[i]];
+    }
+    return cur;
+}
+
 }  // extern "C"

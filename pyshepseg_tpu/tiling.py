@@ -46,6 +46,7 @@ from . import shepseg
 from . import utils
 from . import timinghooks
 from . import io as rio
+from . import native
 
 DFLT_TEMPFILES_DRIVER = 'KEA'
 DFLT_TEMPFILES_EXT = 'kea'
@@ -931,6 +932,7 @@ class SegmentationConcurrencyMgr:
             (top, bottom, left, right, xout, yout, rightOv, bottomOv) = (
                 self.tileStitchGeometry(col, row))
 
+            winHist = None
             if self.simpleTileRecode:
                 nullmask = (tileData == shepseg.SEGNULLVAL)
                 tileData = tileData + shepseg.SegIdType(maxSegId)
@@ -940,14 +942,19 @@ class SegmentationConcurrencyMgr:
                 # recodeTile's assignment counter is authoritative (it
                 # covers every ID it issued or preserved), so no
                 # per-tile max() scan is needed on this path
-                (tileData, maxSegId) = self.recodeTile(
+                (tileData, maxSegId, winHist) = self.recodeTile(
                     tileData, maxSegId, row, col, top, bottom, left, right)
                 updateMaxFromTile = False
 
             tileDataTrimmed = tileData[top:bottom, left:right]
             outBand.WriteArray(tileDataTrimmed, xout, yout)
             self.writeOverviews(outBand, tileDataTrimmed, xout, yout)
-            histAccum.doHistAccum(tileDataTrimmed)
+            if winHist is not None:
+                # derived by the relabel from counts it already had —
+                # skips a second full-window bincount per tile
+                histAccum.updateHist(winHist)
+            else:
+                histAccum.doHistAccum(tileDataTrimmed)
 
             if rightOv > 0:
                 self.saveOverlap(
@@ -981,7 +988,8 @@ class SegmentationConcurrencyMgr:
         1066-1126). The shared-strip widths come from the tile grid
         (TileInfo.pairOverlap) so they match what the neighbour cached.
 
-        Returns (newTileData, newMaxSegId). The caller must advance its
+        Returns (newTileData, newMaxSegId, winHist) — see
+        relabelSegments. The caller must advance its
         running maxSegId to newMaxSegId (the assignment counter), NOT to
         the maximum of the trimmed output: a tile can own a segment whose
         bounding-box corner is inside the trim window while every actual
@@ -1012,9 +1020,9 @@ class SegmentationConcurrencyMgr:
                                           leftOverlapB, VERTICAL,
                                           recodeDict)
 
-        (newTileData, newMaxSegId) = self.relabelSegments(
+        (newTileData, newMaxSegId, winHist) = self.relabelSegments(
             tileData, recodeDict, maxSegId, top, bottom, left, right)
-        return (newTileData, newMaxSegId)
+        return (newTileData, newMaxSegId, winHist)
 
     @staticmethod
     def recodeSharedSegments(tileData, overlapA, overlapB, orientation,
@@ -1046,31 +1054,60 @@ class SegmentationConcurrencyMgr:
         exactly when a segment crosses a strip midline but could not be
         matched to a labelled earlier-tile segment (see _modeMatch) —
         where the reference's rule voids real pixels.
-        """
-        window = tileData[top:bottom, left:right]
-        tileMax = int(tileData.max())
-        # bounded-ID unique: O(n) bincount + flatnonzero instead of a
-        # 1-Mpix sort (numpy.unique) per tile — ascending order, same
-        # result
-        winCounts = numpy.bincount(window.ravel(),
-                                   minlength=tileMax + 1)
-        winCounts[shepseg.SEGNULLVAL] = 0
-        inWindow = numpy.flatnonzero(winCounts)
 
+        Returns ``(newTileData, newMaxSegId, winHist)``. winHist is the
+        trimmed window's pixel-count histogram in NEW-id space (null bin
+        zeroed), derived from the per-old-id window counts the relabel
+        already computes — so stitchTiles accumulates the output
+        histogram without a second full-window bincount per tile.
+
+        The hot loops (window count, ascending assignment, whole-tile
+        mapping gather) run fused in native C++ when the library is
+        available (native/ccl.cpp stitch_relabel — one pass over the
+        window + one over the tile, no numpy temporaries); the numpy
+        path below is the fallback and the parity oracle
+        (test_tiling.py pins native == numpy).
+        """
+        tileMax = int(tileData.max())
         mapping = numpy.zeros(tileMax + 1, dtype=shepseg.SegIdType)
-        recoded = numpy.zeros(tileMax + 1, dtype=bool)
+        recoded = numpy.zeros(tileMax + 1, dtype=numpy.uint8)
         for k, v in recodeDict.items():
             mapping[k] = v
-            recoded[k] = True
+            recoded[k] = 1
 
-        ownedIds = inWindow[~recoded[inWindow]]  # ascending
-        newIds = maxSegId + 1 + numpy.arange(len(ownedIds),
-                                             dtype=numpy.int64)
-        mapping[ownedIds] = newIds.astype(shepseg.SegIdType)
+        res = native.stitch_relabel(tileData, mapping, recoded, maxSegId,
+                                    top, bottom, left, right)
+        if res is not None:
+            (newTileData, newMaxSegId, winCounts) = res
+            winCounts[shepseg.SEGNULLVAL] = 0
+        else:
+            window = tileData[top:bottom, left:right]
+            # bounded-ID unique: O(n) bincount + flatnonzero instead of
+            # a 1-Mpix sort (numpy.unique) per tile — ascending order,
+            # same result
+            winCounts = numpy.bincount(window.ravel(),
+                                       minlength=tileMax + 1)
+            winCounts[shepseg.SEGNULLVAL] = 0
+            inWindow = numpy.flatnonzero(winCounts)
 
-        newTileData = mapping[tileData]
-        newMaxSegId = maxSegId + len(ownedIds)
-        return (newTileData, newMaxSegId)
+            ownedIds = inWindow[recoded[inWindow] == 0]  # ascending
+            newIds = maxSegId + 1 + numpy.arange(len(ownedIds),
+                                                 dtype=numpy.int64)
+            mapping[ownedIds] = newIds.astype(shepseg.SegIdType)
+
+            newTileData = mapping[tileData]
+            newMaxSegId = maxSegId + len(ownedIds)
+
+        # new-id window histogram from the old-id counts: a scatter over
+        # the few hundred ids present, not another pass over the pixels
+        present = numpy.flatnonzero(winCounts)
+        winHist = numpy.zeros(
+            (int(mapping[present].max()) + 1) if len(present) else 1,
+            dtype=numpy.int64)
+        numpy.add.at(winHist, mapping[present].astype(numpy.int64),
+                     winCounts[present].astype(numpy.int64))
+        winHist[shepseg.SEGNULLVAL] = 0
+        return (newTileData, newMaxSegId, winHist)
 
     @staticmethod
     def crossesMidline(overlap, segLoc, orientation):

@@ -539,3 +539,39 @@ def test_overview_levels_match_reference_rule():
     assert _Probe(4096, 4096).check() == [4, 8]
     assert _Probe(2048, 2048).check() == []
     assert _Probe(1024, 1024).check() == []
+
+
+def test_stitch_relabel_native_matches_numpy(rng, monkeypatch):
+    # The fused C++ stitch recode (native/ccl.cpp stitch_relabel) must be
+    # bit-identical to the numpy fallback path in relabelSegments — data,
+    # counter, AND the derived new-id window histogram; the histogram must
+    # also equal a direct bincount of the trimmed output (what the old
+    # doHistAccum path measured).
+    from pyshepseg_tpu import native as native_mod
+    tileData = rng.integers(0, 40, size=(96, 96)).astype(np.uint32)
+    recodeDict = {3: 1007, 7: 1003, 12: 1007}  # incl. a colliding target
+    args = (recodeDict, 2000, 8, 88, 4, 92)
+    Mgr = tiling.SegmentationConcurrencyMgr
+
+    if native_mod.available():
+        outN, maxN, histN = Mgr.relabelSegments(tileData.copy(), *args)
+    else:
+        outN = None
+    monkeypatch.setattr(tiling.native, "stitch_relabel",
+                        lambda *a, **k: None)
+    outP, maxP, histP = Mgr.relabelSegments(tileData.copy(), *args)
+
+    if outN is not None:
+        np.testing.assert_array_equal(outN, outP)
+        assert maxN == maxP
+        np.testing.assert_array_equal(histN, histP)
+
+    direct = np.bincount(outP[8:88, 4:92].ravel())
+    direct[shepseg.SEGNULLVAL] = 0
+    n = min(len(direct), len(histP))
+    np.testing.assert_array_equal(histP[:n], direct[:n])
+    assert not histP[n:].any() and not direct[n:].any()
+    # recoded ids keep their targets; owned ids got fresh sequential ids
+    assert maxP > 2000
+    assert (np.unique(outP[outP > 2000]) ==
+            np.arange(2001, maxP + 1)).all()
