@@ -193,10 +193,18 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None,
     two_level : bool or None (static)
         Merge block-local labels through the contracted boundary-root
         graph (verified, with a lax.cond fallback into the global
-        sweeps) instead of always sweeping. None = yes. Callers that
-        ``vmap`` this function should pass False: under vmap a cond
-        runs BOTH branches, so the sweeps execute anyway and the fast
-        path's verify/gather become pure overhead.
+        sweeps) instead of always sweeping. None = backend-dependent:
+        ON for CPU/interpret backends, OFF for TPU. Measured A/B on the
+        config-1 scene (same labels asserted): on a v5e the plain
+        sweeps path is 8.9 ms vs two-level's 20.1 ms — the merge's
+        fixed costs (boundary extraction, the edge-graph while_loop's
+        serialized tiny ops, the full-image verify) dwarf the 5 run-scan
+        sweeps it saves; on XLA:CPU the same A/B is 536 ms vs 1996 ms
+        in two-level's favour (each sweep streams the image ~40x, which
+        the CPU pays at memory speed serially). Callers that ``vmap``
+        this function should pass False: under vmap a cond runs BOTH
+        branches, so the sweeps execute anyway and the fast path's
+        verify/gather become pure overhead.
     jump_every : int (static)
         Run the pointer-jumping hop on every ``jump_every``-th sweep.
         The hop is a full-image gather (~7 ms/Mpix on a v5e — by far
@@ -306,7 +314,8 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None,
     # min-propagated labels is exactly component correctness — with a
     # lax.cond fallback into the global loop on failure.
     if two_level is None:
-        two_level = True
+        # backend-dependent default — see the docstring's measured A/B
+        two_level = jax.default_backend() != "tpu"
     fast_edges = None
     if use_pallas and two_level:
         from .pallas_ccl import block_shape_for

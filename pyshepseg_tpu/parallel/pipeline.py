@@ -29,7 +29,7 @@ from ..ops.elim_small import eliminate_small_segments_device, round_capacity
 
 def segment_tile(img_f, centers, img_null_val, max_spectral_diff,
                  min_seg_size: int, four_connected: bool, has_null: bool,
-                 capacity: int, clump_two_level: bool = True):
+                 capacity: int, clump_two_level=None):
     """
     Device: the full Shepherd pipeline on one tile, one XLA program.
 

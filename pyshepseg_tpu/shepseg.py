@@ -333,7 +333,7 @@ def _segment_one_shot_device(img_dev, centers, img_null_val,
                              four_connected: bool, min_seg_size: int,
                              capacity: int, e_cap: int, b_cap: int,
                              r_cap: int, rl_cap: int = 0,
-                             clump_two_level: bool = True):
+                             clump_two_level=None):
     """
     The ENTIRE pipeline (cluster -> clump -> edge extraction ->
     single-pixel elim -> graph small-segment elim -> relabel) as ONE
