@@ -51,15 +51,65 @@ def _guard(results, label, fn, *args, **kwargs):
         return None
 
 
+def _full_record_path():
+    """Repo-resident file that receives the COMPLETE bench record.
+
+    The driver's BENCH_rNN.json artifact keeps only a ~2 KB stdout tail,
+    which truncated away every config record in round 4 (VERDICT round-4
+    weak #2) — the repo itself must retain the full numbers (the
+    reference publishes none, SURVEY §6, so this file IS the published
+    record). Override with BENCH_FULL_OUT; BENCH_ROUND picks the round
+    stamp (default: the current round of the continuous build).
+    """
+    explicit = os.environ.get("BENCH_FULL_OUT")
+    if explicit:
+        return explicit
+    rnd = os.environ.get("BENCH_ROUND", "05")
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"BENCH_full_r{rnd}.json")
+
+
 class _ProgressList(list):
-    """Results list that echoes each record to stderr as it lands, so an
-    interrupted run still leaves its completed measurements on record
-    (the driver contract is ONE stdout JSON line at the end)."""
+    """Results list that echoes each record to stderr as it lands AND
+    checkpoints the full record file, so an interrupted run still leaves
+    its completed measurements on record (the driver contract is ONE
+    stdout JSON line at the end; the repo contract is a complete
+    committed BENCH_full_rNN.json)."""
 
     def append(self, rec):
         print("BENCH-PARTIAL:", json.dumps(rec), file=sys.stderr,
               flush=True)
         super().append(rec)
+        try:
+            _write_full_record({"partial": True, "configs": list(self)})
+        except Exception:
+            pass
+
+
+def _run_context():
+    """Host-load / backend context recorded alongside every run, so a
+    number can be discounted when the box or the tunnel was contended
+    (BASELINE.md hygiene notes: identical code swings 2-5x by window)."""
+    ctx = {"backend": None, "loadavg_1m": None, "ncpu": os.cpu_count(),
+           "time": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    try:
+        ctx["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        ctx["backend"] = jax.default_backend()
+    except Exception:
+        pass
+    return ctx
+
+
+def _write_full_record(out):
+    path = _full_record_path()
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    os.replace(tmp, path)
 
 import numpy as np  # noqa: E402
 
@@ -385,25 +435,33 @@ def _run_config3(results, tempDir):
         # see BASELINE.md). Slower than CONC_THREADS through the tunnel
         # (the thread pool hides link RTTs), but this keeps the mesh
         # path's Mosaic-compiled batch programs validated and timed.
+        # Run it TWICE: the first run carries the backend's one-off
+        # Mosaic batch compiles, so only the second (warm) run reflects
+        # the steady state (VERDICT round-4 item 7 — the sole recorded
+        # mesh number was cold and made the scaling backend look 17x
+        # slower than threads).
         segfileM = os.path.join(tempDir, "seg_mesh.npseg")
         cfgM = tiling.SegmentationConcurrencyConfig(
             concurrencyType=tiling.CONC_MESH, tileCompletionTimeout=900,
             tilesPerDevice=4)
-        t0 = time.time()
-        resM = tiling.doTiledShepherdSegmentation(
-            imgfile, segfileM, tileSize=1024, overlapSize=256,
-            numClusters=60, minSegmentSize=50, fixedKMeansInit=True,
-            fourConnected=True, concurrencyCfg=cfgM)
-        elapsed = time.time() - t0
-        mpix_s_m = (SCENE_SIZE * SCENE_SIZE / 1e6) / elapsed
-        results.append({
-            "name": "config3-mesh: same scene via CONC_MESH "
-                    "tilesPerDevice=4 (the multi-chip backend on the one "
-                    "available chip; includes its first-run compiles "
-                    "when cold)",
-            "value": round(mpix_s_m, 3), "unit": "Mpix/s",
-            "vs_baseline": round(mpix_s_m / REF_BASELINE_MPIX_S, 2),
-            "maxSegId_matches_threads": resM.maxSegId == res.maxSegId})
+        for label, note in (
+                ("config3-mesh-cold", "includes the backend's one-off "
+                 "Mosaic batch compiles"),
+                ("config3-mesh-warm", "steady state — executables warm; "
+                 "compare against config3 threads")):
+            t0 = time.time()
+            resM = tiling.doTiledShepherdSegmentation(
+                imgfile, segfileM, tileSize=1024, overlapSize=256,
+                numClusters=60, minSegmentSize=50, fixedKMeansInit=True,
+                fourConnected=True, concurrencyCfg=cfgM)
+            elapsed = time.time() - t0
+            mpix_s_m = (SCENE_SIZE * SCENE_SIZE / 1e6) / elapsed
+            results.append({
+                "name": f"{label}: scene via CONC_MESH tilesPerDevice=4 "
+                        f"(the multi-chip backend on one chip; {note})",
+                "value": round(mpix_s_m, 3), "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s_m / REF_BASELINE_MPIX_S, 2),
+                "maxSegId_matches_threads": resM.maxSegId == res.maxSegId})
 
     _guard(results, "config3-mesh", mesh_run)
     return imgfile, segfile, res
@@ -794,15 +852,21 @@ def main():
     # independent of the wait duration: a fast-failing probe (small
     # BENCH_MAX_WAIT_S) must still emit the parseable record, not run on
     if not deviceOK:
-        print(json.dumps({
+        rec = {
             "metric": ("doShepherdSegmentation 1024x1024 4-band "
                        "uint16 (numClusters=60, minSegmentSize=50, "
                        "4-connected)"),
             "value": None, "unit": "Mpix/s", "vs_baseline": None,
             "configs": [],
+            "context": _run_context(),
             "error": ("device backend unavailable after waiting "
                       f"{waited}s — tunnel outage; see BASELINE.md "
-                      "hygiene notes")}))
+                      "hygiene notes")}
+        try:
+            _write_full_record(rec)
+        except Exception:
+            pass
+        print(json.dumps(rec))
         return
 
     # golden8000 (the reference-scale end-to-end oracle) is IN the
@@ -866,7 +930,15 @@ def main():
                         if headline is not None else None),
         "configs": results,
         "pallas_compiled_check": pallas_check,
+        "context": _run_context(),
+        "partial": False,
     }
+    try:
+        _write_full_record(out)
+        print(f"BENCH-FULL-RECORD: {_full_record_path()}",
+              file=sys.stderr, flush=True)
+    except Exception:
+        traceback.print_exc()
     print(json.dumps(out))
 
 

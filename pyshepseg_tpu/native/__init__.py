@@ -169,6 +169,11 @@ def stitch_relabel(tileData, mapping, recoded, start_id,
     if lib is None:
         return None
     tileData = np.ascontiguousarray(tileData, dtype=np.uint32)
+    # The C side takes raw pointers: enforce dtype/contiguity rather than
+    # silently reinterpreting e.g. int64/bool memory as uint32/uint8.
+    # mapping is updated in place, so it must already be uint32.
+    assert mapping.dtype == np.uint32 and mapping.flags.c_contiguous
+    recoded = np.ascontiguousarray(recoded, dtype=np.uint8)
     h, w = tileData.shape
     cnt = np.zeros(mapping.shape[0], dtype=np.uint32)
     out = np.empty_like(tileData)

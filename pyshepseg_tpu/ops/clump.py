@@ -314,8 +314,23 @@ def clump_labels(img, ignore_val, four_connected=True, use_pallas=None,
     # min-propagated labels is exactly component correctness — with a
     # lax.cond fallback into the global loop on failure.
     if two_level is None:
-        # backend-dependent default — see the docstring's measured A/B
-        two_level = jax.default_backend() != "tpu"
+        # backend-dependent default — see the docstring's measured A/B.
+        # Prefer the platform the computation actually targets (the
+        # input's committed device) over the process-global default:
+        # on a TPU host running CPU-placed work, default_backend()
+        # still says 'tpu' and would pick the path that the A/B
+        # measured ~4x slower on XLA:CPU. Tracers (calls under an
+        # outer jit) carry no device — fall back to default_backend().
+        platform = None
+        try:
+            sharding = getattr(img, "sharding", None)
+            if sharding is not None and sharding.device_set:
+                platform = next(iter(sharding.device_set)).platform
+        except Exception:
+            platform = None
+        if platform is None:
+            platform = jax.default_backend()
+        two_level = platform != "tpu"
     fast_edges = None
     if use_pallas and two_level:
         from .pallas_ccl import block_shape_for

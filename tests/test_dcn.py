@@ -52,7 +52,7 @@ DRIVER = textwrap.dedent("""
         tileSize=64, overlapSize=16, minSegmentSize=10, numClusters=20,
         kmeansObj=perfect_kmeans(), fourConnected=True,
         maxSpectralDiff=30.0, coordinatorAddress=coord,
-        numProcesses=int(nproc), processId=int(pid), barrierTimeout=120,
+        numProcesses=int(nproc), processId=int(pid), barrierTimeout=600,
         tilesPerDevice=int(os.environ.get("DCN_TEST_TPD", "1")))
     if int(pid) == 0:
         assert res is not None and res.maxSegId > 0
@@ -95,7 +95,7 @@ def test_dcn_matches_serial(tmp_path, rng, nproc, localdev, tpd):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for pid in range(nproc)]
     try:
-        outs = [p.communicate(timeout=300) for p in procs]
+        outs = [p.communicate(timeout=600) for p in procs]
     finally:
         # a hung fake host (e.g. a barrier bug) must not leak workers
         # that hold the coordinator port for the rest of the suite
@@ -142,7 +142,7 @@ def test_dcn_worker_error_surfaces(tmp_path, rng):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for pid in range(2)]
     try:
-        outs = [p.communicate(timeout=300) for p in procs]
+        outs = [p.communicate(timeout=600) for p in procs]
     finally:
         for p in procs:
             if p.poll() is None:

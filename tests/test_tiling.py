@@ -553,18 +553,19 @@ def test_stitch_relabel_native_matches_numpy(rng, monkeypatch):
     args = (recodeDict, 2000, 8, 88, 4, 92)
     Mgr = tiling.SegmentationConcurrencyMgr
 
-    if native_mod.available():
-        outN, maxN, histN = Mgr.relabelSegments(tileData.copy(), *args)
-    else:
-        outN = None
+    if not native_mod.available():
+        # visible reduced coverage: a toolchain/build regression must not
+        # silently stop exercising the C++ hot path
+        pytest.skip("native library unavailable; C++ stitch_relabel "
+                    "not exercised")
+    outN, maxN, histN = Mgr.relabelSegments(tileData.copy(), *args)
     monkeypatch.setattr(tiling.native, "stitch_relabel",
                         lambda *a, **k: None)
     outP, maxP, histP = Mgr.relabelSegments(tileData.copy(), *args)
 
-    if outN is not None:
-        np.testing.assert_array_equal(outN, outP)
-        assert maxN == maxP
-        np.testing.assert_array_equal(histN, histP)
+    np.testing.assert_array_equal(outN, outP)
+    assert maxN == maxP
+    np.testing.assert_array_equal(histN, histP)
 
     direct = np.bincount(outP[8:88, 4:92].ravel())
     direct[shepseg.SEGNULLVAL] = 0
