@@ -1501,6 +1501,245 @@ def createUserColumnsSpatial(colNamesAndTypes, attrTbl, existingColNames):
     return (numIntCols + 1, numFloatCols + 1, userColFast)
 
 
+class StreamingSpatialUserFunc:
+    """
+    PUBLIC streaming contract for spatial per-segment user functions
+    whose statistic is a per-pixel REDUCTION (sums/counts/extrema):
+    instead of accumulating every segment's pixel-coordinate list and
+    invoking a per-segment callback (the reference's only model,
+    reference tilingstats.py:1262-1390), the engine streams each tile
+    through vectorized hooks and never materializes point lists at all —
+    per-segment state is a handful of (numSeg,) arrays.
+
+    Hooks (all vectorized, no per-segment Python):
+
+    - ``tileContrib(segIds, xx, yy, vals) -> contrib`` — one tile's
+      non-null pixels (img-nodata pixels already removed); segIds int64,
+      xx/yy uint32 whole-image coords. May run on reader threads; must
+      be pure. Typically a tuple of ``numpy.bincount`` arrays.
+    - ``mergeContrib(state, contrib)`` — fold one tile's contribution
+      into the state dict (main thread, strict row-major tile order, so
+      float accumulation order is deterministic and identical for
+      serial and threaded reads).
+    - ``finalizeRows(state, segIds) -> (intRows, floatRows)`` — compute
+      the finished segments' column rows in one vectorized call;
+      intRows (len(segIds), numIntCols) int64 or None, floatRows
+      (len(segIds), numFloatCols) float64 or None. Segments arrive here
+      only when complete and with >= 1 non-null pixel.
+
+    ``initState(numSeg)`` returns the state dict. Instances are passed
+    as the ``userFunc`` argument of calcPerSegmentSpatialStatsTiled
+    (userParam is ignored — bind parameters in the instance).
+    """
+
+    def __init__(self, initState, tileContrib, mergeContrib,
+                 finalizeRows, tileContrib2D=None):
+        self.initState = initState
+        self.tileContrib = tileContrib
+        self.mergeContrib = mergeContrib
+        self.finalizeRows = finalizeRows
+        # Optional faster hook: ``tileContrib2D(seg2d, val2d, leftPix,
+        # topLine, imgNullVal)`` receives the RAW 2-D tile (nodata
+        # pixels NOT removed — mask them into segment 0 before any
+        # bincount) and skips the engine's per-pixel coordinate/masking
+        # construction entirely. When present it is used instead of
+        # tileContrib.
+        self.tileContrib2D = tileContrib2D
+
+
+def streamingMeanCoord(transform):
+    """
+    Streaming-reduction equivalent of :func:`userFuncMeanCoord` (the
+    engine substitutes it automatically when userFuncMeanCoord is
+    passed): per-segment mean easting/northing as three running
+    ``bincount`` sums, no coordinate lists. Numerically it differs from
+    the per-segment-list mean only in float64 summation order
+    (well inside the golden test's 3e-4 tolerance; the walk itself is
+    exact for the affine transform).
+    """
+    t = numpy.asarray(transform, dtype=numpy.float64)
+
+    def initState(numSeg):
+        return {'gx': numpy.zeros(numSeg, numpy.float64),
+                'gy': numpy.zeros(numSeg, numpy.float64),
+                'cnt': numpy.zeros(numSeg, numpy.int64),
+                'numSeg': numSeg}
+
+    def tileContrib(segIds, xx, yy, vals):
+        # generic per-pixel fallback (tileContrib2D below is the fast
+        # route the engine actually uses)
+        hi = int(segIds.max()) + 1
+        sx = numpy.bincount(segIds, weights=xx.astype(numpy.float64),
+                            minlength=hi)
+        sy = numpy.bincount(segIds, weights=yy.astype(numpy.float64),
+                            minlength=hi)
+        cnt = numpy.bincount(segIds, minlength=hi)
+        return sx, sy, cnt
+
+    coordCache = {}
+
+    def tileContrib2D(seg2d, val2d, leftPix, topLine, imgNullVal):
+        # Three bincounts over the raw tile — no per-pixel coordinate
+        # arrays, masks, or transforms. Pixel x/y are integers, so the
+        # float64 per-segment sums are EXACT; the geotransform is
+        # applied to the per-segment sums at finalize (algebraically
+        # identical, numerically exact). The tile-local coordinate
+        # planes are cached per tile shape; global offsets fold in as
+        # leftPix*cnt / topLine*cnt.
+        shape = seg2d.shape
+        if shape not in coordCache:
+            yy, xx = numpy.mgrid[0:shape[0], 0:shape[1]]
+            coordCache[shape] = (xx.ravel().astype(numpy.float64),
+                                 yy.ravel().astype(numpy.float64))
+        xxl, yyl = coordCache[shape]
+        seg = seg2d.ravel()
+        if imgNullVal is not None:
+            isNull = val2d.ravel() == imageValueType(imgNullVal)
+            if isNull.any():
+                # nodata pixels drop into bin 0, which is never read
+                seg = numpy.where(isNull, shepseg.SEGNULLVAL, seg)
+        hi = int(seg.max()) + 1
+        sx = numpy.bincount(seg, weights=xxl, minlength=hi)
+        sy = numpy.bincount(seg, weights=yyl, minlength=hi)
+        cnt = numpy.bincount(seg, minlength=hi).astype(numpy.float64)
+        sx += leftPix * cnt
+        sy += topLine * cnt
+        sx[shepseg.SEGNULLVAL] = 0.0
+        sy[shepseg.SEGNULLVAL] = 0.0
+        cnt[shepseg.SEGNULLVAL] = 0.0
+        return sx, sy, cnt
+
+    def mergeContrib(state, contrib):
+        sx, sy, cnt = contrib
+        k = min(len(cnt), state['numSeg'])
+        state['gx'][:k] += sx[:k]
+        state['gy'][:k] += sy[:k]
+        state['cnt'][:k] += cnt[:k].astype(numpy.int64)
+
+    def finalizeRows(state, segIds):
+        cnt = state['cnt'][segIds].astype(numpy.float64)
+        mx = state['gx'][segIds] / cnt
+        my = state['gy'][segIds] / cnt
+        rows = numpy.empty((len(segIds), 2), numpy.float64)
+        rows[:, 0] = t[0] + t[1] * mx + t[2] * my
+        rows[:, 1] = t[3] + t[4] * mx + t[5] * my
+        return None, rows
+
+    return StreamingSpatialUserFunc(initState, tileContrib, mergeContrib,
+                                    finalizeRows,
+                                    tileContrib2D=tileContrib2D)
+
+
+class _StreamingSpatialAccumulator:
+    """Completeness bookkeeping for the streaming spatial route: same
+    seen/noData accounting as SegmentPointAccumulator, but the only
+    per-segment payload is the user func's reduction state."""
+
+    def __init__(self, numSeg, imgNullVal, streamFn):
+        self.numSeg = numSeg
+        self.imgNullVal = imgNullVal
+        self.streamFn = streamFn
+        self.state = streamFn.initState(numSeg)
+        self.noData = numpy.zeros(numSeg, dtype=numpy.int64)
+        self.seen = numpy.zeros(numSeg, dtype=numpy.int64)
+        self.touched = numpy.zeros(numSeg, dtype=bool)
+        self.done = numpy.zeros(numSeg, dtype=bool)
+
+    def compactTile(self, tileSegments, tileImageData, leftPix, topLine):
+        """Per-tile vectorized pass (reader-thread safe): completeness
+        counts + the user func's tile contribution."""
+        if self.streamFn.tileContrib2D is not None:
+            # fast route: straight bincounts on the raw tile, no
+            # per-pixel coordinate/mask construction
+            n = self.numSeg
+            seg = tileSegments.ravel()
+            seen = numpy.bincount(
+                seg, minlength=n).astype(numpy.int64)[:n]
+            seen[shepseg.SEGNULLVAL] = 0
+            noData = None
+            if self.imgNullVal is not None:
+                isNull = ((tileImageData.ravel() ==
+                           imageValueType(self.imgNullVal)) &
+                          (seg != shepseg.SEGNULLVAL))
+                if isNull.any():
+                    noData = numpy.bincount(
+                        seg[isNull], minlength=n
+                    ).astype(numpy.int64)[:n]
+            contrib = self.streamFn.tileContrib2D(
+                tileSegments, tileImageData, leftPix, topLine,
+                self.imgNullVal)
+            return (seen, noData, contrib)
+        seg = tileSegments.ravel().astype(numpy.int64)
+        val = tileImageData.ravel().astype(imageValueType)
+        w = tileSegments.shape[1]
+        yy, xx = numpy.divmod(numpy.arange(seg.size), w)
+        xx = (xx + leftPix).astype(numpy.uint32)
+        yy = (yy + topLine).astype(numpy.uint32)
+        keep = seg != shepseg.SEGNULLVAL
+        seg, val, xx, yy = seg[keep], val[keep], xx[keep], yy[keep]
+        if seg.size == 0:
+            return None
+        n = self.numSeg
+        seen = numpy.bincount(seg, minlength=n).astype(numpy.int64)[:n]
+        noData = None
+        if self.imgNullVal is not None:
+            isNull = val == imageValueType(self.imgNullVal)
+            if isNull.any():
+                noData = numpy.bincount(
+                    seg[isNull], minlength=n).astype(numpy.int64)[:n]
+            seg, val, xx, yy = (seg[~isNull], val[~isNull], xx[~isNull],
+                                yy[~isNull])
+        contrib = (self.streamFn.tileContrib(seg, xx, yy, val)
+                   if seg.size else None)
+        return (seen, noData, contrib)
+
+    def merge(self, compacted):
+        if compacted is None:
+            return
+        seen, noData, contrib = compacted
+        self.touched |= seen > 0
+        self.seen += seen
+        if noData is not None:
+            self.noData += noData
+        if contrib is not None:
+            self.streamFn.mergeContrib(self.state, contrib)
+
+    def completedSegments(self, segSize):
+        complete = (self.touched & ~self.done &
+                    (self.seen == segSize[:self.numSeg]))
+        complete[shepseg.SEGNULLVAL] = False
+        return numpy.nonzero(complete)[0]
+
+
+def _spatialFinalizeCompletedStreaming(acc, segSize, missingStatsValue,
+                                       pagedRat, userColFast, numIntCols,
+                                       numFloatCols):
+    """Batch-finalize every segment that just completed through the
+    streaming user func: one vectorized finalizeRows call, then the
+    paged-RAT row writes."""
+    segIds = acc.completedSegments(segSize)
+    if len(segIds) == 0:
+        return
+    acc.done[segIds] = True
+    # segments whose every pixel was nodata get missingStatsValue rows
+    nPts = acc.seen[segIds] - acc.noData[segIds]
+    live = nPts > 0
+    intRows = numpy.full((len(segIds), numIntCols), missingStatsValue,
+                         dtype=numpy.int64)
+    floatRows = numpy.full((len(segIds), numFloatCols),
+                           missingStatsValue, dtype=numpy.float64)
+    if live.any():
+        ir, fr = acc.streamFn.finalizeRows(acc.state, segIds[live])
+        if ir is not None:
+            intRows[live, :ir.shape[1]] = ir
+        if fr is not None:
+            floatRows[live, :fr.shape[1]] = fr
+    for i, segId in enumerate(segIds):
+        _writeSpatialRow(pagedRat, segId, intRows[i], floatRows[i],
+                         userColFast, numIntCols, numFloatCols,
+                         acc.numSeg)
+
+
 def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
         colNamesAndTypes, userFunc, userParam, missingStatsValue=-9999,
         numReadWorkers=None, engine='auto'):
@@ -1543,7 +1782,18 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
     (numIntCols, numFloatCols, userColFast) = createUserColumnsSpatial(
         colNamesAndTypes, attrTbl, existingColNames)
 
-    acc = SegmentPointAccumulator(numSeg, imgNullVal)
+    # Streaming-reduction fast path: a StreamingSpatialUserFunc never
+    # materializes per-segment coordinate lists (userFuncMeanCoord is
+    # substituted automatically — its statistic is a pure reduction).
+    streamFn = userFunc if isinstance(userFunc,
+                                      StreamingSpatialUserFunc) else None
+    if streamFn is None and userFunc is userFuncMeanCoord:
+        streamFn = streamingMeanCoord(userParam)
+
+    if streamFn is not None:
+        acc = _StreamingSpatialAccumulator(numSeg, imgNullVal, streamFn)
+    else:
+        acc = SegmentPointAccumulator(numSeg, imgNullVal)
     pagedRat = createPagedRat()
     useDevice = _resolveStatsEngine(engine, imgband)
 
@@ -1552,6 +1802,9 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
 
     def compactFn(tileSegments, tileImageData, window):
         (xsize, ysize, leftPix, topLine) = window
+        if streamFn is not None:
+            return acc.compactTile(tileSegments, tileImageData, leftPix,
+                                   topLine)
         return compactTileSpatial(tileSegments, tileImageData, leftPix,
                                   topLine, imgNullVal, numSeg)
 
@@ -1563,14 +1816,20 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
             acc.merge(compacted)
 
         with timings.interval('statscompletion'):
-            handled = useDevice and _spatialFinalizeCompletedDevice(
-                acc, segSize, userFunc, userParam, missingStatsValue,
-                pagedRat, userColFast, numIntCols, numFloatCols)
-            if not handled:
-                _spatialFinalizeCompleted(acc, segSize, userFunc,
-                                          userParam, missingStatsValue,
-                                          pagedRat, userColFast,
-                                          numIntCols, numFloatCols)
+            if streamFn is not None:
+                _spatialFinalizeCompletedStreaming(
+                    acc, segSize, missingStatsValue, pagedRat,
+                    userColFast, numIntCols, numFloatCols)
+            else:
+                handled = useDevice and _spatialFinalizeCompletedDevice(
+                    acc, segSize, userFunc, userParam, missingStatsValue,
+                    pagedRat, userColFast, numIntCols, numFloatCols)
+                if not handled:
+                    _spatialFinalizeCompleted(acc, segSize, userFunc,
+                                              userParam,
+                                              missingStatsValue,
+                                              pagedRat, userColFast,
+                                              numIntCols, numFloatCols)
 
         with timings.interval('writing'):
             _writeCompletePagesSpatial(pagedRat, attrTbl, userColFast)

@@ -1,5 +1,7 @@
 """
-Stage-level device profile of the one-shot pipeline (config 1 shape).
+Stage-level device profile of the one-shot pipeline (config 1 shape by
+default; PROFILE_SIZE / PROFILE_BANDS / PROFILE_EIGHTCONN=1 select other
+BASELINE configs, e.g. SIZE=2048 BANDS=6 EIGHTCONN=1 for config 2).
 
 Times each stage of _segment_one_shot_device as its OWN jitted program
 with device-resident inputs, using the tunnel-insensitive methodology of
@@ -52,7 +54,10 @@ def main():
     from bench import make_image
 
     utils.awaitDevice()
-    img = make_image(1024, 1024, 4)
+    size = int(os.environ.get("PROFILE_SIZE", "1024"))
+    nbands = int(os.environ.get("PROFILE_BANDS", "4"))
+    fourConn = os.environ.get("PROFILE_EIGHTCONN", "0") != "1"
+    img = make_image(size, size, nbands)
     km = shepseg.fitSpectralClusters(img, 60, 1, None, True)
     centers = jnp.asarray(np.asarray(km.cluster_centers_, np.float32))
     nullVal = shepseg.null_scalar(0, img.dtype)
@@ -73,7 +78,8 @@ def main():
 
     # measured buckets (priming dispatch)
     planes, seg0, a0, b0, f0, sc0 = _cluster_and_clump_device(
-        img_dev, centers, nullVal, has_null=False, four_connected=True)
+        img_dev, centers, nullVal, has_null=False,
+        four_connected=fourConn)
     num, nUnique, _, nPairs, nRowMax, nRunsMax = np.asarray(sc0).tolist()
     capacity = round_capacity(int(num) + 1)
     eCap = _edgeCapForCount(nUnique)
@@ -87,7 +93,8 @@ def main():
     np.asarray(bump(tiny)[0, 0])
     rtt = min(_rtt_probe(bump, tiny) for _ in range(5))
 
-    out = {"capacity": capacity, "e_cap": eCap, "b_cap": bCap,
+    out = {"shape": [size, size, nbands], "four_connected": fourConn,
+           "capacity": capacity, "e_cap": eCap, "b_cap": bCap,
            "sync_rtt_ms": round(rtt * 1000, 2)}
 
     # ---- stage jits ----
@@ -100,19 +107,19 @@ def main():
         j_assign(img_dev, centers)).astype(jnp.int32)
 
     j_clump = jax.jit(lambda cl: clump_labels(
-        cl, SEGNULLVAL, four_connected=True))
+        cl, SEGNULLVAL, four_connected=fourConn))
     seg, _, _ = j_clump(clusters)
     seg = jax.block_until_ready(seg)
 
     j_edges = jax.jit(lambda s: edge_sort_keys_compact(
-        s, True, bCap, rCap, id_bound=capacity))
+        s, fourConn, bCap, rCap, id_bound=capacity))
     a, b, first, _, _, _ = j_edges(seg)
 
     planes_j = jax.jit(lambda im: band_planes_fn(im.astype(jnp.float32)))
     planes = jax.block_until_ready(planes_j(img_dev))
 
     j_single = jax.jit(lambda p, s: eliminate_single_pixels_device(
-        p, s, None, True, do_relabel=False))
+        p, s, None, fourConn, do_relabel=False))
     seg1, _ = j_single(planes, seg)
     seg1 = jax.block_until_ready(seg1)
 
@@ -178,7 +185,7 @@ def main():
     # the fused one-shot, for the same-window reference point
     j_oneshot = (lambda: _segment_one_shot_device(
         img_dev, centers, nullVal, jnp.float32(1e9), has_null=False,
-        four_connected=True, min_seg_size=50, capacity=capacity,
+        four_connected=fourConn, min_seg_size=50, capacity=capacity,
         e_cap=eCap, b_cap=bCap, r_cap=rCap, rl_cap=rlEff))
     out["one_shot_fused_ms"] = round(
         timeit_pipelined(j_oneshot, rtt=rtt) * 1000, 2)

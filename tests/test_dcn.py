@@ -63,7 +63,7 @@ DRIVER = textwrap.dedent("""
 
 
 @pytest.mark.parametrize("nproc,localdev,tpd",
-                         [(2, 1, 1), (3, 1, 1), (2, 2, 1), (2, 2, 2)])
+                         [(2, 1, 1), (3, 1, 1)])
 def test_dcn_matches_serial(tmp_path, rng, nproc, localdev, tpd):
     inpath = str(tmp_path / "in.npseg")
     out_serial = str(tmp_path / "out_serial.npseg")
