@@ -1026,3 +1026,80 @@ def test_multiband_device_engine_matches_host(tmp_path, rng):
             np.testing.assert_array_equal(
                 ratA.ReadAsArray(namesA.index(colName)),
                 ratB.ReadAsArray(namesB.index(colName)), err_msg=colName)
+
+
+def test_streaming_spatial_custom_userfunc(tmp_path, rng, small_tiles):
+    """A custom StreamingSpatialUserFunc (per-segment value sum + pixel
+    count via running bincounts) must match brute force, including
+    nodata exclusion and missingStatsValue for all-nodata segments."""
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+    state0 = {}
+
+    def initState(numSeg):
+        state0['n'] = numSeg
+        return {'sum': np.zeros(numSeg, np.float64),
+                'cnt': np.zeros(numSeg, np.int64)}
+
+    def tileContrib(segIds, xx, yy, vals):
+        hi = int(segIds.max()) + 1
+        return (np.bincount(segIds, weights=vals.astype(np.float64),
+                            minlength=hi),
+                np.bincount(segIds, minlength=hi))
+
+    def mergeContrib(state, contrib):
+        s, c = contrib
+        k = min(len(c), len(state['cnt']))
+        state['sum'][:k] += s[:k]
+        state['cnt'][:k] += c[:k]
+
+    def finalizeRows(state, segIds):
+        intRows = np.stack([state['cnt'][segIds]], axis=1)
+        floatRows = np.stack([state['sum'][segIds]], axis=1)
+        return intRows, floatRows
+
+    fn = tilingstats.StreamingSpatialUserFunc(
+        initState, tileContrib, mergeContrib, finalizeRows)
+    cols = [("st_cnt", rio.GFT_Integer), ("st_sum", rio.GFT_Real)]
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, cols, fn, None)
+
+    rat = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    cnt = rat.ReadAsArray(names.index("st_cnt"))
+    tot = rat.ReadAsArray(names.index("st_sum"))
+    for sid in range(1, int(seg.max()) + 1):
+        inseg = (seg == sid)
+        if inseg.sum() == 0:
+            continue
+        vals = img[inseg]
+        vals = vals[vals != NODATA]
+        if len(vals) == 0:
+            assert cnt[sid] == -9999 and tot[sid] == -9999
+        else:
+            assert cnt[sid] == len(vals)
+            np.testing.assert_allclose(tot[sid], vals.sum(), rtol=1e-12)
+
+
+def test_mean_coord_substitutes_streaming(tmp_path, rng, small_tiles,
+                                          monkeypatch):
+    """Passing userFuncMeanCoord must take the streaming route: the
+    point-list accumulator (compactTileSpatial) is never called."""
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
+
+    def boom(*a, **k):
+        raise AssertionError("point-list path used for userFuncMeanCoord")
+
+    monkeypatch.setattr(tilingstats, "compactTileSpatial", boom)
+    transform = np.array([0.0, 1.0, 0.0, 0.0, 0.0, 1.0])
+    cols = [("se", rio.GFT_Real), ("sn", rio.GFT_Real)]
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, cols, tilingstats.userFuncMeanCoord,
+        transform)
+    rat = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    e = rat.ReadAsArray(names.index("se"))
+    for sid in range(1, int(seg.max()) + 1):
+        inseg = (seg == sid) & (img != NODATA)
+        if inseg.sum():
+            np.testing.assert_allclose(
+                e[sid], np.nonzero(inseg)[1].mean(), atol=3e-4)
