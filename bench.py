@@ -430,11 +430,14 @@ def _run_config3(results, tempDir):
         results.append(rec)
 
     def mesh_run():
-        # The multi-chip backend's single-chip health check: CONC_MESH
-        # with tilesPerDevice=4 (the measured single-chip sweet spot —
-        # see BASELINE.md). Slower than CONC_THREADS through the tunnel
-        # (the thread pool hides link RTTs), but this keeps the mesh
-        # path's Mosaic-compiled batch programs validated and timed.
+        # The multi-chip backend's single-chip health check. CONC_MESH
+        # with tilesPerDevice=1 — the measured optimum since the one-shot
+        # dispatch path landed (round-3 on-chip A/B: batching multiplies
+        # fixpoint convergence to the slowest batch member and competes
+        # with the scene cache for HBM; the old tpd=4 guidance predates
+        # it). Slower than CONC_THREADS through the tunnel (the thread
+        # pool hides link RTTs), but this keeps the mesh path's
+        # Mosaic-compiled programs validated and timed.
         # Run it TWICE: the first run carries the backend's one-off
         # Mosaic batch compiles, so only the second (warm) run reflects
         # the steady state (VERDICT round-4 item 7 — the sole recorded
@@ -443,7 +446,7 @@ def _run_config3(results, tempDir):
         segfileM = os.path.join(tempDir, "seg_mesh.npseg")
         cfgM = tiling.SegmentationConcurrencyConfig(
             concurrencyType=tiling.CONC_MESH, tileCompletionTimeout=900,
-            tilesPerDevice=4)
+            tilesPerDevice=1)
         for label, note in (
                 ("config3-mesh-cold", "includes the backend's one-off "
                  "Mosaic batch compiles"),
@@ -457,7 +460,7 @@ def _run_config3(results, tempDir):
             elapsed = time.time() - t0
             mpix_s_m = (SCENE_SIZE * SCENE_SIZE / 1e6) / elapsed
             results.append({
-                "name": f"{label}: scene via CONC_MESH tilesPerDevice=4 "
+                "name": f"{label}: scene via CONC_MESH tilesPerDevice=1 "
                         f"(the multi-chip backend on one chip; {note})",
                 "value": round(mpix_s_m, 3), "unit": "Mpix/s",
                 "vs_baseline": round(mpix_s_m / REF_BASELINE_MPIX_S, 2),

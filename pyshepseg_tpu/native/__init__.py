@@ -95,6 +95,13 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64, ctypes.c_uint32,
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32)]
+    _lib.stitch_mapping.restype = ctypes.c_uint32
+    _lib.stitch_mapping.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32)]
     return _lib
 
 
@@ -184,6 +191,32 @@ def stitch_relabel(tileData, mapping, recoded, start_id,
         mapping.shape[0], int(start_id),
         _ptr(cnt, ctypes.c_uint32), _ptr(out, ctypes.c_uint32))
     return out, int(newMax), cnt
+
+
+def stitch_mapping(tileData, mapping, recoded, start_id,
+                   top, bottom, left, right):
+    """
+    stitch_relabel's passes 1-2 only (see ccl.cpp stitch_mapping):
+    window count + ascending owned-id assignment into ``mapping`` (in
+    place, uint32). Returns ``(newMaxSegId, winCounts)`` — winCounts[id]
+    is the old id's pixel count inside the trimmed window — or ``None``
+    when the native library is unavailable (caller runs its numpy path).
+    """
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    tileData = np.ascontiguousarray(tileData, dtype=np.uint32)
+    assert mapping.dtype == np.uint32 and mapping.flags.c_contiguous
+    recoded = np.ascontiguousarray(recoded, dtype=np.uint8)
+    h, w = tileData.shape
+    cnt = np.zeros(mapping.shape[0], dtype=np.uint32)
+    newMax = lib.stitch_mapping(
+        _ptr(tileData, ctypes.c_uint32), h, w,
+        int(top), int(bottom), int(left), int(right),
+        _ptr(mapping, ctypes.c_uint32), _ptr(recoded, ctypes.c_uint8),
+        mapping.shape[0], int(start_id),
+        _ptr(cnt, ctypes.c_uint32))
+    return int(newMax), cnt
 
 
 def subset_recode(tile, mask, lut, nextId, hist):

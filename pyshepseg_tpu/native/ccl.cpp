@@ -147,4 +147,34 @@ uint32_t stitch_relabel(const uint32_t *tile, int64_t h, int64_t w,
     return cur;
 }
 
+// stitch_relabel's passes 1-2 only: window count + ascending owned-id
+// assignment into `mapping` — NO full-tile gather. The stitcher then
+// gathers only the regions it actually consumes (the trimmed window it
+// writes and the right/bottom overlap strips it caches), instead of
+// materialising a full relabelled tile and copying pieces of it — the
+// stitch leg is memory-bandwidth-bound on the host, so the saved
+// full-tile write + re-read is the point. Same contract as
+// stitch_relabel otherwise; returns the new running maxSegId.
+uint32_t stitch_mapping(const uint32_t *tile, int64_t h, int64_t w,
+                        int64_t top, int64_t bottom,
+                        int64_t left, int64_t right,
+                        uint32_t *mapping, const uint8_t *recoded,
+                        int64_t map_len, uint32_t start_id,
+                        uint32_t *cnt) {
+    (void)h;
+    for (int64_t y = top; y < bottom; ++y) {
+        const uint32_t *rowp = tile + y * w;
+        for (int64_t x = left; x < right; ++x) {
+            ++cnt[rowp[x]];
+        }
+    }
+    uint32_t cur = start_id;
+    for (int64_t id = 1; id < map_len; ++id) {
+        if (cnt[id] != 0 && !recoded[id]) {
+            mapping[id] = ++cur;
+        }
+    }
+    return cur;
+}
+
 }  // extern "C"

@@ -937,16 +937,31 @@ class SegmentationConcurrencyMgr:
                 nullmask = (tileData == shepseg.SEGNULLVAL)
                 tileData = tileData + shepseg.SegIdType(maxSegId)
                 tileData[nullmask] = shepseg.SEGNULLVAL
+                tileDataTrimmed = tileData[top:bottom, left:right]
+                rightStrip = tileData[:, -rightOv:] if rightOv > 0 else None
+                bottomStrip = (tileData[-bottomOv:, :] if bottomOv > 0
+                               else None)
                 updateMaxFromTile = True
             else:
-                # recodeTile's assignment counter is authoritative (it
+                # The relabel's assignment counter is authoritative (it
                 # covers every ID it issued or preserved), so no
-                # per-tile max() scan is needed on this path
-                (tileData, maxSegId, winHist) = self.recodeTile(
-                    tileData, maxSegId, row, col, top, bottom, left, right)
+                # per-tile max() scan is needed on this path. Only the
+                # regions the stitcher consumes are gathered through the
+                # mapping — the trimmed window and the cached strips —
+                # never a full relabelled tile (the stitch leg is
+                # host-memory-bandwidth-bound; see relabelMapping).
+                recodeDict = self._buildRecodeDict(tileData, row, col)
+                (mapping, maxSegId, winHist) = self.relabelMapping(
+                    tileData, recodeDict, maxSegId, top, bottom, left,
+                    right)
+                tileDataTrimmed = mapping[tileData[top:bottom,
+                                                   left:right]]
+                rightStrip = (mapping[tileData[:, -rightOv:]]
+                              if rightOv > 0 else None)
+                bottomStrip = (mapping[tileData[-bottomOv:, :]]
+                               if bottomOv > 0 else None)
                 updateMaxFromTile = False
 
-            tileDataTrimmed = tileData[top:bottom, left:right]
             outBand.WriteArray(tileDataTrimmed, xout, yout)
             self.writeOverviews(outBand, tileDataTrimmed, xout, yout)
             if winHist is not None:
@@ -956,14 +971,14 @@ class SegmentationConcurrencyMgr:
             else:
                 histAccum.doHistAccum(tileDataTrimmed)
 
-            if rightOv > 0:
+            if rightStrip is not None:
                 self.saveOverlap(
                     self.overlapCacheKey(col, row, RIGHT_OVERLAP),
-                    tileData[:, -rightOv:])
-            if bottomOv > 0:
+                    rightStrip)
+            if bottomStrip is not None:
                 self.saveOverlap(
                     self.overlapCacheKey(col, row, BOTTOM_OVERLAP),
-                    tileData[-bottomOv:, :])
+                    bottomStrip)
 
             if updateMaxFromTile:
                 maxSegId = max(maxSegId, int(tileDataTrimmed.max()))
@@ -998,6 +1013,15 @@ class SegmentationConcurrencyMgr:
         tiling.py:1042-1043 — then reissues that segment's ID to the next
         tile, silently merging two unrelated segments.
         """
+        recodeDict = self._buildRecodeDict(tileData, tileRow, tileCol)
+        (newTileData, newMaxSegId, winHist) = self.relabelSegments(
+            tileData, recodeDict, maxSegId, top, bottom, left, right)
+        return (newTileData, newMaxSegId, winHist)
+
+    def _buildRecodeDict(self, tileData, tileRow, tileCol):
+        """Shared-strip reconciliation for one tile: segments crossing
+        the stitch midline adopt the earlier tile's IDs (consumes the
+        neighbour strips from the overlap cache)."""
         recodeDict = {}
         # a zero-width pair overlap shares no pixels and the neighbour
         # never cached a strip (stitchTiles guards saves on width > 0)
@@ -1019,10 +1043,7 @@ class SegmentationConcurrencyMgr:
                 self.recodeSharedSegments(tileData, tileData[:, :leftOv],
                                           leftOverlapB, VERTICAL,
                                           recodeDict)
-
-        (newTileData, newMaxSegId, winHist) = self.relabelSegments(
-            tileData, recodeDict, maxSegId, top, bottom, left, right)
-        return (newTileData, newMaxSegId, winHist)
+        return recodeDict
 
     @staticmethod
     def recodeSharedSegments(tileData, overlapA, overlapB, orientation,
@@ -1061,12 +1082,28 @@ class SegmentationConcurrencyMgr:
         already computes — so stitchTiles accumulates the output
         histogram without a second full-window bincount per tile.
 
-        The hot loops (window count, ascending assignment, whole-tile
-        mapping gather) run fused in native C++ when the library is
-        available (native/ccl.cpp stitch_relabel — one pass over the
-        window + one over the tile, no numpy temporaries); the numpy
-        path below is the fallback and the parity oracle
-        (test_tiling.py pins native == numpy).
+        The hot loops (window count, ascending assignment) run in native
+        C++ when the library is available (native/ccl.cpp); the numpy
+        path is the fallback and the parity oracle (test_tiling.py pins
+        native == numpy).
+        """
+        Mgr = SegmentationConcurrencyMgr
+        (mapping, newMaxSegId, winHist) = Mgr.relabelMapping(
+            tileData, recodeDict, maxSegId, top, bottom, left, right)
+        return (mapping[tileData], newMaxSegId, winHist)
+
+    @staticmethod
+    def relabelMapping(tileData, recodeDict, maxSegId,
+            top, bottom, left, right):
+        """
+        relabelSegments WITHOUT materialising the relabelled tile:
+        returns ``(mapping, newMaxSegId, winHist)`` where
+        ``mapping[oldId]`` is the tile's old->new id table. The stitcher
+        gathers only the regions it actually consumes (the trimmed
+        window it writes, the right/bottom overlap strips it caches) —
+        the stitch leg is host-memory-bandwidth-bound, and a full-tile
+        materialise + trim copy re-touches ~2.3x the bytes of the
+        targeted gathers.
         """
         tileMax = int(tileData.max())
         mapping = numpy.zeros(tileMax + 1, dtype=shepseg.SegIdType)
@@ -1075,10 +1112,10 @@ class SegmentationConcurrencyMgr:
             mapping[k] = v
             recoded[k] = 1
 
-        res = native.stitch_relabel(tileData, mapping, recoded, maxSegId,
+        res = native.stitch_mapping(tileData, mapping, recoded, maxSegId,
                                     top, bottom, left, right)
         if res is not None:
-            (newTileData, newMaxSegId, winCounts) = res
+            (newMaxSegId, winCounts) = res
             winCounts[shepseg.SEGNULLVAL] = 0
         else:
             window = tileData[top:bottom, left:right]
@@ -1094,8 +1131,6 @@ class SegmentationConcurrencyMgr:
             newIds = maxSegId + 1 + numpy.arange(len(ownedIds),
                                                  dtype=numpy.int64)
             mapping[ownedIds] = newIds.astype(shepseg.SegIdType)
-
-            newTileData = mapping[tileData]
             newMaxSegId = maxSegId + len(ownedIds)
 
         # new-id window histogram from the old-id counts: a scatter over
@@ -1107,7 +1142,7 @@ class SegmentationConcurrencyMgr:
         numpy.add.at(winHist, mapping[present].astype(numpy.int64),
                      winCounts[present].astype(numpy.int64))
         winHist[shepseg.SEGNULLVAL] = 0
-        return (newTileData, newMaxSegId, winHist)
+        return (mapping, newMaxSegId, winHist)
 
     @staticmethod
     def crossesMidline(overlap, segLoc, orientation):

@@ -123,11 +123,13 @@ def main():
             t.add("recode.modematch", t0)
 
         t0 = time.monotonic()
-        tileData, maxSegId, winHist = mgr.relabelSegments(
+        mapping, maxSegId, winHist = mgr.relabelMapping(
             tileData, recodeDict, maxSegId, top, bottom, left, right)
-        t.add("recode.relabel", t0)
+        t.add("recode.mapping", t0)
+        t0 = time.monotonic()
+        trimmed = mapping[tileData[top:bottom, left:right]]
+        t.add("recode.gather", t0)
 
-        trimmed = tileData[top:bottom, left:right]
         t0 = time.monotonic()
         outBand.WriteArray(trimmed, xout, yout)
         t.add("write", t0)
@@ -140,9 +142,11 @@ def main():
 
         t0 = time.monotonic()
         if rightOv > 0:
-            overlapCache[(col, row, "right")] = tileData[:, -rightOv:]
+            overlapCache[(col, row, "right")] = mapping[
+                tileData[:, -rightOv:]]
         if bottomOv > 0:
-            overlapCache[(col, row, "bottom")] = tileData[-bottomOv:, :]
+            overlapCache[(col, row, "bottom")] = mapping[
+                tileData[-bottomOv:, :]]
         t.add("overlapsave", t0)
 
     total = time.monotonic() - t_all

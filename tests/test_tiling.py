@@ -387,11 +387,12 @@ def test_overview_levels_match_reference_rule():
 
 
 def test_stitch_relabel_native_matches_numpy(rng, monkeypatch):
-    # The fused C++ stitch recode (native/ccl.cpp stitch_relabel) must be
-    # bit-identical to the numpy fallback path in relabelSegments — data,
-    # counter, AND the derived new-id window histogram; the histogram must
-    # also equal a direct bincount of the trimmed output (what the old
-    # doHistAccum path measured).
+    # The C++ stitch recode (native/ccl.cpp stitch_mapping, the count +
+    # assignment passes the stitcher uses) must be bit-identical to the
+    # numpy fallback path in relabelSegments/relabelMapping — data,
+    # counter, AND the derived new-id window histogram; the histogram
+    # must also equal a direct bincount of the trimmed output (what the
+    # old doHistAccum path measured).
     from pyshepseg_tpu import native as native_mod
     tileData = rng.integers(0, 40, size=(96, 96)).astype(np.uint32)
     recodeDict = {3: 1007, 7: 1003, 12: 1007}  # incl. a colliding target
@@ -401,10 +402,10 @@ def test_stitch_relabel_native_matches_numpy(rng, monkeypatch):
     if not native_mod.available():
         # visible reduced coverage: a toolchain/build regression must not
         # silently stop exercising the C++ hot path
-        pytest.skip("native library unavailable; C++ stitch_relabel "
+        pytest.skip("native library unavailable; C++ stitch_mapping "
                     "not exercised")
     outN, maxN, histN = Mgr.relabelSegments(tileData.copy(), *args)
-    monkeypatch.setattr(tiling.native, "stitch_relabel",
+    monkeypatch.setattr(tiling.native, "stitch_mapping",
                         lambda *a, **k: None)
     outP, maxP, histP = Mgr.relabelSegments(tileData.copy(), *args)
 
