@@ -161,6 +161,17 @@ def _flood_fill_py(img, ignoreVal, fourConnected, cap, clumpId, out):
     return out, clumpId
 
 
+def _checkMapping(mapping):
+    """The C side takes a raw pointer to ``mapping`` and updates it in
+    place: an int64/bool array would be silently reinterpreted as uint32
+    memory, so reject wrong layouts loudly (an explicit raise, not an
+    assert — asserts vanish under ``python -O``)."""
+    if mapping.dtype != np.uint32 or not mapping.flags.c_contiguous:
+        raise TypeError(
+            "mapping must be a C-contiguous uint32 array (updated in "
+            f"place by the native code); got {mapping.dtype}")
+
+
 def stitch_relabel(tileData, mapping, recoded, start_id,
                    top, bottom, left, right):
     """
@@ -176,10 +187,7 @@ def stitch_relabel(tileData, mapping, recoded, start_id,
     if lib is None:
         return None
     tileData = np.ascontiguousarray(tileData, dtype=np.uint32)
-    # The C side takes raw pointers: enforce dtype/contiguity rather than
-    # silently reinterpreting e.g. int64/bool memory as uint32/uint8.
-    # mapping is updated in place, so it must already be uint32.
-    assert mapping.dtype == np.uint32 and mapping.flags.c_contiguous
+    _checkMapping(mapping)
     recoded = np.ascontiguousarray(recoded, dtype=np.uint8)
     h, w = tileData.shape
     cnt = np.zeros(mapping.shape[0], dtype=np.uint32)
@@ -206,7 +214,7 @@ def stitch_mapping(tileData, mapping, recoded, start_id,
     if lib is None:
         return None
     tileData = np.ascontiguousarray(tileData, dtype=np.uint32)
-    assert mapping.dtype == np.uint32 and mapping.flags.c_contiguous
+    _checkMapping(mapping)
     recoded = np.ascontiguousarray(recoded, dtype=np.uint8)
     h, w = tileData.shape
     cnt = np.zeros(mapping.shape[0], dtype=np.uint32)

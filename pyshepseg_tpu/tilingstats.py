@@ -1594,7 +1594,13 @@ def streamingMeanCoord(transform):
         xxl, yyl = coordCache[shape]
         seg = seg2d.ravel()
         if imgNullVal is not None:
-            isNull = val2d.ravel() == imageValueType(imgNullVal)
+            # compare in imageValueType like every other accumulation
+            # path (compactTileSpatial casts pixel values to int64
+            # before the nodata test; identical here — the API rejects
+            # float imagery, but the semantics must not depend on which
+            # route ran)
+            isNull = (val2d.ravel().astype(imageValueType) ==
+                      imageValueType(imgNullVal))
             if isNull.any():
                 # nodata pixels drop into bin 0, which is never read
                 seg = numpy.where(isNull, shepseg.SEGNULLVAL, seg)
@@ -1650,7 +1656,10 @@ class _StreamingSpatialAccumulator:
         counts + the user func's tile contribution."""
         if self.streamFn.tileContrib2D is not None:
             # fast route: straight bincounts on the raw tile, no
-            # per-pixel coordinate/mask construction
+            # per-pixel coordinate/mask construction. The nodata test
+            # casts pixel values to imageValueType exactly like
+            # compactTileSpatial does, so both accumulators' seen/noData
+            # completeness accounting stays identical.
             n = self.numSeg
             seg = tileSegments.ravel()
             seen = numpy.bincount(
@@ -1658,7 +1667,7 @@ class _StreamingSpatialAccumulator:
             seen[shepseg.SEGNULLVAL] = 0
             noData = None
             if self.imgNullVal is not None:
-                isNull = ((tileImageData.ravel() ==
+                isNull = ((tileImageData.ravel().astype(imageValueType) ==
                            imageValueType(self.imgNullVal)) &
                           (seg != shepseg.SEGNULLVAL))
                 if isNull.any():

@@ -102,35 +102,45 @@ def main():
             if f is None:
                 time.sleep(2)
                 continue
-            t0 = time.time()
-            env = dict(os.environ)
-            useCache = os.environ.get("PARTEST_CACHE") == "1"
-            if useCache:
-                env["PYSHEPSEG_TEST_CACHE"] = "1"
-            proc = subprocess.run(
-                [sys.executable, "-m", "pytest", f, "-q"] + extra,
-                capture_output=True, universal_newlines=True, cwd=REPO,
-                env=env)
-            if useCache and proc.returncode < 0:
-                # cache-related native crash backstop: retry once cold
-                env.pop("PYSHEPSEG_TEST_CACHE", None)
+            try:
+                t0 = time.time()
+                env = dict(os.environ)
+                useCache = os.environ.get("PARTEST_CACHE") == "1"
+                if useCache:
+                    env["PYSHEPSEG_TEST_CACHE"] = "1"
                 proc = subprocess.run(
                     [sys.executable, "-m", "pytest", f, "-q"] + extra,
                     capture_output=True, universal_newlines=True,
                     cwd=REPO, env=env)
-            dt = time.time() - t0
-            # pytest exit code 5 = no tests ran in this module (e.g. an
-            # interop module whose whole suite skips when the optional
-            # dependency is absent) — not a failure.
-            rc = 0 if proc.returncode == 5 else proc.returncode
-            with lock:
+                if useCache and proc.returncode < 0:
+                    # cache-related native crash backstop: retry once
+                    # cold; the ledger records the RETRY's duration only
+                    # (the crashed attempt's time is not the module's
+                    # real cost and would distort scheduling)
+                    env.pop("PYSHEPSEG_TEST_CACHE", None)
+                    t0 = time.time()
+                    proc = subprocess.run(
+                        [sys.executable, "-m", "pytest", f, "-q"] + extra,
+                        capture_output=True, universal_newlines=True,
+                        cwd=REPO, env=env)
+                dt = time.time() - t0
+                # pytest exit code 5 = no tests ran in this module (e.g.
+                # an interop module whose whole suite skips when the
+                # optional dependency is absent) — not a failure.
+                rc = 0 if proc.returncode == 5 else proc.returncode
+                with lock:
+                    results[f] = (rc, dt, proc.stdout, proc.stderr)
+                    tailline = (proc.stdout.strip().splitlines()
+                                or [""])[-1]
+                    status = "ok" if rc == 0 else f"FAILED rc={rc}"
+                    print(f"[{time.time() - t_start:7.1f}s] {f}: {status} "
+                          f"({dt:.1f}s) {tailline}", flush=True)
+            finally:
+                # an exception (e.g. fork failure under load) must not
+                # leave the exclusive MULTIPROC slot held forever
                 if f in MULTIPROC:
-                    multiproc_busy[0] = False
-                results[f] = (rc, dt, proc.stdout, proc.stderr)
-                tailline = (proc.stdout.strip().splitlines() or [""])[-1]
-                status = "ok" if rc == 0 else f"FAILED rc={rc}"
-                print(f"[{time.time() - t_start:7.1f}s] {f}: {status} "
-                      f"({dt:.1f}s) {tailline}", flush=True)
+                    with lock:
+                        multiproc_busy[0] = False
 
     threads = [threading.Thread(target=worker) for _ in range(jobs)]
     for t in threads:
