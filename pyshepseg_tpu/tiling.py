@@ -983,12 +983,19 @@ class SegmentationConcurrencyMgr:
             if updateMaxFromTile:
                 maxSegId = max(maxSegId, int(tileDataTrimmed.max()))
 
-        self.writeHistogramToFile(outBand, histAccum)
-        self.hasEmptySegments = self.checkForEmptySegments(
-            histAccum.hist, self.overlapSize)
-        utils.estimateStatsFromHisto(outBand, histAccum.hist)
-        self.maxSegId = maxSegId
-        outDs.FlushCache()
+        # One-off epilogue — the histogram RAT write, the empty-segment
+        # check, the GDAL stats metadata, and the output flush (an msync
+        # of the whole band for the npseg driver). Timed separately from
+        # the per-tile stitch loop: the loop is what races the device
+        # tile loop in a pipelined run, while this tail runs once after
+        # both finish (like the k-means fit before them).
+        with self.timings.interval('stitchfinalize'):
+            self.writeHistogramToFile(outBand, histAccum)
+            self.hasEmptySegments = self.checkForEmptySegments(
+                histAccum.hist, self.overlapSize)
+            utils.estimateStatsFromHisto(outBand, histAccum.hist)
+            self.maxSegId = maxSegId
+            outDs.FlushCache()
         if self.returnGDALDS:
             self.outDs = outDs
         else:

@@ -129,10 +129,14 @@ def main():
         t0 = time.monotonic()
         trimmed = mapping[tileData[top:bottom, left:right]]
         t.add("recode.gather", t0)
-
         t0 = time.monotonic()
         outBand.WriteArray(trimmed, xout, yout)
         t.add("write", t0)
+        # NOTE: an np.take straight into the band memmap window was
+        # A/B'd here and LOST (0.55 s vs 0.24 s for gather+write over
+        # the 64 tiles): numpy's unbuffered take into a strided target
+        # runs element-wise, while the two-step path is two vectorized
+        # row-copy loops.
         t0 = time.monotonic()
         mgr.writeOverviews(outBand, trimmed, xout, yout)
         t.add("overviews", t0)
