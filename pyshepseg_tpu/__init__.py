@@ -32,7 +32,7 @@ if _os.environ.get("PYSHEPSEG_TPU_PLATFORM"):
     _jax.config.update("jax_platforms",
                        _os.environ["PYSHEPSEG_TPU_PLATFORM"])
 
-SHEPSEG_TPU_VERSION = "0.4.0"
+SHEPSEG_TPU_VERSION = "0.5.0"
 __version__ = SHEPSEG_TPU_VERSION
 # reference-compatible alias (reference: __init__.py:31-32)
 SHEPSEG_VERSION = SHEPSEG_TPU_VERSION
