@@ -219,7 +219,8 @@ def formatTimingRpt(summaryDict):
     if isSeg:
         hdr = "Segmentation Timings (sec)"
         timerList = ['spectralclusters', 'startworkers', 'reading',
-                     'segmentation', 'stitchtiles', 'stitchwait']
+                     'segmentation', 'stitchtiles', 'stitchwait',
+                     'stitchfinalize']
     elif isStats:
         hdr = "Per-segment Stats Timings (sec)"
         timerList = ['reading', 'compaction', 'accumulation',
