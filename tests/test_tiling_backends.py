@@ -69,8 +69,12 @@ def test_tiled_threads_all_devices_matches_serial(serial_case, tmp_path):
     # each worker's device needs its own fresh XLA:CPU compile of the
     # per-tile program (executables are cached per device set); without
     # the opt-in persistent cache the first tile can take minutes
+    # 2 workers exercise the round-robin device routing across >1
+    # device at half the per-device XLA:CPU compile cost of 4 (each
+    # device set compiles its own executable; this test was the
+    # suite's second-largest CPU sink at numWorkers=4)
     cfg = tiling.SegmentationConcurrencyConfig(
-        concurrencyType=tiling.CONC_THREADS, numWorkers=4,
+        concurrencyType=tiling.CONC_THREADS, numWorkers=2,
         workerDevices='all', tileCompletionTimeout=900)
     res2 = run_tiled(serial_case["inpath"], out2, concurrencyCfg=cfg)
     seg2 = rio.open(out2).GetRasterBand(1).ReadAsArray()
