@@ -1235,14 +1235,17 @@ def convertPtsInto2DMaskArray(pts, imgNullVal):
     return mask
 
 
-def compactTileSpatial(tileSegments, tileImageData, leftPix, topLine,
+def _spatialTilePixels(tileSegments, tileImageData, leftPix, topLine,
                        imgNullVal, numSeg):
     """
-    Group one tile's pixels by segment for the spatial accumulator:
-    returns (seenCounts, noDataCounts-or-None,
-    [(segId, xs, ys, vals), ...] in ascending segment order with pixels
-    in scan order), or None for an all-null tile. Pure function of the
-    tile — safe to run on worker threads.
+    Shared per-tile prologue of every spatial accumulation route:
+    whole-image pixel coordinates, null-segment filtering, seen/noData
+    completeness bincounts, and nodata-pixel exclusion (values compared
+    in imageValueType). Returns
+    ``(seen, noData, seg, xx, yy, val)`` over the non-null non-nodata
+    pixels, or None for an all-null tile. ONE implementation so the
+    point-list and streaming accumulators can never drift in their
+    completeness accounting.
     """
     seg = tileSegments.ravel().astype(numpy.int64)
     val = tileImageData.ravel().astype(imageValueType)
@@ -1266,6 +1269,23 @@ def compactTileSpatial(tileSegments, tileImageData, leftPix, topLine,
             ).astype(numpy.int64)[:numSeg]
         seg, val, xx, yy = (seg[~isNull], val[~isNull], xx[~isNull],
                             yy[~isNull])
+    return (seen, noData, seg, xx, yy, val)
+
+
+def compactTileSpatial(tileSegments, tileImageData, leftPix, topLine,
+                       imgNullVal, numSeg):
+    """
+    Group one tile's pixels by segment for the spatial accumulator:
+    returns (seenCounts, noDataCounts-or-None,
+    [(segId, xs, ys, vals), ...] in ascending segment order with pixels
+    in scan order), or None for an all-null tile. Pure function of the
+    tile — safe to run on worker threads.
+    """
+    pix = _spatialTilePixels(tileSegments, tileImageData, leftPix,
+                             topLine, imgNullVal, numSeg)
+    if pix is None:
+        return None
+    (seen, noData, seg, xx, yy, val) = pix
     groups = []
     if seg.size:
         order = numpy.argsort(seg, kind='stable')
@@ -1678,26 +1698,11 @@ class _StreamingSpatialAccumulator:
                 tileSegments, tileImageData, leftPix, topLine,
                 self.imgNullVal)
             return (seen, noData, contrib)
-        seg = tileSegments.ravel().astype(numpy.int64)
-        val = tileImageData.ravel().astype(imageValueType)
-        w = tileSegments.shape[1]
-        yy, xx = numpy.divmod(numpy.arange(seg.size), w)
-        xx = (xx + leftPix).astype(numpy.uint32)
-        yy = (yy + topLine).astype(numpy.uint32)
-        keep = seg != shepseg.SEGNULLVAL
-        seg, val, xx, yy = seg[keep], val[keep], xx[keep], yy[keep]
-        if seg.size == 0:
+        pix = _spatialTilePixels(tileSegments, tileImageData, leftPix,
+                                 topLine, self.imgNullVal, self.numSeg)
+        if pix is None:
             return None
-        n = self.numSeg
-        seen = numpy.bincount(seg, minlength=n).astype(numpy.int64)[:n]
-        noData = None
-        if self.imgNullVal is not None:
-            isNull = val == imageValueType(self.imgNullVal)
-            if isNull.any():
-                noData = numpy.bincount(
-                    seg[isNull], minlength=n).astype(numpy.int64)[:n]
-            seg, val, xx, yy = (seg[~isNull], val[~isNull], xx[~isNull],
-                                yy[~isNull])
+        (seen, noData, seg, xx, yy, val) = pix
         contrib = (self.streamFn.tileContrib(seg, xx, yy, val)
                    if seg.size else None)
         return (seen, noData, contrib)

@@ -35,8 +35,29 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(_REPO, "tests", ".jax_cache"))
+# Persistent cache: only the CPU-FINGERPRINT-KEYED directory is safe —
+# XLA:CPU cache entries are host-specific AOT machine code, and loading
+# another host's entries logs "machine type doesn't match" warnings and
+# can SIGILL (observed live: a shared tests/.jax_cache dir carried
+# another box's AVX feature set). Mirrors tests/conftest.py.
+
+
+def _cpu_fingerprint():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(_REPO, "tests", ".jax_cache-" + _cpu_fingerprint()))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from oracle import (oracle_clump, oracle_eliminate_single_pixels,  # noqa: E402
@@ -207,11 +228,17 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     first = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     bugs = 0
-    for seed in range(first, first + n):
+    for i, seed in enumerate(range(first, first + n)):
         kind, msg = run_seed(seed)
         print(f"{kind} seed={seed}" + (f": {msg}" if msg else ""),
               flush=True)
         bugs += (kind == "BUG")
+        if (i + 1) % 10 == 0:
+            # every random shape compiles fresh XLA:CPU programs; a
+            # long-lived process accumulates gigabytes of live JIT code
+            # until LLVM dies with "Cannot allocate memory" (observed
+            # at ~60 seeds). Same mitigation as tests/conftest.py.
+            jax.clear_caches()
     print("CAMPAIGN", "FAILED" if bugs else "PASSED", f"bugs={bugs}")
     sys.exit(1 if bugs else 0)
 
