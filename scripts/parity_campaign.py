@@ -35,30 +35,13 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 
-# Persistent cache: only the CPU-FINGERPRINT-KEYED directory is safe —
-# XLA:CPU cache entries are host-specific AOT machine code, and loading
-# another host's entries logs "machine type doesn't match" warnings and
-# can SIGILL (observed live: a shared tests/.jax_cache dir carried
-# another box's AVX feature set). Mirrors tests/conftest.py.
-
-
-def _cpu_fingerprint():
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
-    except OSError:
-        pass
-    import platform
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
-
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(_REPO, "tests", ".jax_cache-" + _cpu_fingerprint()))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NO persistent compile cache: the campaign's random shapes make cache
+# hits near-zero within a run, and XLA:CPU cache entries are
+# host-specific AOT machine code — a dir carried across boxes (or VM
+# migrations with an identical cpuinfo flags line but different
+# XLA-detected tuning) loads with "machine type doesn't match"
+# warnings and can SIGILL. Observed live against tests/.jax_cache AND
+# the cpu-fingerprint-keyed dir; fresh compiles are the safe default.
 
 from oracle import (oracle_clump, oracle_eliminate_single_pixels,  # noqa: E402
                     oracle_eliminate_small_segments)
