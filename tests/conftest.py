@@ -40,7 +40,11 @@ jax.config.update("jax_platforms", "cpu")
 # process — so reliability wins by default.  Two further hazards when
 # enabling it: entries are host-specific AOT machine code (the dir is
 # keyed by a CPU-feature fingerprint; loading another host's entries can
-# SIGILL), and a shared dir must not be swapped mid-process.
+# SIGILL — and the fingerprint is NOT airtight: VM migrations with an
+# identical cpuinfo flags line but different XLA-detected tuning have
+# produced live machine-type-mismatch warnings against a
+# fingerprint-keyed dir; delete stale dirs when they appear), and a
+# shared dir must not be swapped mid-process.
 
 
 def _cpu_fingerprint():
