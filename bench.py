@@ -767,9 +767,10 @@ def _run_config4(results, imgfile, segfile):
             "vs_baseline": None})
 
     def spatial_edge():
-        # A spatial user func that is NOT a pure reduction (needs the
-        # per-segment bounding boxes): exercises the point-list
-        # accumulator + vectorized host kernel in the wall artifact.
+        # Edge-pixel counts now stream through the 1-pixel-halo route on
+        # the host engine (auto-substituted streamingNumEdgePixels):
+        # shifted whole-tile comparisons + one bincount per tile, no
+        # point lists.
         t0 = time.time()
         tilingstats.calcPerSegmentSpatialStatsTiled(
             imgfile, 1, segfile, [("b1_edgepix", rio.GFT_Integer)],
@@ -777,8 +778,28 @@ def _run_config4(results, imgfile, segfile):
         sp_rate = npix / (time.time() - t0)
         results.append({
             "name": "config4c: calcPerSegmentSpatialStatsTiled edge-pixel "
-                    f"counts over {npix:.0f} Mpix scene (point-list "
-                    "accumulator + host kernel)",
+                    f"counts over {npix:.0f} Mpix scene (streaming "
+                    "halo-read route, no coordinate lists)",
+            "value": round(sp_rate, 3), "unit": "Mpix/s",
+            "vs_baseline": None})
+
+    def spatial_edge_pointlist():
+        # The point-list accumulator + per-segment vectorized host
+        # kernel stays on record: it is the route every CUSTOM
+        # reference-signature callback takes (and the RIOS variant's
+        # only route). A wrapper defeats the streaming substitution.
+        def pointRoute(pts, imgNullVal, intArr, floatArr, param):
+            return tilingstats.userFuncNumEdgePixels(
+                pts, imgNullVal, intArr, floatArr, param)
+        t0 = time.time()
+        tilingstats.calcPerSegmentSpatialStatsTiled(
+            imgfile, 1, segfile, [("b1_edgepix_pt", rio.GFT_Integer)],
+            pointRoute, True, engine='host')
+        sp_rate = npix / (time.time() - t0)
+        results.append({
+            "name": "config4c-pointlist: same edge-pixel counts via the "
+                    "point-list accumulator + host kernel (the custom-"
+                    "callback route)",
             "value": round(sp_rate, 3), "unit": "Mpix/s",
             "vs_baseline": None})
 
@@ -788,6 +809,7 @@ def _run_config4(results, imgfile, segfile):
     _guard(results, "config4-device-chip", chip_rate)
     _guard(results, "config4b-spatial", spatial)
     _guard(results, "config4c-spatial-edge", spatial_edge)
+    _guard(results, "config4c-spatial-edge-pointlist", spatial_edge_pointlist)
 
 
 def _deviceStatsChipRate(segfile, imgfile, k=8):

@@ -547,7 +547,7 @@ def _concatRuns(arr, start, end, lengths):
 def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
                          imgbandnum, serialBands, compactFn,
                          numReadWorkers, timings,
-                         batchedCompactFn=None):
+                         batchedCompactFn=None, haloPixels=0):
     """
     Yield ``compactFn(segTile, imgTile, window)`` per 1024^2 tile in
     strict row-major order. With numReadWorkers > 0 the read+compact
@@ -583,6 +583,22 @@ def _compactedTileStream(nlines, npix, tileSize, segfile, imgfile,
     def readAndCompact(window, bands):
         (xsize, ysize, leftPix, topLine) = window
         (segb, imgbs) = bands
+        if haloPixels > 0:
+            # Expanded clamped read: the tile plus up to haloPixels of
+            # real neighbour context on each side (clamped at the image
+            # edges — the accumulator pads the short sides itself, so
+            # the hook always sees the full halo). The extra IO is two
+            # strips per tile, ~0.2% at 1024^2/halo 1.
+            h = haloPixels
+            ex0, ey0 = max(0, leftPix - h), max(0, topLine - h)
+            ex1 = min(npix, leftPix + xsize + h)
+            ey1 = min(nlines, topLine + ysize + h)
+            segEx = segb.ReadAsArray(ex0, ey0, ex1 - ex0, ey1 - ey0)
+            out = [fn(segEx,
+                      imgb.ReadAsArray(ex0, ey0, ex1 - ex0, ey1 - ey0),
+                      window)
+                   for fn, imgb in zip(compactFns, imgbs)]
+            return out if multi else out[0]
         tileSegments = segb.ReadAsArray(leftPix, topLine, xsize, ysize)
         if batchedCompactFn is not None and multi:
             # all bands in one device dispatch pair
@@ -1553,7 +1569,7 @@ class StreamingSpatialUserFunc:
     """
 
     def __init__(self, initState, tileContrib, mergeContrib,
-                 finalizeRows, tileContrib2D=None):
+                 finalizeRows, tileContrib2D=None, haloPixels=0):
         self.initState = initState
         self.tileContrib = tileContrib
         self.mergeContrib = mergeContrib
@@ -1565,6 +1581,19 @@ class StreamingSpatialUserFunc:
         # construction entirely. When present it is used instead of
         # tileContrib.
         self.tileContrib2D = tileContrib2D
+        # haloPixels > 0 requests NEIGHBOURHOOD context: tileContrib2D
+        # receives seg2d/val2d expanded by haloPixels on every side
+        # (the logical tile is [halo:-halo, halo:-halo]); off-image
+        # positions are padded with the null segment id / the image
+        # null value, so "beyond the image edge" reads as "no
+        # same-segment support" — exactly the reference's bounding-box
+        # mask semantics. This is what lets per-pixel statistics that
+        # look at neighbours (edge-pixel counts) stream tile by tile
+        # instead of accumulating whole-segment point lists.
+        self.haloPixels = int(haloPixels)
+        if self.haloPixels and tileContrib2D is None:
+            raise PyShepSegStatsError(
+                "haloPixels requires a tileContrib2D hook")
 
 
 def streamingMeanCoord(transform):
@@ -1656,6 +1685,76 @@ def streamingMeanCoord(transform):
                                     tileContrib2D=tileContrib2D)
 
 
+def streamingNumEdgePixels(fourConnected):
+    """
+    Streaming-reduction equivalent of :func:`userFuncNumEdgePixels`
+    (substituted automatically on the host engine): per-segment
+    edge-pixel counts via shifted whole-tile comparisons over a
+    1-pixel-halo read — no per-segment coordinate lists or bounding-box
+    masks are ever built.
+
+    Semantics are exactly the reference's bbox-mask definition
+    (reference tilingstats.py:1145-1216): a valid (non-nodata,
+    non-null-segment) pixel is an edge pixel iff any 4/8-neighbour is
+    NOT a valid pixel of the same segment. A neighbour outside the
+    segment's bounding box is never a valid same-segment pixel (the box
+    bounds them all), so "outside the bbox mask" and "any neighbour
+    with a different support id" decide identically; nodata neighbours
+    are excluded from the point list there and mapped to the null
+    support id here; off-image neighbours are the mask's zero border
+    there and the engine's null-padded halo here.
+    """
+    if fourConnected:
+        offsets = ((-1, 0), (1, 0), (0, -1), (0, 1))
+    else:
+        offsets = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                   (1, -1), (1, 0), (1, 1))
+
+    def initState(numSeg):
+        return {'edge': numpy.zeros(numSeg, numpy.int64),
+                'numSeg': numSeg}
+
+    def tileContrib2D(segEx, valEx, leftPix, topLine, imgNullVal):
+        # support plane: the segment id where the pixel is valid, the
+        # null id where it is nodata (a nodata neighbour gives no
+        # same-segment support, like its absence from the reference's
+        # point list)
+        if imgNullVal is not None:
+            sup = numpy.where(
+                valEx.astype(imageValueType) == imageValueType(imgNullVal),
+                segEx.dtype.type(shepseg.SEGNULLVAL), segEx)
+        else:
+            sup = segEx
+        H, W = segEx.shape
+        core = segEx[1:-1, 1:-1]
+        edge = numpy.zeros(core.shape, dtype=bool)
+        for dy, dx in offsets:
+            edge |= sup[1 + dy:H - 1 + dy, 1 + dx:W - 1 + dx] != core
+        # countable = valid pixels: non-null segment AND non-nodata
+        # (sup == core exactly on non-nodata pixels)
+        countable = (core != shepseg.SEGNULLVAL) & (sup[1:-1, 1:-1] == core)
+        hits = core[edge & countable]
+        if hits.size == 0:
+            return None
+        return numpy.bincount(hits.astype(numpy.int64))
+
+    def tileContrib(segIds, xx, yy, vals):  # pragma: no cover
+        raise PyShepSegStatsError(
+            "streamingNumEdgePixels requires the halo tile route")
+
+    def mergeContrib(state, cnt):
+        k = min(len(cnt), state['numSeg'])
+        state['edge'][:k] += cnt[:k]
+
+    def finalizeRows(state, segIds):
+        return state['edge'][segIds][:, None], None
+
+    return StreamingSpatialUserFunc(initState, tileContrib, mergeContrib,
+                                    finalizeRows,
+                                    tileContrib2D=tileContrib2D,
+                                    haloPixels=1)
+
+
 class _StreamingSpatialAccumulator:
     """Completeness bookkeeping for the streaming spatial route: same
     seen/noData accounting as SegmentPointAccumulator, but the only
@@ -1671,9 +1770,48 @@ class _StreamingSpatialAccumulator:
         self.touched = numpy.zeros(numSeg, dtype=bool)
         self.done = numpy.zeros(numSeg, dtype=bool)
 
-    def compactTile(self, tileSegments, tileImageData, leftPix, topLine):
+    def compactTile(self, tileSegments, tileImageData, window):
         """Per-tile vectorized pass (reader-thread safe): completeness
-        counts + the user func's tile contribution."""
+        counts + the user func's tile contribution. With
+        ``streamFn.haloPixels`` the incoming arrays are the expanded
+        clamped reads from the tile stream."""
+        (xsize, ysize, leftPix, topLine) = window
+        halo = self.streamFn.haloPixels
+        if halo > 0:
+            # Pad the clamped expanded read out to the full halo at the
+            # image edges: null segment id / image null value, so the
+            # hook's neighbour test reads off-image as "no same-segment
+            # support" (the reference's bbox-mask border, reference
+            # tilingstats.py:1795-1843).
+            topPad = halo - min(halo, topLine)
+            leftPad = halo - min(halo, leftPix)
+            botPad = (ysize + 2 * halo) - tileSegments.shape[0] - topPad
+            rightPad = (xsize + 2 * halo) - tileSegments.shape[1] - leftPad
+            pads = ((topPad, botPad), (leftPad, rightPad))
+            segEx = numpy.pad(tileSegments, pads,
+                              constant_values=shepseg.SEGNULLVAL)
+            nullPad = 0 if self.imgNullVal is None else self.imgNullVal
+            valEx = numpy.pad(tileImageData, pads,
+                              constant_values=nullPad)
+            core = segEx[halo:halo + ysize, halo:halo + xsize]
+            coreVal = valEx[halo:halo + ysize, halo:halo + xsize]
+            n = self.numSeg
+            seg = core.ravel()
+            seen = numpy.bincount(
+                seg, minlength=n).astype(numpy.int64)[:n]
+            seen[shepseg.SEGNULLVAL] = 0
+            noData = None
+            if self.imgNullVal is not None:
+                isNull = ((coreVal.ravel().astype(imageValueType) ==
+                           imageValueType(self.imgNullVal)) &
+                          (seg != shepseg.SEGNULLVAL))
+                if isNull.any():
+                    noData = numpy.bincount(
+                        seg[isNull], minlength=n
+                    ).astype(numpy.int64)[:n]
+            contrib = self.streamFn.tileContrib2D(
+                segEx, valEx, leftPix, topLine, self.imgNullVal)
+            return (seen, noData, contrib)
         if self.streamFn.tileContrib2D is not None:
             # fast route: straight bincounts on the raw tile, no
             # per-pixel coordinate/mask construction. The nodata test
@@ -1773,7 +1911,11 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
     the BUILT-IN user functions (userFuncVariogram,
     userFuncNumEdgePixels) as batched vmapped device kernels over padded
     per-segment bounding boxes (ops/spatialstats.py); custom callbacks
-    and userFuncMeanCoord always run on the host.
+    and userFuncMeanCoord always run on the host. On the host engine the
+    built-ins whose statistic is a per-pixel reduction stream instead of
+    accumulating point lists: userFuncMeanCoord always, and
+    userFuncNumEdgePixels through the 1-pixel-halo tile route
+    (:func:`streamingNumEdgePixels`).
     """
     numReadWorkers = _defaultReadWorkers(numReadWorkers, segfile)
     timings = timinghooks.Timers()
@@ -1799,17 +1941,23 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
     # Streaming-reduction fast path: a StreamingSpatialUserFunc never
     # materializes per-segment coordinate lists (userFuncMeanCoord is
     # substituted automatically — its statistic is a pure reduction).
+    useDevice = _resolveStatsEngine(engine, imgband)
     streamFn = userFunc if isinstance(userFunc,
                                       StreamingSpatialUserFunc) else None
     if streamFn is None and userFunc is userFuncMeanCoord:
         streamFn = streamingMeanCoord(userParam)
+    if streamFn is None and userFunc is userFuncNumEdgePixels \
+            and not useDevice:
+        # the host engine streams edge counts through the halo route;
+        # engine='device' keeps the batched DeviceSpatialUserFunc box
+        # kernels (both recorded in bench config4c)
+        streamFn = streamingNumEdgePixels(userParam)
 
     if streamFn is not None:
         acc = _StreamingSpatialAccumulator(numSeg, imgNullVal, streamFn)
     else:
         acc = SegmentPointAccumulator(numSeg, imgNullVal)
     pagedRat = createPagedRat()
-    useDevice = _resolveStatsEngine(engine, imgband)
 
     tileSize = tiling.TILESIZE
     (nlines, npix) = (segband.YSize, segband.XSize)
@@ -1817,14 +1965,14 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
     def compactFn(tileSegments, tileImageData, window):
         (xsize, ysize, leftPix, topLine) = window
         if streamFn is not None:
-            return acc.compactTile(tileSegments, tileImageData, leftPix,
-                                   topLine)
+            return acc.compactTile(tileSegments, tileImageData, window)
         return compactTileSpatial(tileSegments, tileImageData, leftPix,
                                   topLine, imgNullVal, numSeg)
 
     stream = _compactedTileStream(
         nlines, npix, tileSize, segfile, imgfile, imgbandnum,
-        (segband, imgband), compactFn, numReadWorkers, timings)
+        (segband, imgband), compactFn, numReadWorkers, timings,
+        haloPixels=streamFn.haloPixels if streamFn is not None else 0)
     for compacted in stream:
         with timings.interval('accumulation'):
             acc.merge(compacted)
@@ -2353,8 +2501,17 @@ def calcPerSegmentSpatialStatsRIOS(imgfile, imgbandnum, segfile,
     columns of a temp RAT, and the columns are copied back into segfile
     (reference: tilingstats.py:1393-1584). Only read workers are
     supported (computeWorkerKind CW_NONE).
+
+    RIOS drives the block reads itself, so the streaming-reduction
+    contract (which needs the engine's halo reads) is not available
+    here — built-in callbacks run through the point accumulator.
     """
     applier, ratapplier = _importRIOS()
+    if isinstance(userFunc, StreamingSpatialUserFunc):
+        raise PyShepSegStatsError(
+            "StreamingSpatialUserFunc is not supported by the RIOS "
+            "variant (RIOS owns the block reads; use "
+            "calcPerSegmentSpatialStatsTiled)")
 
     segds, segband, imgds, imgband = doImageAlignmentChecks(
         segfile, imgfile, imgbandnum, update=False)

@@ -249,6 +249,93 @@ def test_spatial_edge_pixels(tmp_path, rng, small_tiles):
         assert edgecol[sid] == want, f"segment {sid}"
 
 
+def _edge_oracle(seg, img, fourConnected):
+    """Brute-force reference-semantics edge counts: bbox mask of valid
+    segment pixels, edge = any missing neighbour (bbox border counts)."""
+    if fourConnected:
+        offs = ((-1, 0), (1, 0), (0, -1), (0, 1))
+    else:
+        offs = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                (1, -1), (1, 0), (1, 1))
+    out = {}
+    for sid in range(1, int(seg.max()) + 1):
+        inseg = (seg == sid) & (img != NODATA)
+        if inseg.sum() == 0:
+            continue
+        rows, colsIdx = np.nonzero(inseg)
+        mask = np.zeros((rows.max() - rows.min() + 3,
+                         colsIdx.max() - colsIdx.min() + 3), bool)
+        mask[rows - rows.min() + 1, colsIdx - colsIdx.min() + 1] = True
+        want = 0
+        for (r, c) in zip(*np.nonzero(mask)):
+            if not all(mask[r + dr, c + dc] for (dr, dc) in offs):
+                want += 1
+        out[sid] = want
+    return out
+
+
+@pytest.mark.parametrize("fourConnected", [True, False])
+def test_spatial_edge_pixels_streaming_vs_point_route(tmp_path, rng,
+                                                      small_tiles,
+                                                      fourConnected):
+    """The streaming halo route (auto-substituted for
+    userFuncNumEdgePixels on the host engine) must agree bit-for-bit
+    with the point-list accumulator route AND the brute-force oracle,
+    for both connectivities, across tile boundaries and nodata."""
+    import shutil
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
+                                                  shape=(100, 110),
+                                                  nseg=12)
+    segpath2 = str(tmp_path / "segpt.npseg")
+    shutil.copytree(segpath, segpath2)
+    cols = [("edgepix", rio.GFT_Integer)]
+
+    # streaming route (identity-substituted)
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, cols, tilingstats.userFuncNumEdgePixels,
+        fourConnected)
+
+    # point-list route: a wrapper defeats the identity substitution
+    def pointRoute(pts, imgNullVal, intArr, floatArr, param):
+        return tilingstats.userFuncNumEdgePixels(pts, imgNullVal,
+                                                 intArr, floatArr, param)
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath2, cols, pointRoute, fourConnected)
+
+    want = _edge_oracle(seg, img, fourConnected)
+    for path in (segpath, segpath2):
+        rat = rio.open(path).GetRasterBand(1).GetDefaultRAT()
+        names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+        got = rat.ReadAsArray(names.index("edgepix"))
+        for sid, w in want.items():
+            assert got[sid] == w, (path, sid)
+
+
+def test_spatial_edge_pixels_streaming_threaded_reads(tmp_path, rng,
+                                                      small_tiles):
+    """Halo reads on worker threads give the identical result as serial
+    (the expanded clamped windows are pure per-tile reads)."""
+    import shutil
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
+                                                  shape=(100, 110),
+                                                  nseg=10)
+    segpath2 = str(tmp_path / "segser.npseg")
+    shutil.copytree(segpath, segpath2)
+    cols = [("edgepix", rio.GFT_Integer)]
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, cols, tilingstats.userFuncNumEdgePixels,
+        True, numReadWorkers=2)
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath2, cols, tilingstats.userFuncNumEdgePixels,
+        True, numReadWorkers=0)
+    a = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    b = rio.open(segpath2).GetRasterBand(1).GetDefaultRAT()
+    na = [a.GetNameOfCol(i) for i in range(a.GetColumnCount())]
+    nb = [b.GetNameOfCol(i) for i in range(b.GetColumnCount())]
+    np.testing.assert_array_equal(a.ReadAsArray(na.index("edgepix")),
+                                  b.ReadAsArray(nb.index("edgepix")))
+
+
 def test_spatial_variogram(tmp_path, rng, small_tiles):
     segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
                                                   shape=(60, 60), nseg=5)
