@@ -808,8 +808,27 @@ def _run_config4(results, imgfile, segfile):
     _guard(results, "config4-device", device_engine)
     _guard(results, "config4-device-chip", chip_rate)
     _guard(results, "config4b-spatial", spatial)
+    def spatial_variogram():
+        # Variograms stream too (halo = maxDist): same-segment pair
+        # sums per positive-quadrant offset, no point lists.
+        maxDist = 2
+        t0 = time.time()
+        tilingstats.calcPerSegmentSpatialStatsTiled(
+            imgfile, 1, segfile,
+            [(f"b1_vario{d}", rio.GFT_Real)
+             for d in range(1, maxDist + 1)],
+            tilingstats.userFuncVariogram, maxDist, engine='host')
+        sp_rate = npix / (time.time() - t0)
+        results.append({
+            "name": "config4d: calcPerSegmentSpatialStatsTiled "
+                    f"variograms (maxDist=2) over {npix:.0f} Mpix scene "
+                    "(streaming halo-read route)",
+            "value": round(sp_rate, 3), "unit": "Mpix/s",
+            "vs_baseline": None})
+
     _guard(results, "config4c-spatial-edge", spatial_edge)
     _guard(results, "config4c-spatial-edge-pointlist", spatial_edge_pointlist)
+    _guard(results, "config4d-spatial-variogram", spatial_variogram)
 
 
 def _deviceStatsChipRate(segfile, imgfile, k=8):

@@ -323,6 +323,50 @@ def mainCmd():
         if not spatialOK:
             allOK = False
 
+        # Neighbourhood built-ins: the streaming halo routes
+        # (auto-substituted on the host engine) must agree with the
+        # point-list accumulator route on the same segmentation
+        print("Checking streaming spatial routes ...")
+        tilingstats.calcPerSegmentSpatialStatsTiled(
+            imgfile, 1, outsegfile, [("edgepix_s", rio.GFT_Integer)],
+            tilingstats.userFuncNumEdgePixels, True)
+        tilingstats.calcPerSegmentSpatialStatsTiled(
+            imgfile, 1, outsegfile, [("vario1_s", rio.GFT_Real),
+                                     ("vario2_s", rio.GFT_Real)],
+            tilingstats.userFuncVariogram, 2)
+
+        def pointEdge(pts, imgNullVal, intArr, floatArr, param):
+            return tilingstats.userFuncNumEdgePixels(
+                pts, imgNullVal, intArr, floatArr, param)
+
+        def pointVario(pts, imgNullVal, intArr, floatArr, param):
+            return tilingstats.userFuncVariogram(
+                pts, imgNullVal, intArr, floatArr, param)
+
+        tilingstats.calcPerSegmentSpatialStatsTiled(
+            imgfile, 1, outsegfile, [("edgepix_p", rio.GFT_Integer)],
+            pointEdge, True)
+        tilingstats.calcPerSegmentSpatialStatsTiled(
+            imgfile, 1, outsegfile, [("vario1_p", rio.GFT_Real),
+                                     ("vario2_p", rio.GFT_Real)],
+            pointVario, 2)
+        rat = rio.open(outsegfile).GetRasterBand(1).GetDefaultRAT()
+        names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+
+        def col(name):
+            return rat.ReadAsArray(names.index(name))
+
+        streamOK = bool(numpy.array_equal(col("edgepix_s"),
+                                          col("edgepix_p")))
+        for c in ("vario1", "vario2"):
+            a, b = col(c + "_s"), col(c + "_p")
+            streamOK = streamOK and bool(
+                numpy.array_equal(a == -9999, b == -9999) and
+                numpy.allclose(a, b, rtol=1e-9))
+        print("Streaming spatial routes ok:", streamOK)
+        if not streamOK:
+            allOK = False
+
         print("Testing subset ...")
         subsegfile = os.path.join(tempDir, "subset" + ext)
         subSize = max(n // 4, 64)

@@ -1755,6 +1755,101 @@ def streamingNumEdgePixels(fourConnected):
                                     haloPixels=1)
 
 
+def streamingVariogram(maxDist):
+    """
+    Streaming-reduction equivalent of :func:`userFuncVariogram`
+    (substituted automatically on the host engine): per-segment
+    variograms at integer distances 1..maxDist via shifted whole-tile
+    comparisons over a maxDist-pixel-halo read.
+
+    The reference kernel (reference tilingstats.py:1037-1094) walks the
+    POSITIVE offset quadrant only (yoffset, xoffset both >= 1 — purely
+    horizontal/vertical pairs are never sampled) over each segment's
+    null-filled bounding-box tile; the pair set at one offset is
+    therefore exactly "both pixels valid, same segment". The streaming
+    form accumulates the identical pair set tile by tile: a pair whose
+    partner lies in a neighbouring tile is picked up through the halo
+    by the tile that holds its base pixel, and only there (offsets are
+    positive, so the partner tile never re-roots the pair). Sums are
+    float64 either way; only the addition order differs.
+    """
+    maxDist = int(maxDist)
+    offs = []
+    for yoffset in range(1, maxDist + 1):
+        for xoffset in range(1, maxDist + 1):
+            dist = int(numpy.sqrt(yoffset * yoffset + xoffset * xoffset))
+            if 1 <= dist <= maxDist:
+                offs.append((yoffset, xoffset, dist))
+
+    def initState(numSeg):
+        return {'counts': numpy.zeros((numSeg, maxDist), numpy.int64),
+                'sumsq': numpy.zeros((numSeg, maxDist), numpy.float64),
+                'numSeg': numSeg}
+
+    def tileContrib2D(segEx, valEx, leftPix, topLine, imgNullVal):
+        h = maxDist
+        ys = segEx.shape[0] - 2 * h
+        xs = segEx.shape[1] - 2 * h
+        core = segEx[h:h + ys, h:h + xs]
+        coreVal = valEx[h:h + ys, h:h + xs].astype(numpy.float64)
+        validEx = valEx.astype(imageValueType) != imageValueType(imgNullVal)
+        coreOk = (core != shepseg.SEGNULLVAL) & validEx[h:h + ys, h:h + xs]
+        counts = []
+        sumsqs = []
+        hi = 0
+        for (dy, dx, dist) in offs:
+            segB = segEx[h + dy:h + dy + ys, h + dx:h + dx + xs]
+            ok = coreOk & (segB == core) & \
+                validEx[h + dy:h + dy + ys, h + dx:h + dx + xs]
+            ids = core[ok].astype(numpy.int64)
+            if ids.size == 0:
+                counts.append((dist, None))
+                sumsqs.append((dist, None))
+                continue
+            d = coreVal[ok] - valEx[h + dy:h + dy + ys,
+                                    h + dx:h + dx + xs][ok]
+            cnt = numpy.bincount(ids)
+            ssq = numpy.bincount(ids, weights=d * d)
+            hi = max(hi, len(cnt))
+            counts.append((dist, cnt))
+            sumsqs.append((dist, ssq))
+        if hi == 0:
+            return None
+        cntArr = numpy.zeros((hi, maxDist), numpy.int64)
+        ssqArr = numpy.zeros((hi, maxDist), numpy.float64)
+        for (dist, cnt), (_d, ssq) in zip(counts, sumsqs):
+            if cnt is not None:
+                cntArr[:len(cnt), dist - 1] += cnt
+                ssqArr[:len(ssq), dist - 1] += ssq
+        return (cntArr, ssqArr)
+
+    def tileContrib(segIds, xx, yy, vals):  # pragma: no cover
+        raise PyShepSegStatsError(
+            "streamingVariogram requires the halo tile route")
+
+    def mergeContrib(state, contrib):
+        cntArr, ssqArr = contrib
+        k = min(len(cntArr), state['numSeg'])
+        state['counts'][:k] += cntArr[:k]
+        state['sumsq'][:k] += ssqArr[:k]
+
+    def finalizeRows(state, segIds):
+        cnt = state['counts'][segIds].astype(numpy.float64)
+        ssq = state['sumsq'][segIds]
+        with numpy.errstate(divide='ignore', invalid='ignore'):
+            rows = numpy.sqrt(ssq / cnt)
+        # zero-pair bins: the reference leaves the column untouched
+        # (missingStatsValue); NaN here becomes missingStatsValue in
+        # the streaming finalize
+        rows[cnt == 0] = numpy.nan
+        return None, rows
+
+    return StreamingSpatialUserFunc(initState, tileContrib, mergeContrib,
+                                    finalizeRows,
+                                    tileContrib2D=tileContrib2D,
+                                    haloPixels=maxDist)
+
+
 class _StreamingSpatialAccumulator:
     """Completeness bookkeeping for the streaming spatial route: same
     seen/noData accounting as SegmentPointAccumulator, but the only
@@ -1885,7 +1980,11 @@ def _spatialFinalizeCompletedStreaming(acc, segSize, missingStatsValue,
         if ir is not None:
             intRows[live, :ir.shape[1]] = ir
         if fr is not None:
-            floatRows[live, :fr.shape[1]] = fr
+            # NaN = "no data for this column" (e.g. a variogram bin
+            # with zero pairs): keep missingStatsValue, matching the
+            # host kernels that leave floatArr untouched
+            floatRows[live, :fr.shape[1]] = numpy.where(
+                numpy.isnan(fr), missingStatsValue, fr)
     for i, segId in enumerate(segIds):
         _writeSpatialRow(pagedRat, segId, intRows[i], floatRows[i],
                          userColFast, numIntCols, numFloatCols,
@@ -1911,11 +2010,12 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
     the BUILT-IN user functions (userFuncVariogram,
     userFuncNumEdgePixels) as batched vmapped device kernels over padded
     per-segment bounding boxes (ops/spatialstats.py); custom callbacks
-    and userFuncMeanCoord always run on the host. On the host engine the
-    built-ins whose statistic is a per-pixel reduction stream instead of
-    accumulating point lists: userFuncMeanCoord always, and
-    userFuncNumEdgePixels through the 1-pixel-halo tile route
-    (:func:`streamingNumEdgePixels`).
+    and userFuncMeanCoord always run on the host. On the host engine
+    every built-in streams instead of accumulating point lists:
+    userFuncMeanCoord always, userFuncNumEdgePixels through the
+    1-pixel-halo tile route (:func:`streamingNumEdgePixels`), and
+    userFuncVariogram through a maxDist-halo route for maxDist <= 8
+    (:func:`streamingVariogram`).
     """
     numReadWorkers = _defaultReadWorkers(numReadWorkers, segfile)
     timings = timinghooks.Timers()
@@ -1952,6 +2052,12 @@ def calcPerSegmentSpatialStatsTiled(imgfile, imgbandnum, segfile,
         # engine='device' keeps the batched DeviceSpatialUserFunc box
         # kernels (both recorded in bench config4c)
         streamFn = streamingNumEdgePixels(userParam)
+    if streamFn is None and userFunc is userFuncVariogram \
+            and not useDevice and int(userParam) <= 8:
+        # variograms stream too (halo = maxDist); past maxDist 8 the
+        # per-tile offset sweep outgrows the point route's box kernels,
+        # so large distances keep the accumulator path
+        streamFn = streamingVariogram(userParam)
 
     if streamFn is not None:
         acc = _StreamingSpatialAccumulator(numSeg, imgNullVal, streamFn)

@@ -382,6 +382,59 @@ def test_spatial_variogram(tmp_path, rng, small_tiles):
                     col[sid], np.sqrt(sums[n] / counts[n]), rtol=1e-6)
 
 
+def test_spatial_variogram_streaming_vs_point_route(tmp_path, rng,
+                                                    small_tiles):
+    """The streaming maxDist-halo variogram route (auto-substituted on
+    the host engine) must agree with the point-list route to float64
+    summation-order tolerance, across tile boundaries and nodata,
+    including the missing-value bins."""
+    import shutil
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
+                                                  shape=(100, 110),
+                                                  nseg=14)
+    segpath2 = str(tmp_path / "segpt.npseg")
+    shutil.copytree(segpath, segpath2)
+    maxDist = 3
+    cols = [(f"vario{d}", rio.GFT_Real) for d in range(1, maxDist + 1)]
+
+    # streaming route (identity-substituted)
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, cols, tilingstats.userFuncVariogram, maxDist)
+
+    # point-list route: a wrapper defeats the identity substitution
+    def pointRoute(pts, imgNullVal, intArr, floatArr, param):
+        return tilingstats.userFuncVariogram(pts, imgNullVal, intArr,
+                                             floatArr, param)
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath2, cols, pointRoute, maxDist)
+
+    ratS = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    ratP = rio.open(segpath2).GetRasterBand(1).GetDefaultRAT()
+    nS = [ratS.GetNameOfCol(i) for i in range(ratS.GetColumnCount())]
+    nP = [ratP.GetNameOfCol(i) for i in range(ratP.GetColumnCount())]
+    for (c, _t) in cols:
+        a = ratS.ReadAsArray(nS.index(c))
+        b = ratP.ReadAsArray(nP.index(c))
+        # missing bins (-9999) must agree exactly; live bins to fp
+        # summation-order tolerance
+        np.testing.assert_array_equal(a == -9999, b == -9999, err_msg=c)
+        np.testing.assert_allclose(a, b, rtol=1e-9, err_msg=c)
+
+
+def test_spatial_variogram_large_maxdist_uses_point_route(tmp_path, rng,
+                                                          small_tiles):
+    """maxDist past the streaming cutoff still runs (point route)."""
+    segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng,
+                                                  shape=(60, 60), nseg=4)
+    maxDist = 9   # > the streaming cutoff of 8
+    cols = [(f"vbig{d}", rio.GFT_Real) for d in range(1, maxDist + 1)]
+    tilingstats.calcPerSegmentSpatialStatsTiled(
+        imgpath, 1, segpath, cols, tilingstats.userFuncVariogram, maxDist)
+    rat = rio.open(segpath).GetRasterBand(1).GetDefaultRAT()
+    names = [rat.GetNameOfCol(i) for i in range(rat.GetColumnCount())]
+    assert "vbig1" in names
+
+
 def test_threaded_read_workers_match_serial(tmp_path, rng):
     """numReadWorkers pipelining must be bit-identical to serial."""
     segpath, imgpath, seg, img = make_seg_and_img(tmp_path, rng)
